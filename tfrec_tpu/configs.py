@@ -1,0 +1,157 @@
+"""Typed configuration system.
+
+The reference family uses stringly-typed ``.properties`` files parsed with
+configparser (SURVEY.md §1a, unverifiable — empty reference mount). Here
+every run is described by frozen dataclasses; the five milestone configs of
+BASELINE.json:7-11 ship as constructor functions in ``tfrec_tpu.zoo_configs``
+and CLI flags override individual fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Where the examples come from and how they are split."""
+
+    # One of: "movielens" (UIRT rating file), "criteo" (TSV), "synthetic_implicit",
+    # "synthetic_ctr".
+    source: str = "synthetic_implicit"
+    path: str | None = None
+    # Splitter: "ratio" (random holdout by fraction) or "leave_one_out"
+    # (most-recent interaction per user held out, TFRec-family convention).
+    splitter: str = "ratio"
+    test_fraction: float = 0.2
+    min_interactions: int = 1
+    # Implicit-feedback threshold: ratings >= this count as positives.
+    binarize_threshold: float = 0.0
+    seed: int = 0
+    # Synthetic-generator knobs (ignored for on-disk sources).
+    num_users: int = 512
+    num_items: int = 1024
+    interactions_per_user: int = 32
+    latent_rank: int = 8
+    # CTR-generator knobs.
+    num_examples: int = 100_000
+    num_dense_features: int = 13
+    categorical_vocab_sizes: Sequence[int] = (1000, 1000, 500, 500, 100, 100)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Which model and its hyperparameters."""
+
+    name: str = "mf"  # mf | fm | gmf | mlp | neumf | dcn | deepfm | widedeep | dlrm | dcnv2
+    embed_dim: int = 64
+    # Dense-tower widths (MLP/NeuMF deep tower, DCN deep tower).
+    mlp_dims: Sequence[int] = (256, 128, 64)
+    # DCN: number of cross layers.
+    num_cross_layers: int = 3
+    # DCNv2: low-rank dimension for cross layers (0 = full rank).
+    cross_rank: int = 0
+    # NeuMF: separate GMF/MLP embedding dims.
+    gmf_dim: int = 32
+    mlp_embed_dim: int = 32
+    dropout: float = 0.0
+    # Parameter dtype for dense towers; embeddings stay f32 for optimizer parity.
+    dtype: str = "float32"
+    l2_reg: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer for dense params and the sparse rowwise path for tables."""
+
+    dense_optimizer: str = "adam"  # adam | adagrad | sgd
+    sparse_optimizer: str = "rowwise_adagrad"  # rowwise_adagrad | rowwise_adam | sgd
+    learning_rate: float = 1e-2
+    sparse_learning_rate: float | None = None  # default: learning_rate
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    eps: float = 1e-8
+    adagrad_init: float = 0.0
+    weight_decay: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data × table axes (SURVEY.md §2b)."""
+
+    data_axis_size: int = -1  # -1: infer (all devices / table_axis_size)
+    table_axis_size: int = 1
+    # Embedding-table sharding: "row" | "col" | "replicated".
+    table_sharding: str = "row"
+    # Static per-destination-shard capacity for the all-to-all ID exchange,
+    # as a multiple of the even share (cap = ceil(ids/T) * factor). Overflow
+    # falls back to replicated-gather for the spilled ids; never silent.
+    a2a_capacity_factor: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop shape."""
+
+    batch_size: int = 1024  # global batch
+    epochs: int = 10
+    steps_per_epoch: int = -1  # -1: full pass
+    eval_every_epochs: int = 1
+    # BPR-style pairwise sampling: negatives drawn per positive, resampled
+    # each epoch (TFRec-family convention, SURVEY.md §3a).
+    num_negatives: int = 1
+    loss: str = "bpr"  # bpr | logloss | hinge | sampled_softmax
+    seed: int = 42
+    eval_topk: Sequence[int] = (10, 20, 50)
+    eval_user_batch: int = 256
+    log_every_steps: int = 100
+    checkpoint_dir: str | None = None
+    checkpoint_every_epochs: int = 0  # 0 = off
+    resume: bool = False
+    # Kernel backend: "pallas" (fused TPU kernels) or "xla" (jnp reference).
+    kernels: str = "xla"
+    profile_steps: tuple[int, int] | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    run_name: str = "run"
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _apply_overrides(cfg: Config, overrides: Mapping[str, Any]) -> Config:
+    """Apply dotted-path overrides, e.g. {"train.batch_size": 512}."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            cfg = dataclasses.replace(cfg, **{parts[0]: value})
+            continue
+        section_name, field_name = parts[0], ".".join(parts[1:])
+        section = getattr(cfg, section_name)
+        new_section = _apply_overrides_dc(section, field_name, value)
+        cfg = dataclasses.replace(cfg, **{section_name: new_section})
+    return cfg
+
+
+def _apply_overrides_dc(dc: Any, dotted: str, value: Any) -> Any:
+    parts = dotted.split(".", 1)
+    if len(parts) == 1:
+        field_types = {f.name: f.type for f in dataclasses.fields(dc)}
+        if parts[0] not in field_types:
+            raise KeyError(f"unknown config field {parts[0]!r} on {type(dc).__name__}")
+        return dataclasses.replace(dc, **{parts[0]: value})
+    child = getattr(dc, parts[0])
+    return dataclasses.replace(dc, **{parts[0]: _apply_overrides_dc(child, parts[1], value)})
+
+
+def with_overrides(cfg: Config, overrides: Mapping[str, Any]) -> Config:
+    """Public entry: apply {'section.field': value} overrides to a Config."""
+    return _apply_overrides(cfg, overrides)

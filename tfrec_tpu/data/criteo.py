@@ -1,0 +1,80 @@
+"""Criteo click-log TSV loader (label \t 13 int \t 26 hex-categorical).
+
+Matches the Criteo-1TB / Kaggle-DAC line format for BASELINE.json configs
+4-5. Categorical values are hashed into per-field vocabularies (the standard
+DLRM treatment); dense ints get log1p compression. Streams in chunks so a
+1TB-scale file never has to fit in memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence, Tuple
+
+import numpy as np
+
+NUM_DENSE = 13
+NUM_CATEGORICAL = 26
+
+
+def _hash_token(token: str, vocab: int, field: int) -> int:
+    # FNV-1a over (field, token) so identical tokens in different fields
+    # don't collide systematically.
+    h = np.uint64(14695981039346656037)
+    for b in f"{field}:{token}".encode():
+        h = np.uint64((int(h) ^ b) * 1099511628211 % (1 << 64))
+    return int(h % np.uint64(vocab))
+
+
+def iter_criteo_batches(
+    path: str,
+    batch_size: int,
+    vocab_sizes: Sequence[int] | int = 100_000,
+    max_examples: int | None = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (dense [B,13] f32, cat [B,26] i32, label [B] f32) batches.
+
+    The final partial batch is dropped (static shapes for jit)."""
+    if isinstance(vocab_sizes, int):
+        vocab_sizes = [vocab_sizes] * NUM_CATEGORICAL
+    assert len(vocab_sizes) == NUM_CATEGORICAL
+
+    dense = np.zeros((batch_size, NUM_DENSE), dtype=np.float32)
+    cat = np.zeros((batch_size, NUM_CATEGORICAL), dtype=np.int32)
+    label = np.zeros(batch_size, dtype=np.float32)
+    fill = 0
+    seen = 0
+    with open(path, "r") as f:
+        for line in f:
+            if max_examples is not None and seen >= max_examples:
+                break
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 1 + NUM_DENSE + NUM_CATEGORICAL:
+                continue
+            seen += 1
+            label[fill] = float(parts[0])
+            for d in range(NUM_DENSE):
+                v = parts[1 + d]
+                x = float(v) if v else 0.0
+                dense[fill, d] = np.log1p(max(x, 0.0))
+            for c in range(NUM_CATEGORICAL):
+                tok = parts[1 + NUM_DENSE + c]
+                cat[fill, c] = _hash_token(tok, vocab_sizes[c], c) if tok else 0
+            fill += 1
+            if fill == batch_size:
+                yield dense.copy(), cat.copy(), label.copy()
+                fill = 0
+
+
+def load_criteo(
+    path: str,
+    vocab_sizes: Sequence[int] | int = 100_000,
+    max_examples: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize a bounded Criteo subset in memory (for eval splits)."""
+    chunks = list(iter_criteo_batches(path, 8192, vocab_sizes, max_examples))
+    if not chunks:
+        raise ValueError(f"no complete batches read from {path}")
+    dense = np.concatenate([c[0] for c in chunks])
+    cat = np.concatenate([c[1] for c in chunks])
+    label = np.concatenate([c[2] for c in chunks])
+    return dense, cat, label

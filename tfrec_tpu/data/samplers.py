@@ -1,0 +1,168 @@
+"""Negative-sampling mini-batch generators.
+
+The reference family resamples negatives every epoch in host Python — its
+documented bottleneck (SURVEY.md §3a "sampler ... a real bottleneck"). These
+samplers are fully vectorized numpy: membership tests run against a single
+sorted key array of all train pairs (one ``searchsorted`` per rejection
+round), so epoch sampling is O(N log N) with no Python-per-example loops.
+All batches have static shapes; the remainder batch is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+from tfrec_tpu.data.dataset import Dataset
+
+
+class _TrainPairIndex:
+    """Sorted u*num_items+i key array for O(log N) membership tests."""
+
+    def __init__(self, dataset: Dataset):
+        self.num_items = dataset.num_items
+        keys = (
+            dataset.train.users.astype(np.int64) * dataset.num_items
+            + dataset.train.items.astype(np.int64)
+        )
+        self.keys = np.sort(keys)
+
+    def contains(self, users: np.ndarray, items: np.ndarray) -> np.ndarray:
+        q = users.astype(np.int64) * self.num_items + items.astype(np.int64)
+        idx = np.searchsorted(self.keys, q)
+        idx = np.minimum(idx, len(self.keys) - 1)
+        return self.keys[idx] == q
+
+
+def _sample_negatives(
+    rng: np.random.Generator,
+    index: _TrainPairIndex,
+    users: np.ndarray,
+    num_items: int,
+    max_rounds: int = 64,
+) -> np.ndarray:
+    """Draw one negative per row, rejecting train positives (vectorized)."""
+    negs = rng.integers(0, num_items, size=len(users), dtype=np.int64)
+    bad = index.contains(users, negs)
+    rounds = 0
+    while bad.any() and rounds < max_rounds:
+        negs[bad] = rng.integers(0, num_items, size=int(bad.sum()), dtype=np.int64)
+        bad = index.contains(users, negs)
+        rounds += 1
+    # Pathological users interacting with the whole catalog keep the last
+    # draw; with real catalogs this branch is never taken.
+    return negs.astype(np.int32)
+
+
+class PairwiseSampler:
+    """(user, pos_item, neg_item) batches for BPR-style pairwise losses.
+
+    Fresh negatives and a fresh shuffle every epoch, seeded as
+    fold(seed, epoch) for exact reproducibility.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        num_negatives: int = 1,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_negatives = num_negatives
+        self.seed = seed
+        self.index = _TrainPairIndex(dataset)
+
+    def num_batches(self) -> int:
+        return (len(self.dataset.train) * self.num_negatives) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        train = self.dataset.train
+        users = np.repeat(train.users, self.num_negatives)
+        pos = np.repeat(train.items, self.num_negatives)
+        negs = _sample_negatives(rng, self.index, users, self.dataset.num_items)
+        perm = rng.permutation(len(users))
+        users, pos, negs = users[perm], pos[perm], negs[perm]
+        for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+            sl = slice(start, start + self.batch_size)
+            yield {"user": users[sl], "pos": pos[sl], "neg": negs[sl]}
+
+
+class PointwiseSampler:
+    """(user, item, label) batches: every positive plus ``num_negatives``
+    sampled negatives per positive, labels {1, 0} — pointwise logloss
+    training for implicit data (NeuMF-style, BASELINE.json:9)."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        num_negatives: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_negatives = num_negatives
+        self.seed = seed
+        self.index = _TrainPairIndex(dataset)
+
+    def num_batches(self) -> int:
+        n = len(self.dataset.train) * (1 + self.num_negatives)
+        return n // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        train = self.dataset.train
+        n_pos = len(train)
+        neg_users = np.repeat(train.users, self.num_negatives)
+        neg_items = _sample_negatives(
+            rng, self.index, neg_users, self.dataset.num_items
+        )
+        users = np.concatenate([train.users, neg_users])
+        items = np.concatenate([train.items, neg_items])
+        labels = np.concatenate(
+            [
+                np.ones(n_pos, np.float32),
+                np.zeros(len(neg_users), np.float32),
+            ]
+        )
+        perm = rng.permutation(len(users))
+        users, items, labels = users[perm], items[perm], labels[perm]
+        for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+            sl = slice(start, start + self.batch_size)
+            yield {"user": users[sl], "item": items[sl], "label": labels[sl]}
+
+
+class CTRBatcher:
+    """Shuffled fixed-shape batches over in-memory CTR arrays
+    (dense [N,D], cat [N,F], label [N])."""
+
+    def __init__(
+        self,
+        dense: np.ndarray,
+        cat: np.ndarray,
+        label: np.ndarray,
+        batch_size: int,
+        seed: int = 0,
+    ):
+        assert len(dense) == len(cat) == len(label)
+        self.dense, self.cat, self.label = dense, cat, label
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def num_batches(self) -> int:
+        return len(self.label) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        perm = rng.permutation(len(self.label))
+        for start in range(0, len(perm) - self.batch_size + 1, self.batch_size):
+            idx = perm[start : start + self.batch_size]
+            yield {
+                "dense": self.dense[idx],
+                "cat": self.cat[idx],
+                "label": self.label[idx],
+            }

@@ -1,0 +1,177 @@
+"""Top-k candidate retrieval and full-catalog ranking evaluation.
+
+The reference family evaluates by scoring every item per user, masking train
+items, taking top-k, and computing ranking metrics in a threaded C++ backend
+(SURVEY.md §2a "eval-native", §3a). The TPU-native default here runs the
+whole pipeline on device: MXU-batched scoring in item chunks with a running
+top-k merge, -inf masking of train items, and jnp metrics — compiled to
+native TPU code by XLA (SURVEY.md §2c item 1). The sharded multi-device
+variant lives in tfrec_tpu/parallel/topk.py; the host C++ parity evaluator
+in tfrec_tpu/eval/native.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from tfrec_tpu.eval.metrics import ranking_metrics_from_topk
+
+NEG_INF = -1e30
+
+
+def padded_positives(
+    csr: sp.csr_matrix, pad_to: int | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row positive-item lists padded to a static width with the
+    out-of-range sentinel ``num_items``. Returns (padded [U,W] i32, counts [U] i32)."""
+    num_users, num_items = csr.shape
+    lengths = np.diff(csr.indptr).astype(np.int32)
+    width = int(pad_to if pad_to is not None else max(1, lengths.max(initial=1)))
+    padded = np.full((num_users, width), num_items, dtype=np.int32)
+    for u in range(num_users):
+        row = csr.indices[csr.indptr[u] : csr.indptr[u + 1]][:width]
+        padded[u, : len(row)] = row
+    return padded, np.minimum(lengths, width)
+
+
+def mask_items(
+    scores: jnp.ndarray, exclude_padded: jnp.ndarray, exclude_counts: jnp.ndarray
+) -> jnp.ndarray:
+    """Set scores of per-user excluded items (e.g. train positives) to -inf.
+
+    ``exclude_padded`` uses the sentinel num_items, which is out of range for
+    the scatter and therefore dropped via mode='drop'.
+    """
+    batch = scores.shape[0]
+    valid = (
+        jnp.arange(exclude_padded.shape[1])[None, :] < exclude_counts[:, None]
+    )
+    cols = jnp.where(valid, exclude_padded, scores.shape[1])  # sentinel when invalid
+    rows = jnp.broadcast_to(jnp.arange(batch)[:, None], cols.shape)
+    return scores.at[rows, cols].set(NEG_INF, mode="drop")
+
+
+def topk_scores(
+    scores: jnp.ndarray,
+    k: int,
+    exclude_padded: jnp.ndarray | None = None,
+    exclude_counts: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k (values, item ids) over a dense [B, V] score matrix."""
+    if exclude_padded is not None:
+        scores = mask_items(scores, exclude_padded, exclude_counts)
+    return jax.lax.top_k(scores, k)
+
+
+def chunked_topk(
+    score_chunk_fn: Callable[[jnp.ndarray, int], jnp.ndarray],
+    user_ids: jnp.ndarray,
+    num_items: int,
+    k: int,
+    chunk_size: int,
+    exclude_padded: jnp.ndarray | None = None,
+    exclude_counts: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Running top-k merge over item chunks — never materializes [B, V].
+
+    ``score_chunk_fn(user_ids, chunk_start) -> [B, chunk_size]`` scores items
+    [chunk_start, chunk_start+chunk_size). num_items is padded up to a
+    multiple of chunk_size; out-of-range items score -inf.
+    """
+    batch = user_ids.shape[0]
+    num_chunks = -(-num_items // chunk_size)
+
+    def body(carry, chunk_idx):
+        best_vals, best_ids = carry
+        start = chunk_idx * chunk_size
+        scores = score_chunk_fn(user_ids, start)  # [B, C]
+        ids = start + jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
+        in_range = ids < num_items
+        scores = jnp.where(in_range, scores, NEG_INF)
+        if exclude_padded is not None:
+            # Mask excluded items that fall in this chunk.
+            valid = (
+                jnp.arange(exclude_padded.shape[1])[None, :]
+                < exclude_counts[:, None]
+            )
+            local = exclude_padded - start
+            hit = valid & (local >= 0) & (local < chunk_size)
+            cols = jnp.where(hit, local, chunk_size)
+            rows = jnp.broadcast_to(
+                jnp.arange(batch)[:, None], cols.shape
+            )
+            scores = scores.at[rows, cols].set(NEG_INF, mode="drop")
+        merged_vals = jnp.concatenate([best_vals, scores], axis=1)
+        merged_ids = jnp.concatenate([best_ids, jnp.broadcast_to(ids, scores.shape)], axis=1)
+        vals, idx = jax.lax.top_k(merged_vals, k)
+        new_ids = jnp.take_along_axis(merged_ids, idx, axis=1)
+        return (vals, new_ids), None
+
+    init = (
+        jnp.full((batch, k), NEG_INF, dtype=jnp.float32),
+        jnp.full((batch, k), num_items, dtype=jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+    return vals, ids
+
+
+def evaluate_retrieval(
+    score_all_fn: Callable[..., jnp.ndarray],
+    params,
+    dataset,
+    ks: Sequence[int],
+    user_batch: int = 256,
+    chunk_size: int | None = None,
+) -> Dict[str, float]:
+    """Full-catalog ranking evaluation over all users with test items.
+
+    ``score_all_fn(params, user_ids) -> [B, num_items]`` scores the whole
+    catalog for a user batch (models provide this; for dot-product scorers
+    it is one MXU matmul).
+    """
+    num_items = dataset.num_items
+    train_padded, train_counts = padded_positives(dataset.train_csr)
+    test_padded, test_counts = padded_positives(dataset.test_csr)
+    max_k = max(ks)
+
+    @jax.jit
+    def eval_batch(params, users, trn_p, trn_c, tst_p, tst_c):
+        scores = score_all_fn(params, users)
+        _, topk_items = topk_scores(scores, max_k, trn_p, trn_c)
+        m = ranking_metrics_from_topk(topk_items, tst_p, tst_c, ks)
+        n_users = jnp.sum((tst_c > 0).astype(jnp.float32))
+        return {k: v * n_users for k, v in m.items()}, n_users
+
+    users_with_test = np.flatnonzero(test_counts > 0).astype(np.int32)
+    sums: Dict[str, float] = {}
+    total_users = 0.0
+    for start in range(0, len(users_with_test), user_batch):
+        batch_users = users_with_test[start : start + user_batch]
+        # Pad the final batch to static shape; padded users have 0 test items
+        # so they contribute nothing.
+        if len(batch_users) < user_batch:
+            pad = np.zeros(user_batch - len(batch_users), dtype=np.int32)
+            pad_counts_mask = np.concatenate(
+                [np.ones(len(batch_users), bool), np.zeros(len(pad), bool)]
+            )
+            batch_users = np.concatenate([batch_users, pad])
+        else:
+            pad_counts_mask = np.ones(user_batch, bool)
+        tst_c = np.where(pad_counts_mask, test_counts[batch_users], 0).astype(np.int32)
+        metrics, n_users = eval_batch(
+            params,
+            jnp.asarray(batch_users),
+            jnp.asarray(train_padded[batch_users]),
+            jnp.asarray(train_counts[batch_users]),
+            jnp.asarray(test_padded[batch_users]),
+            jnp.asarray(tst_c),
+        )
+        total_users += float(n_users)
+        for key, val in metrics.items():
+            sums[key] = sums.get(key, 0.0) + float(val)
+    return {k: v / max(total_users, 1.0) for k, v in sums.items()}
