@@ -1,0 +1,98 @@
+"""Sparse-optimizer correctness vs dense oracles (SURVEY.md §4 unit row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfrec_tpu.ops.embedding import combine_duplicate_ids
+from tfrec_tpu.ops.sparse_optim import make_sparse_optimizer
+
+V, D = 13, 4
+
+
+def _rand(seed, shape):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+def test_combine_duplicate_ids_matches_numpy():
+    ids = jnp.array([3, 1, 3, 7, 1, 1], dtype=jnp.int32)
+    grads = _rand(0, (6, D))
+    uids, combined = jax.jit(
+        lambda i, g: combine_duplicate_ids(i, g, sentinel=V)
+    )(ids, grads)
+    uids, combined = np.asarray(uids), np.asarray(combined)
+    got = {}
+    for u, row in zip(uids, combined):
+        if u < V:
+            got[int(u)] = row
+    want = {}
+    for u, row in zip(np.asarray(ids), np.asarray(grads)):
+        want.setdefault(int(u), np.zeros(D, np.float32))
+        want[int(u)] += row
+    assert set(got) == set(want)
+    for u in want:
+        np.testing.assert_allclose(got[u], want[u], rtol=1e-5)
+    # exactly the non-unique slots carry the sentinel
+    assert int((uids == V).sum()) == 6 - len(want)
+
+
+def test_rowwise_adagrad_matches_dense_rule():
+    """Updating every row once == the dense rowwise-adagrad update."""
+    opt = make_sparse_optimizer("rowwise_adagrad", adagrad_init=0.1)
+    table = _rand(1, (V, D))
+    state = opt.init(table)
+    ids = jnp.arange(V, dtype=jnp.int32)
+    grads = _rand(2, (V, D))
+    new_table, new_state = jax.jit(opt.apply)(table, state, ids, grads, 0.5)
+    acc = 0.1 + np.mean(np.asarray(grads) ** 2, axis=1)
+    want = np.asarray(table) - 0.5 * np.asarray(grads) / (np.sqrt(acc) + 1e-8)[:, None]
+    np.testing.assert_allclose(np.asarray(new_table), want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["acc"]), acc, rtol=1e-5)
+
+
+def test_duplicate_ids_combine_before_update():
+    """Two occurrences of a row in one batch apply ONE combined update."""
+    opt = make_sparse_optimizer("rowwise_adagrad")
+    table = _rand(3, (V, D))
+    state = opt.init(table)
+    g = _rand(4, (2, D))
+    ids = jnp.array([5, 5], dtype=jnp.int32)
+    new_table, new_state = opt.apply(table, state, ids, g, 0.1)
+    gsum = np.asarray(g).sum(0)
+    acc = np.mean(gsum**2)
+    want_row = np.asarray(table)[5] - 0.1 * gsum / (np.sqrt(acc) + 1e-8)
+    np.testing.assert_allclose(np.asarray(new_table)[5], want_row, rtol=1e-5)
+    # untouched rows unchanged
+    mask = np.ones(V, bool); mask[5] = False
+    np.testing.assert_array_equal(np.asarray(new_table)[mask], np.asarray(table)[mask])
+
+
+def test_rowwise_adam_bias_correction_per_row():
+    opt = make_sparse_optimizer("rowwise_adam", adam_b1=0.9, adam_b2=0.99)
+    table = jnp.zeros((V, D))
+    state = opt.init(table)
+    g = _rand(5, (1, D))
+    ids = jnp.array([2], dtype=jnp.int32)
+    t1, s1 = opt.apply(table, state, ids, g, 0.01)
+    # After one step: m_hat = g, v_hat = mean(g^2) -> update = -lr*g/(sqrt(v)+eps)
+    gn = np.asarray(g)[0]
+    v = np.mean(gn**2)
+    want = -0.01 * gn / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(np.asarray(t1)[2], want, rtol=1e-4)
+    assert int(s1["t"][2]) == 1 and int(s1["t"][3]) == 0
+    # Second step on a *different* row gets its own t=1 bias correction.
+    t2, s2 = opt.apply(t1, s1, jnp.array([4], jnp.int32), g, 0.01)
+    np.testing.assert_allclose(np.asarray(t2)[4], want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["sgd", "rowwise_adagrad", "rowwise_adam"])
+def test_sentinel_rows_never_touched(name):
+    """Ids >= vocab (padding) must not perturb the table."""
+    opt = make_sparse_optimizer(name)
+    table = _rand(6, (V, D))
+    state = opt.init(table)
+    ids = jnp.array([1, 2], dtype=jnp.int32)
+    grads = jnp.zeros((2, D))
+    new_table, _ = opt.apply(table, state, ids, grads, 0.1)
+    np.testing.assert_allclose(np.asarray(new_table), np.asarray(table), atol=1e-6)

@@ -1,0 +1,82 @@
+"""Integration tests — the CI gate (SURVEY.md §4 "Integration" row).
+
+Config-1 stand-in: MF+BPR on seeded synthetic implicit feedback must reach
+recall@20 well above the random baseline in under a minute on CPU. Plus a
+tiny-FM separable-CTR AUC gate and a checkpoint/resume roundtrip.
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from tfrec_tpu.configs import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+from tfrec_tpu.train.trainer import Trainer, run
+from tfrec_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def _mf_config(**train_kw):
+    defaults = dict(
+        batch_size=256, epochs=8, eval_every_epochs=8, eval_topk=(20,), loss="bpr",
+        log_every_steps=10,
+    )
+    defaults.update(train_kw)
+    return Config(
+        data=DataConfig(
+            source="synthetic_implicit", num_users=128, num_items=256,
+            interactions_per_user=16, seed=0,
+        ),
+        model=ModelConfig(name="mf", embed_dim=16),
+        optim=OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(**defaults),
+    )
+
+
+def test_mf_bpr_learns_above_random():
+    _, hist = run(_mf_config(), quiet=True)
+    final = hist[-1]
+    # Random ranking on 256 items with ~3 test items/user: recall@20 ~ 0.078.
+    assert final["recall@20"] > 0.18, final
+    assert final["loss"] < 0.6, final
+
+
+def test_fm_ctr_auc_on_separable_data():
+    cfg = Config(
+        data=DataConfig(
+            source="synthetic_ctr", num_examples=20_000, num_dense_features=4,
+            categorical_vocab_sizes=(50, 50), test_fraction=0.2, seed=1,
+        ),
+        model=ModelConfig(name="fm", embed_dim=8),
+        optim=OptimConfig(learning_rate=0.02, dense_optimizer="adagrad",
+                          sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(batch_size=512, epochs=6, eval_every_epochs=6, loss="logloss"),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert hist[-1]["auc"] > 0.62, hist[-1]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = Trainer(_mf_config(epochs=1, eval_every_epochs=0), quiet=True)
+    trainer.train()
+    save_checkpoint(str(tmp_path), 1, trainer.state)
+    restored = restore_checkpoint(str(tmp_path), trainer.state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert os.path.isdir(tmp_path / "step_0000000001")
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    cfg = _mf_config(epochs=2, eval_every_epochs=0, checkpoint_dir=str(tmp_path),
+                     checkpoint_every_epochs=1)
+    t1 = Trainer(cfg, quiet=True)
+    t1.train()
+    cfg_resume = cfg.replace(train=dataclasses.replace(cfg.train, resume=True))
+    t3 = Trainer(cfg_resume, quiet=True)
+    assert t3.start_epoch == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state), jax.tree_util.tree_leaves(t3.state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,61 @@
+"""Model zoo registry — covers the contract zoo (MF/BPR, FM, GMF, MLP,
+NeuMF, DCN; BASELINE.json configs 1-5) plus the standard CTR extensions
+(DCNv2, DeepFM, Wide&Deep, DLRM)."""
+
+from __future__ import annotations
+
+from tfrec_tpu.configs import ModelConfig
+from tfrec_tpu.models.base import DataSpec, RecModel
+from tfrec_tpu.models.dcn import DCN
+from tfrec_tpu.models.deepfm import DeepFM
+from tfrec_tpu.models.dlrm import DLRM
+from tfrec_tpu.models.fm import FM
+from tfrec_tpu.models.mf import MF
+from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
+from tfrec_tpu.models.widedeep import WideDeep
+
+__all__ = [
+    "DataSpec",
+    "RecModel",
+    "MF",
+    "FM",
+    "GMF",
+    "MLP",
+    "NeuMF",
+    "DCN",
+    "DeepFM",
+    "WideDeep",
+    "DLRM",
+    "build_model",
+]
+
+
+def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") -> RecModel:
+    name = cfg.name.lower()
+    if name == "mf":
+        return MF(data_spec, cfg.embed_dim)
+    if name == "gmf":
+        return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
+    if name == "mlp":
+        return MLP(data_spec, cfg.mlp_embed_dim or cfg.embed_dim, cfg.mlp_dims)
+    if name == "neumf":
+        return NeuMF(data_spec, cfg.gmf_dim, cfg.mlp_embed_dim, cfg.mlp_dims)
+    if name == "fm":
+        return FM(data_spec, cfg.embed_dim)
+    if name in ("dcn", "dcnv2"):
+        return DCN(
+            data_spec,
+            cfg.embed_dim,
+            cfg.num_cross_layers,
+            cfg.mlp_dims,
+            v2=(name == "dcnv2"),
+            cross_rank=cfg.cross_rank,
+            backend=backend,
+        )
+    if name == "deepfm":
+        return DeepFM(data_spec, cfg.embed_dim, cfg.mlp_dims)
+    if name == "widedeep":
+        return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims)
+    if name == "dlrm":
+        return DLRM(data_spec, cfg.embed_dim, top_dims=cfg.mlp_dims)
+    raise ValueError(f"unknown model {cfg.name!r}")

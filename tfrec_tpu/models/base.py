@@ -1,0 +1,100 @@
+"""Model protocol: tables + dense params + pure forward functions.
+
+The reference family's ``AbstractRecommender`` couples graph construction,
+training, and prediction into one TF-session class (SURVEY.md §1a).  Here a
+model is a thin declarative object over pure functions, so one generic
+jit/pjit train step serves the whole zoo and the embedding path can be
+swapped (local gather / Pallas kernel / sharded all-to-all lookup) without
+touching model code:
+
+- ``table_specs()``        — which embedding tables exist (vocab, dim).
+- ``init_dense(rng)``      — dense-tower params as a pytree (may be empty).
+- ``lookup_ids(batch)``    — {table: flat int32 ids} needed for this batch.
+- ``forward(dense, gathered, batch)`` — logits from gathered rows.
+    * pairwise batches {user,pos,neg}: returns s(u,pos) - s(u,neg), shape [B]
+    * pointwise/CTR batches: returns logits, shape [B]
+- retrieval models add ``score_all(params, user_ids)`` -> [B, num_items]
+  for full-catalog top-k evaluation.
+
+``params`` pytree convention everywhere: {"tables": {name: [V,D]},
+"dense": <model pytree>}.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tfrec_tpu.ops.embedding import TableSpec, init_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class DataSpec:
+    """Shape description of the data a model is built for."""
+
+    kind: str  # "interaction" (user/item) | "ctr" (dense + categorical fields)
+    num_users: int = 0
+    num_items: int = 0
+    field_vocabs: Tuple[int, ...] = ()
+    num_dense: int = 0
+
+    @staticmethod
+    def interaction(num_users: int, num_items: int) -> "DataSpec":
+        return DataSpec(kind="interaction", num_users=num_users, num_items=num_items)
+
+    @staticmethod
+    def ctr(field_vocabs: Sequence[int], num_dense: int) -> "DataSpec":
+        return DataSpec(
+            kind="ctr", field_vocabs=tuple(field_vocabs), num_dense=num_dense
+        )
+
+
+class RecModel(abc.ABC):
+    """Base class; subclasses are stateless describers of one architecture."""
+
+    data_spec: DataSpec
+
+    @abc.abstractmethod
+    def table_specs(self) -> Tuple[TableSpec, ...]:
+        ...
+
+    @abc.abstractmethod
+    def init_dense(self, rng: jax.Array):
+        ...
+
+    @abc.abstractmethod
+    def lookup_ids(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        ...
+
+    @abc.abstractmethod
+    def forward(self, dense, gathered: Dict[str, jnp.ndarray], batch) -> jnp.ndarray:
+        ...
+
+    def init(self, rng: jax.Array):
+        """Full params pytree: {"tables": ..., "dense": ...}."""
+        k_tables, k_dense = jax.random.split(rng)
+        return {
+            "tables": init_tables(k_tables, self.table_specs()),
+            "dense": self.init_dense(k_dense),
+        }
+
+    # ---- retrieval-eval surface (interaction models override) ----
+
+    def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, num_items] scores of the full catalog for a user batch."""
+        raise NotImplementedError(f"{type(self).__name__} is not a retrieval model")
+
+    # ---- helpers shared by pairwise-capable models ----
+
+    @staticmethod
+    def is_pairwise(batch) -> bool:
+        return "pos" in batch
+
+    @staticmethod
+    def pair_item_ids(batch) -> jnp.ndarray:
+        """Item-id vector for a pairwise batch: [pos; neg], length 2B."""
+        return jnp.concatenate([batch["pos"], batch["neg"]])

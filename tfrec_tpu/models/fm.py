@@ -1,0 +1,45 @@
+"""Factorization machine — pointwise CTR over multi-field categoricals.
+
+Capability target: the reference family's ``FM`` recommender ([CONTRACT
+BASELINE.json:8]). logit = w0 + w_d.x_dense + sum_f lin_f[id_f]
++ 0.5(||sum v||^2 - sum ||v||^2). The second-order term uses the O(F*D)
+identity (models/ctr_base.py) — no pairwise loop, pure VPU.
+
+For the 2-field (user, item) instantiation used on MovieLens, FM is also a
+retrieval model: score_all reduces to an MF-style MXU matmul plus biases.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfrec_tpu.models.base import DataSpec
+from tfrec_tpu.models.ctr_base import CTRBase, fm_second_order
+
+
+class FM(CTRBase):
+    use_linear_tables = True
+
+    def init_dense(self, rng: jax.Array):
+        d = {"w0": jnp.zeros(())}
+        if self.data_spec.num_dense > 0:
+            d["w_dense"] = jnp.zeros((self.data_spec.num_dense,))
+        return d
+
+    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+        logit = dense["w0"] + self.linear_sum(gathered)
+        if self.data_spec.num_dense > 0:
+            logit = logit + batch["dense"] @ dense["w_dense"]
+        return logit + fm_second_order(self.field_stack(gathered))
+
+    def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        """Full-catalog scores for the (user, item) 2-field case: the only
+        cross-field second-order term is <v_u, v_i>."""
+        if self.num_fields != 2 or self.data_spec.num_dense != 0:
+            raise NotImplementedError("score_all requires the 2-field (u,i) form")
+        t, d = params["tables"], params["dense"]
+        u = jnp.take(t["field_0"], user_ids, axis=0)
+        u_lin = jnp.take(t["lin_0"], user_ids, axis=0)[:, 0]
+        scores = jnp.dot(u, t["field_1"].T, preferred_element_type=jnp.float32)
+        return scores + u_lin[:, None] + t["lin_1"][:, 0][None, :] + d["w0"]

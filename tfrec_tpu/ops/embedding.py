@@ -1,0 +1,100 @@
+"""Embedding-table primitives: specs, init, gather, duplicate-id combine.
+
+This is the single-device core of the embedding subsystem (BASELINE.json
+north_star R3/R4). The sharded multi-device lookup in
+``tfrec_tpu/parallel/embedding.py`` and the Pallas fused gather in
+``tfrec_tpu/kernels/gather.py`` both reduce to these semantics; equivalence
+tests pin that.
+
+Design notes (TPU-first):
+- All shapes are static. Duplicate-id gradient combine is done with a
+  sort + segment-sum of length N (the batch's id count), never a dynamic
+  ``unique`` — XLA requires static shapes under jit.
+- The sentinel row id ``vocab`` (one past the end) marks padding; scatters
+  use ``mode='drop'`` so sentinel updates vanish without branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """One logical embedding table."""
+
+    name: str
+    vocab: int
+    dim: int
+    # Initializer: "normal" (std = init_scale or 1/sqrt(dim)) | "zeros".
+    initializer: str = "normal"
+    init_scale: float | None = None
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.vocab, self.dim)
+
+
+def init_table(rng: jax.Array, spec: TableSpec, dtype=jnp.float32) -> jnp.ndarray:
+    if spec.initializer == "zeros":
+        return jnp.zeros(spec.shape, dtype)
+    scale = spec.init_scale if spec.init_scale is not None else 1.0 / (spec.dim**0.5)
+    return (jax.random.normal(rng, spec.shape) * scale).astype(dtype)
+
+
+def init_tables(
+    rng: jax.Array, specs: Sequence[TableSpec], dtype=jnp.float32
+) -> Dict[str, jnp.ndarray]:
+    keys = jax.random.split(rng, len(specs))
+    return {s.name: init_table(k, s, dtype) for s, k in zip(specs, keys)}
+
+
+def gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``table[ids]`` — the XLA reference path.
+
+    jnp's default out-of-bounds behavior (clamp) is acceptable here because
+    callers only pass in-range ids or sentinel rows whose outputs are masked.
+    """
+    return jnp.take(table, ids, axis=0)
+
+
+def combine_duplicate_ids(
+    ids: jnp.ndarray, grads: jnp.ndarray, sentinel: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sum gradient rows that share an id (static-shape ``unique``).
+
+    Args:
+      ids: [N] int32 row ids (may repeat).
+      grads: [N, D] float32 gradient rows aligned with ``ids``.
+      sentinel: id used to pad unused output slots (normally ``vocab``).
+
+    Returns:
+      (uids [N] int32, combined [N, D]): slot j < num_unique holds a distinct
+      id and the sum of its gradient rows; remaining slots hold ``sentinel``
+      and arbitrary values (callers scatter with mode='drop').
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    sg = jnp.take(grads, order, axis=0)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(starts) - 1  # [N] segment index, contiguous from 0
+    combined = jax.ops.segment_sum(sg, seg, num_segments=n)
+    # All members of a segment share the same id, so duplicate scatter
+    # writes are identical — deterministic despite unspecified order.
+    uids = jnp.full((n,), sentinel, dtype=ids.dtype).at[seg].set(sids)
+    return uids, combined
+
+
+def scatter_add_dedup(
+    table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """``table[ids] += rows`` with duplicate ids accumulating; sentinel
+    (out-of-range) ids dropped."""
+    return table.at[ids].add(rows, mode="drop")

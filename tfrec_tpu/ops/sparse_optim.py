@@ -1,0 +1,134 @@
+"""Rowwise sparse optimizers for embedding tables (BASELINE.json R6).
+
+A dense optimizer step on a sharded table would read+write all V rows of the
+table *and* its optimizer state every step — pure wasted HBM bandwidth when a
+batch touches only a few thousand rows. These optimizers touch exactly the
+gathered rows: duplicate ids are combined by sort+segment-sum
+(`ops.embedding.combine_duplicate_ids`), then state and weights are gathered,
+updated, and scattered back, all inside the jitted train step. On a sharded
+table each shard runs the same code on its local rows (tfrec_tpu/parallel).
+
+Optimizers:
+- ``sgd``: no state.
+- ``rowwise_adagrad``: one accumulator scalar per row (the DLRM-standard
+  memory-saving variant; state is V floats instead of V*D).
+- ``rowwise_adam``: per-element first moment, per-row scalar second moment,
+  per-row step counts for exact lazy bias correction.
+
+Equivalence contracts (pinned in tests/test_sparse_optim.py):
+- one step on ids covering every row == the dense update rule;
+- duplicate ids in a batch == pre-summed gradients (one combined update,
+  NOT two sequential updates — the TPU-embedding convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from tfrec_tpu.ops.embedding import combine_duplicate_ids
+
+State = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOptimizer:
+    """init(table) -> state; apply(table, state, ids, grads, lr) -> (table, state)."""
+
+    name: str
+    init: Callable[[jnp.ndarray], State]
+    apply: Callable[..., Tuple[jnp.ndarray, State]]
+
+
+def _dedup(table: jnp.ndarray, ids: jnp.ndarray, grads: jnp.ndarray):
+    vocab = table.shape[0]
+    uids, g = combine_duplicate_ids(ids, grads, sentinel=vocab)
+    return uids, g
+
+
+def _sgd_init(table: jnp.ndarray) -> State:
+    return {}
+
+
+def _sgd_apply(table, state, ids, grads, lr):
+    uids, g = _dedup(table, ids, grads)
+    return table.at[uids].add(-lr * g, mode="drop"), state
+
+
+def _adagrad_init_fn(initial_accumulator: float):
+    def init(table: jnp.ndarray) -> State:
+        return {
+            "acc": jnp.full((table.shape[0],), initial_accumulator, jnp.float32)
+        }
+
+    return init
+
+
+def _adagrad_apply_fn(eps: float):
+    def apply(table, state, ids, grads, lr):
+        uids, g = _dedup(table, ids, grads)
+        g2 = jnp.mean(g * g, axis=-1)  # rowwise scalar accumulator
+        acc_rows = jnp.take(state["acc"], uids) + g2
+        scale = lr / (jnp.sqrt(acc_rows) + eps)
+        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop")
+        new_acc = state["acc"].at[uids].set(acc_rows, mode="drop")
+        return new_table, {"acc": new_acc}
+
+    return apply
+
+
+def _adam_init(table: jnp.ndarray) -> State:
+    v, d = table.shape
+    return {
+        "m": jnp.zeros((v, d), jnp.float32),
+        "v": jnp.zeros((v,), jnp.float32),
+        "t": jnp.zeros((v,), jnp.int32),
+    }
+
+
+def _adam_apply_fn(b1: float, b2: float, eps: float):
+    def apply(table, state, ids, grads, lr):
+        uids, g = _dedup(table, ids, grads)
+        t_rows = jnp.take(state["t"], uids) + 1
+        m_rows = b1 * jnp.take(state["m"], uids, axis=0) + (1.0 - b1) * g
+        v_rows = b2 * jnp.take(state["v"], uids) + (1.0 - b2) * jnp.mean(
+            g * g, axis=-1
+        )
+        tf = t_rows.astype(jnp.float32)
+        m_hat = m_rows / (1.0 - b1**tf)[:, None]
+        v_hat = v_rows / (1.0 - b2**tf)
+        update = -lr * m_hat / (jnp.sqrt(v_hat) + eps)[:, None]
+        return (
+            table.at[uids].add(update, mode="drop"),
+            {
+                "m": state["m"].at[uids].set(m_rows, mode="drop"),
+                "v": state["v"].at[uids].set(v_rows, mode="drop"),
+                "t": state["t"].at[uids].set(t_rows, mode="drop"),
+            },
+        )
+
+    return apply
+
+
+def make_sparse_optimizer(
+    name: str,
+    *,
+    adagrad_init: float = 0.0,
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.999,
+    eps: float = 1e-8,
+    **_: Any,
+) -> SparseOptimizer:
+    if name == "sgd":
+        return SparseOptimizer("sgd", _sgd_init, _sgd_apply)
+    if name == "rowwise_adagrad":
+        return SparseOptimizer(
+            "rowwise_adagrad", _adagrad_init_fn(adagrad_init), _adagrad_apply_fn(eps)
+        )
+    if name == "rowwise_adam":
+        return SparseOptimizer(
+            "rowwise_adam", _adam_init, _adam_apply_fn(adam_b1, adam_b2, eps)
+        )
+    raise ValueError(f"unknown sparse optimizer {name!r}")

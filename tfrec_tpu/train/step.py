@@ -1,0 +1,154 @@
+"""The generic train step: one jitted XLA program per step (SURVEY.md §3b).
+
+Flow inside the compiled step:
+  lookup ids -> gather rows -> grad w.r.t. (dense params, gathered rows)
+  -> dense update (optax) -> per-table duplicate-combine + rowwise sparse
+  update (ops/sparse_optim.py).
+
+Gradients w.r.t. embedding tables are never materialized densely: autodiff
+stops at the gathered rows, and the sparse optimizer scatters updates back
+into only the touched rows. This is the structural difference from a naive
+``grad(loss)(tables)`` (which would write a full [V, D] gradient every step)
+and is what makes the step's HBM traffic proportional to batch size, not
+vocabulary size.
+
+The step is pure (state, batch) -> (state, metrics); callers wrap it in
+``jax.jit`` (single device) or pjit with shardings (tfrec_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tfrec_tpu.configs import OptimConfig
+from tfrec_tpu.models.base import RecModel
+from tfrec_tpu.ops.embedding import gather
+from tfrec_tpu.ops.sparse_optim import SparseOptimizer, make_sparse_optimizer
+from tfrec_tpu.train.losses import make_loss
+
+State = Dict
+LookupFn = Callable[[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]
+
+
+def make_dense_tx(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.dense_optimizer == "adam":
+        tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.eps)
+    elif cfg.dense_optimizer == "adagrad":
+        tx = optax.adagrad(
+            cfg.learning_rate,
+            initial_accumulator_value=cfg.adagrad_init,
+            eps=max(cfg.eps, 1e-10),
+        )
+    elif cfg.dense_optimizer == "sgd":
+        tx = optax.sgd(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown dense optimizer {cfg.dense_optimizer!r}")
+    if cfg.weight_decay > 0:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    return tx
+
+
+def default_lookup(tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray]):
+    """Local (unsharded / GSPMD-partitioned) gather."""
+    return {name: gather(tables[name], t_ids) for name, t_ids in ids.items()}
+
+
+class TrainStepBuilder:
+    """Builds the pure step function for a (model, loss, optimizers) triple.
+
+    ``lookup_fn``/``scatter_hook`` are the seams where the sharded embedding
+    subsystem (explicit all-to-all path) plugs in without touching models.
+    """
+
+    def __init__(
+        self,
+        model: RecModel,
+        loss_name: str,
+        optim_cfg: OptimConfig,
+        *,
+        l2_reg: float = 0.0,
+        lookup_fn: LookupFn | None = None,
+    ):
+        self.model = model
+        self.loss_fn = make_loss(loss_name)
+        self.optim_cfg = optim_cfg
+        self.l2_reg = l2_reg
+        self.lookup_fn = lookup_fn or default_lookup
+        self.dense_tx = make_dense_tx(optim_cfg)
+        self.sparse_opt: SparseOptimizer = make_sparse_optimizer(
+            optim_cfg.sparse_optimizer,
+            adagrad_init=optim_cfg.adagrad_init,
+            adam_b1=optim_cfg.adam_b1,
+            adam_b2=optim_cfg.adam_b2,
+            eps=optim_cfg.eps,
+        )
+        self.sparse_lr = (
+            optim_cfg.sparse_learning_rate
+            if optim_cfg.sparse_learning_rate is not None
+            else optim_cfg.learning_rate
+        )
+
+    def init_state(self, rng: jax.Array) -> State:
+        params = self.model.init(rng)
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "tables": params["tables"],
+            "dense": params["dense"],
+            "sparse_opt": {
+                name: self.sparse_opt.init(t) for name, t in params["tables"].items()
+            },
+            "dense_opt": self.dense_tx.init(params["dense"]),
+        }
+
+    def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
+        model, loss_fn = self.model, self.loss_fn
+        ids = model.lookup_ids(batch)
+        gathered = self.lookup_fn(state["tables"], ids)
+
+        def objective(dense_params, g):
+            logits = model.forward(dense_params, g, batch)
+            loss = loss_fn(logits, batch)
+            if self.l2_reg > 0:
+                reg = sum(jnp.sum(v * v) for v in g.values())
+                reg = reg + sum(
+                    jnp.sum(p * p) for p in jax.tree_util.tree_leaves(dense_params)
+                )
+                loss = loss + self.l2_reg * reg / logits.shape[0]
+            return loss
+
+        loss, (dense_grad, gathered_grad) = jax.value_and_grad(
+            objective, argnums=(0, 1)
+        )(state["dense"], gathered)
+
+        updates, new_dense_opt = self.dense_tx.update(
+            dense_grad, state["dense_opt"], state["dense"]
+        )
+        new_dense = optax.apply_updates(state["dense"], updates)
+
+        new_tables = dict(state["tables"])
+        new_sparse = dict(state["sparse_opt"])
+        for name, g in gathered_grad.items():
+            new_tables[name], new_sparse[name] = self.sparse_opt.apply(
+                state["tables"][name], state["sparse_opt"][name], ids[name], g,
+                self.sparse_lr,
+            )
+
+        new_state = {
+            "step": state["step"] + 1,
+            "tables": new_tables,
+            "dense": new_dense,
+            "sparse_opt": new_sparse,
+            "dense_opt": new_dense_opt,
+        }
+        return new_state, {"loss": loss}
+
+
+def init_state(
+    model: RecModel, optim_cfg: OptimConfig, rng: jax.Array, **kw
+) -> Tuple[TrainStepBuilder, State]:
+    builder = TrainStepBuilder(model, kw.pop("loss", "bpr"), optim_cfg, **kw)
+    return builder, builder.init_state(rng)

