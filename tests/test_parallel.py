@@ -1,0 +1,199 @@
+"""Sharding-correctness tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 "Sharding-correctness" row): the explicit all-to-all
+embedding path, sharded sparse updates, sharded top-k, and the full
+distributed train step must match their single-device references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tfrec_tpu.configs import DataConfig, MeshConfig, OptimConfig
+from tfrec_tpu.data.dataset import build_dataset
+from tfrec_tpu.data.samplers import PairwiseSampler
+from tfrec_tpu.models import MF, DataSpec
+from tfrec_tpu.ops.embedding import dedup_ids
+from tfrec_tpu.ops.sparse_optim import make_sparse_optimizer
+from tfrec_tpu.parallel.embedding import ColShardedTable, RowShardedTable, bucket_by_dest
+from tfrec_tpu.parallel.mesh import make_mesh
+from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+from tfrec_tpu.parallel.topk import sharded_topk_dot
+from tfrec_tpu.train.step import TrainStepBuilder
+
+V, D, B = 100, 16, 64
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh(8, 1)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return make_mesh(4, 2)
+
+
+def _rand(seed, shape):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+def _ids(seed, n=B, vocab=V):
+    return jnp.asarray(np.random.default_rng(seed).integers(0, vocab, n).astype(np.int32))
+
+
+def test_dedup_ids_inverse_roundtrip():
+    ids = jnp.array([7, 3, 7, 7, 1, 3], jnp.int32)
+    uids, inv = dedup_ids(ids, sentinel=99)
+    np.testing.assert_array_equal(np.asarray(uids)[np.asarray(inv)], np.asarray(ids))
+    assert sorted(set(np.asarray(uids)) - {99}) == [1, 3, 7]
+
+
+def test_bucket_overflow_is_counted_not_silent():
+    ids = jnp.array([0, 1, 2, 3, 4, 5, 6, 7], jnp.int32)  # all dest shard 0
+    _, _, overflow = bucket_by_dest(ids, num_shards=4, rows_per_shard=32, capacity=3, sentinel=128)
+    assert int(overflow) == 5  # 8 ids, capacity 3
+
+
+def test_row_sharded_lookup_matches_gather(mesh8):
+    rt = RowShardedTable(mesh8, V, D)
+    table = _rand(0, (rt.vocab_padded, D))
+    ids = _ids(1)
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh8, P("data")))
+    out, ovf = jax.jit(rt.lookup)(ts, ids_s)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("opt_name", ["rowwise_adagrad", "rowwise_adam"])
+def test_row_sharded_update_matches_single_device(mesh8, opt_name):
+    opt = make_sparse_optimizer(opt_name, adagrad_init=0.05)
+    rt = RowShardedTable(mesh8, V, D)
+    table = _rand(2, (rt.vocab_padded, D))
+    state = opt.init(table)
+    ids, grads = _ids(3), _rand(4, (B, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    ss = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh8, P("data", *([None] * (x.ndim - 1))))
+        ),
+        state,
+    )
+    ids_s = jax.device_put(ids, NamedSharding(mesh8, P("data")))
+    gs = jax.device_put(grads, NamedSharding(mesh8, P("data", None)))
+    nt, ns, ovf = jax.jit(lambda t, s, i, g: rt.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs
+    )
+    assert int(ovf) == 0
+    ref_t, ref_s = opt.apply(table, state, ids, grads, 0.1)
+    np.testing.assert_allclose(np.asarray(nt), np.asarray(ref_t), rtol=1e-5, atol=1e-6)
+    for k in ref_s:
+        np.testing.assert_allclose(
+            np.asarray(ns[k]), np.asarray(ref_s[k]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_col_sharded_lookup_and_update(mesh4x2):
+    opt = make_sparse_optimizer("rowwise_adagrad", adagrad_init=0.05)
+    ct = ColShardedTable(mesh4x2, V, D)
+    table = _rand(5, (V, D))
+    ids, grads = _ids(6), _rand(7, (B, D))
+    ts = jax.device_put(table, NamedSharding(mesh4x2, P(None, "table")))
+    ids_s = jax.device_put(ids, NamedSharding(mesh4x2, P("data")))
+    out, _ = jax.jit(ct.lookup)(ts, ids_s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+    )
+    state = opt.init(table)
+    ss = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh4x2, P(None, "table") if x.ndim == 2 else P(None))
+        ),
+        state,
+    )
+    gs = jax.device_put(grads, NamedSharding(mesh4x2, P("data", None)))
+    nt, ns, _ = jax.jit(lambda t, s, i, g: ct.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs
+    )
+    ref_t, ref_s = opt.apply(table, state, ids, grads, 0.1)
+    np.testing.assert_allclose(np.asarray(nt), np.asarray(ref_t), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns["acc"]), np.asarray(ref_s["acc"]), rtol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(mesh8):
+    ds = build_dataset(
+        DataConfig(
+            source="synthetic_implicit", num_users=96, num_items=200,
+            interactions_per_user=12, seed=0,
+        )
+    )
+    model = MF(DataSpec.interaction(ds.num_users, ds.num_items), embed_dim=16)
+    ocfg = OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad")
+    b_ref = TrainStepBuilder(model, "bpr", ocfg)
+    s_ref = b_ref.init_state(jax.random.PRNGKey(0))
+    b_sh = ShardedTrainStepBuilder(model, "bpr", ocfg, mesh8, MeshConfig())
+    s_sh = b_sh.init_state(jax.random.PRNGKey(0))
+    sampler = PairwiseSampler(ds, batch_size=128, seed=1)
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()} for b in list(sampler.epoch(0))[:3]
+    ]
+    step_ref = jax.jit(b_ref.step)
+    step_sh = b_sh.compile_step(s_sh, batches[0])
+    for b in batches:
+        s_ref, _ = step_ref(s_ref, b)
+        bs = {
+            k: jax.device_put(v, NamedSharding(mesh8, P("data")))
+            for k, v in b.items()
+        }
+        s_sh, m_sh = step_sh(s_sh, bs)
+        assert int(m_sh["lookup_overflow"]) == 0
+    ut = b_sh.unpadded_tables(s_sh)
+    for name in s_ref["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(ut[name]), np.asarray(s_ref["tables"][name]),
+            rtol=2e-4, atol=1e-5,
+        )
+
+
+def test_sharded_topk_matches_full_sort(mesh8):
+    rt = RowShardedTable(mesh8, V, D)
+    table = _rand(8, (rt.vocab_padded, D))
+    bias = _rand(9, (rt.vocab_padded,))
+    users = _rand(10, (16, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    bs = jax.device_put(bias, NamedSharding(mesh8, P("data")))
+    vals, ids = jax.jit(
+        lambda u, t, b: sharded_topk_dot(mesh8, u, t, 10, V, item_bias=b)
+    )(users, ts, bs)
+    dense = np.asarray(users) @ np.asarray(table)[:V].T + np.asarray(bias)[:V][None, :]
+    want_ids = np.argsort(-dense, axis=1)[:, :10]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(dense, want_ids, 1), rtol=1e-5, atol=1e-6
+    )
+    # padded rows (>= V) must never appear
+    assert np.asarray(ids).max() < V
+
+
+def test_sharded_topk_respects_exclusions(mesh8):
+    rt = RowShardedTable(mesh8, V, D)
+    table = _rand(11, (rt.vocab_padded, D))
+    users = _rand(12, (4, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    dense = np.asarray(users) @ np.asarray(table)[:V].T
+    # Exclude each user's true top-3.
+    top3 = np.argsort(-dense, axis=1)[:, :3].astype(np.int32)
+    exc_p = jnp.asarray(top3)
+    exc_c = jnp.full((4,), 3, jnp.int32)
+    _, ids = jax.jit(
+        lambda u, t, p, c: sharded_topk_dot(
+            mesh8, u, t, 10, V, exclude_padded=p, exclude_counts=c
+        )
+    )(users, ts, exc_p, exc_c)
+    got = np.asarray(ids)
+    for u in range(4):
+        assert not set(top3[u]) & set(got[u])

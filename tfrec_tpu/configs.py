@@ -80,7 +80,7 @@ class OptimConfig:
 class MeshConfig:
     """Device mesh layout. data × table axes (SURVEY.md §2b)."""
 
-    data_axis_size: int = -1  # -1: infer (all devices / table_axis_size)
+    data_axis_size: int = -1  # -1: infer (all devices / table_axis_size); 0: force single-device path (no mesh)
     table_axis_size: int = 1
     # Embedding-table sharding: "row" | "col" | "replicated".
     table_sharding: str = "row"

@@ -92,6 +92,27 @@ def combine_duplicate_ids(
     return uids, combined
 
 
+def dedup_ids(ids: jnp.ndarray, sentinel: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape unique-with-inverse.
+
+    Returns (uids [N], inv [N]) with ``ids[i] == uids[inv[i]]``; slot j <
+    num_unique holds a distinct id, remaining slots hold ``sentinel``.
+    Used to deduplicate ids before the all-to-all exchange (SURVEY.md §5
+    design rule: ID exchange volume scales with unique ids, and per-
+    destination capacity is counted in unique ids, not raw batch ids).
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(starts) - 1
+    uids = jnp.full((n,), sentinel, dtype=ids.dtype).at[seg].set(sids)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(seg.astype(jnp.int32))
+    return uids, inv
+
+
 def scatter_add_dedup(
     table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray
 ) -> jnp.ndarray:

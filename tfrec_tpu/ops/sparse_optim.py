@@ -26,11 +26,27 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from tfrec_tpu.ops.embedding import combine_duplicate_ids
 
 State = Dict[str, jnp.ndarray]
+
+
+def _row_stat(g: jnp.ndarray, stat_axis: str | None, full_dim: int | None):
+    """Rowwise mean-square gradient. On a column-sharded table each shard
+    holds only D/T features of a row, so the rowwise statistic must be
+    psum'd over the feature-shard axis (``stat_axis``) and divided by the
+    FULL row width — otherwise sharded Adagrad/Adam would diverge from the
+    single-device update rule. Duplicate-id combination (argsort) is
+    deterministic and identical on every feature shard, so segments align
+    across the psum."""
+    s = jnp.sum(g * g, axis=-1)
+    if stat_axis is not None:
+        s = jax.lax.psum(s, stat_axis)
+        return s / full_dim
+    return s / g.shape[-1]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,7 +68,7 @@ def _sgd_init(table: jnp.ndarray) -> State:
     return {}
 
 
-def _sgd_apply(table, state, ids, grads, lr):
+def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
     uids, g = _dedup(table, ids, grads)
     return table.at[uids].add(-lr * g, mode="drop"), state
 
@@ -67,9 +83,9 @@ def _adagrad_init_fn(initial_accumulator: float):
 
 
 def _adagrad_apply_fn(eps: float):
-    def apply(table, state, ids, grads, lr):
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
         uids, g = _dedup(table, ids, grads)
-        g2 = jnp.mean(g * g, axis=-1)  # rowwise scalar accumulator
+        g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
         acc_rows = jnp.take(state["acc"], uids) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
         new_table = table.at[uids].add(-scale[:, None] * g, mode="drop")
@@ -89,12 +105,12 @@ def _adam_init(table: jnp.ndarray) -> State:
 
 
 def _adam_apply_fn(b1: float, b2: float, eps: float):
-    def apply(table, state, ids, grads, lr):
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
         uids, g = _dedup(table, ids, grads)
         t_rows = jnp.take(state["t"], uids) + 1
         m_rows = b1 * jnp.take(state["m"], uids, axis=0) + (1.0 - b1) * g
-        v_rows = b2 * jnp.take(state["v"], uids) + (1.0 - b2) * jnp.mean(
-            g * g, axis=-1
+        v_rows = b2 * jnp.take(state["v"], uids) + (1.0 - b2) * _row_stat(
+            g, stat_axis, full_dim
         )
         tf = t_rows.astype(jnp.float32)
         m_hat = m_rows / (1.0 - b1**tf)[:, None]

@@ -1,0 +1,175 @@
+"""Distributed train step: pjit over the mesh with the explicit
+all-to-all embedding path plugged into the generic step (SURVEY.md §3b).
+
+Sharding layout (R3/R4):
+- batch             P('data')       — data parallel
+- dense params/opt  P()             — replicated; grad all-reduce is
+                                      inserted by GSPMD from the sharded
+                                      batch + replicated-param contraction
+- tables (row mode) P('data', None) — contiguous row blocks; lookups and
+                                      gradient combine via shard_map
+                                      all_to_all (parallel/embedding.py)
+- tables (col mode) P(None,'table') — feature blocks; all_gather lookups
+- sparse opt state  sharded like its table (rowwise scalars P('data'))
+
+The returned step is the SAME pure function signature as the single-device
+one; Trainer swaps builders based on config.mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tfrec_tpu.configs import MeshConfig, OptimConfig
+from tfrec_tpu.models.base import RecModel
+from tfrec_tpu.parallel.embedding import ColShardedTable, RowShardedTable
+from tfrec_tpu.train.step import State, TrainStepBuilder
+
+
+class ShardedTrainStepBuilder(TrainStepBuilder):
+    """TrainStepBuilder with sharded tables + explicit collective lookups."""
+
+    def __init__(
+        self,
+        model: RecModel,
+        loss_name: str,
+        optim_cfg: OptimConfig,
+        mesh: Mesh,
+        mesh_cfg: MeshConfig | None = None,
+        *,
+        l2_reg: float = 0.0,
+    ):
+        super().__init__(model, loss_name, optim_cfg, l2_reg=l2_reg)
+        self.mesh = mesh
+        self.mesh_cfg = mesh_cfg or MeshConfig()
+        mode = self.mesh_cfg.table_sharding
+        self.plans: Dict[str, object] = {}
+        for spec in model.table_specs():
+            if mode == "row":
+                self.plans[spec.name] = RowShardedTable(
+                    mesh,
+                    spec.vocab,
+                    spec.dim,
+                    capacity_factor=self.mesh_cfg.a2a_capacity_factor,
+                )
+            elif mode == "col" and spec.dim % mesh.shape["table"] == 0 and mesh.shape["table"] > 1:
+                self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
+            else:  # replicated (or col-incompatible dim): GSPMD handles it
+                self.plans[spec.name] = None
+
+    # ---- layout helpers ----
+
+    def table_spec_sharding(self, name: str) -> NamedSharding:
+        plan = self.plans[name]
+        if isinstance(plan, RowShardedTable):
+            return NamedSharding(self.mesh, P("data", None))
+        if isinstance(plan, ColShardedTable):
+            return NamedSharding(self.mesh, P(None, "table"))
+        return NamedSharding(self.mesh, P())
+
+    def _opt_state_sharding(self, name: str, leaf) -> NamedSharding:
+        plan = self.plans[name]
+        if isinstance(plan, RowShardedTable):
+            return NamedSharding(self.mesh, P("data", *([None] * (leaf.ndim - 1))))
+        if isinstance(plan, ColShardedTable) and leaf.ndim == 2:
+            return NamedSharding(self.mesh, P(None, "table"))
+        return NamedSharding(self.mesh, P())
+
+    def state_shardings(self, state: State):
+        """Pytree of NamedShardings matching ``state`` (for pjit/checkpoint)."""
+        rep = NamedSharding(self.mesh, P())
+        return {
+            "step": rep,
+            "tables": {
+                name: self.table_spec_sharding(name) for name in state["tables"]
+            },
+            "dense": jax.tree_util.tree_map(lambda _: rep, state["dense"]),
+            "sparse_opt": {
+                name: jax.tree_util.tree_map(
+                    lambda leaf, n=name: self._opt_state_sharding(n, leaf), st
+                )
+                for name, st in state["sparse_opt"].items()
+            },
+            "dense_opt": jax.tree_util.tree_map(lambda _: rep, state["dense_opt"]),
+        }
+
+    def batch_shardings(self, batch: Dict[str, jnp.ndarray]):
+        return {
+            k: NamedSharding(self.mesh, P("data", *([None] * (np.ndim(v) - 1))))
+            for k, v in batch.items()
+        }
+
+    # ---- state construction (padded + placed on the mesh) ----
+
+    def init_state(self, rng: jax.Array) -> State:
+        state = super().init_state(rng)
+        # Pad row-sharded tables (and their opt state) to V_pad.
+        for name, plan in self.plans.items():
+            if not isinstance(plan, RowShardedTable):
+                continue
+            pad = plan.vocab_padded - plan.vocab
+            if pad:
+                state["tables"][name] = jnp.pad(state["tables"][name], ((0, pad), (0, 0)))
+                state["sparse_opt"][name] = jax.tree_util.tree_map(
+                    lambda leaf: jnp.pad(
+                        leaf, ((0, pad),) + ((0, 0),) * (leaf.ndim - 1)
+                    ),
+                    state["sparse_opt"][name],
+                )
+        shardings = self.state_shardings(state)
+        return jax.tree_util.tree_map(
+            lambda leaf, sh: jax.device_put(leaf, sh), state, shardings,
+            is_leaf=lambda x: x is None,
+        )
+
+    # ---- seams ----
+
+    def lookup(self, tables, ids):
+        gathered, overflow_total = {}, jnp.zeros((), jnp.int32)
+        for name, t_ids in ids.items():
+            plan = self.plans[name]
+            if plan is None:
+                gathered[name] = jnp.take(tables[name], t_ids, axis=0)
+            else:
+                gathered[name], ovf = plan.lookup(tables[name], t_ids)
+                overflow_total = overflow_total + ovf
+        return gathered, {"lookup_overflow": overflow_total}
+
+    def sparse_update(self, name, table, opt_state, ids, grads):
+        plan = self.plans[name]
+        if plan is None:
+            return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
+        new_table, new_state, _ = plan.update(
+            table, opt_state, ids, grads, self.sparse_opt, self.sparse_lr
+        )
+        return new_table, new_state
+
+    # ---- compiled step ----
+
+    def compile_step(self, state: State, example_batch: Dict[str, jnp.ndarray]):
+        """jit the step with explicit shardings; donates the input state."""
+        out_shardings = (self.state_shardings(state), None)
+        return jax.jit(
+            self.step,
+            in_shardings=(self.state_shardings(state), self.batch_shardings(example_batch)),
+            out_shardings=out_shardings,
+            donate_argnums=(0,),
+        )
+
+    # ---- eval helpers ----
+
+    def unpadded_tables(self, state: State) -> Dict[str, jnp.ndarray]:
+        """Logical (unpadded) views of the tables for eval paths."""
+        out = {}
+        for name, table in state["tables"].items():
+            plan = self.plans[name]
+            if isinstance(plan, RowShardedTable) and plan.vocab_padded != plan.vocab:
+                out[name] = table[: plan.vocab]
+            else:
+                out[name] = table
+        return out

@@ -104,10 +104,22 @@ class TrainStepBuilder:
             "dense_opt": self.dense_tx.init(params["dense"]),
         }
 
+    # ---- seams the sharded subsystem overrides (tfrec_tpu/parallel/step.py) ----
+
+    def lookup(
+        self, tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray]
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Returns (gathered rows per table, aux metrics e.g. overflow)."""
+        return self.lookup_fn(tables, ids), {}
+
+    def sparse_update(self, name: str, table, opt_state, ids, grads):
+        """One table's sparse-optimizer application. Returns (table, state)."""
+        return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
+
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
         model, loss_fn = self.model, self.loss_fn
         ids = model.lookup_ids(batch)
-        gathered = self.lookup_fn(state["tables"], ids)
+        gathered, aux = self.lookup(state["tables"], ids)
 
         def objective(dense_params, g):
             logits = model.forward(dense_params, g, batch)
@@ -132,9 +144,8 @@ class TrainStepBuilder:
         new_tables = dict(state["tables"])
         new_sparse = dict(state["sparse_opt"])
         for name, g in gathered_grad.items():
-            new_tables[name], new_sparse[name] = self.sparse_opt.apply(
-                state["tables"][name], state["sparse_opt"][name], ids[name], g,
-                self.sparse_lr,
+            new_tables[name], new_sparse[name] = self.sparse_update(
+                name, state["tables"][name], state["sparse_opt"][name], ids[name], g
             )
 
         new_state = {
@@ -144,7 +155,7 @@ class TrainStepBuilder:
             "sparse_opt": new_sparse,
             "dense_opt": new_dense_opt,
         }
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, **aux}
 
 
 def init_state(

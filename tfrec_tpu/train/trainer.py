@@ -102,10 +102,25 @@ class Trainer:
         if self.is_ctr_model and loss in PAIRWISE_LOSSES:
             loss = "logloss"
         self.loss_name = loss
-        self.builder = TrainStepBuilder(
-            self.model, loss, c.optim, l2_reg=c.model.l2_reg
-        )
-        self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
+        # Mesh path: sharded tables + explicit collectives whenever more
+        # than one device is visible (or a table axis is requested).
+        self.mesh = None
+        if c.mesh.data_axis_size != 0 and (
+            jax.device_count() > 1 or c.mesh.table_axis_size > 1
+        ):
+            from tfrec_tpu.parallel.mesh import make_mesh
+            from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+            self.mesh = make_mesh(c.mesh.data_axis_size, c.mesh.table_axis_size)
+            self.builder = ShardedTrainStepBuilder(
+                self.model, loss, c.optim, self.mesh, c.mesh, l2_reg=c.model.l2_reg
+            )
+            self.jit_step = None  # compiled lazily against the first batch
+        else:
+            self.builder = TrainStepBuilder(
+                self.model, loss, c.optim, l2_reg=c.model.l2_reg
+            )
+            self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
         self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
         self.start_epoch = 0
         if c.train.resume and c.train.checkpoint_dir:
@@ -139,11 +154,22 @@ class Trainer:
                 "cat": np.stack([batch["user"], batch["item"]], axis=1),
                 "label": batch["label"],
             }
+        if self.mesh is not None:
+            shardings = self.builder.batch_shardings(batch)
+            return {
+                k: jax.device_put(jnp.asarray(v), shardings[k])
+                for k, v in batch.items()
+            }
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     @property
     def params(self):
-        return {"tables": self.state["tables"], "dense": self.state["dense"]}
+        tables = (
+            self.builder.unpadded_tables(self.state)
+            if self.mesh is not None
+            else self.state["tables"]
+        )
+        return {"tables": tables, "dense": self.state["dense"]}
 
     # ---- evaluation ----
 
@@ -236,6 +262,8 @@ class Trainer:
                 if steps_cap > 0 and i >= steps_cap:
                     break
                 dev_batch = self._to_device_batch(batch)
+                if self.jit_step is None:
+                    self.jit_step = self.builder.compile_step(self.state, dev_batch)
                 self.state, metrics = self.jit_step(self.state, dev_batch)
                 n_examples += c.train.batch_size
                 if (i + 1) % max(c.train.log_every_steps, 1) == 0:
