@@ -1,0 +1,71 @@
+"""Pallas kernels vs jnp references (interpret mode on CPU —
+SURVEY.md §4 unit row; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfrec_tpu.kernels.cross import cross_stack, cross_stack_xla
+from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas
+from tfrec_tpu.kernels.gather_pallas import gather_pallas
+
+
+def _rand(seed, shape, scale=1.0):
+    return jnp.asarray(
+        (np.random.default_rng(seed).normal(size=shape) * scale).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("batch,dim,layers", [(64, 32, 3), (96, 24, 2)])
+def test_cross_pallas_forward_matches_xla(batch, dim, layers):
+    x0 = _rand(0, (batch, dim))
+    params = {"w": _rand(1, (layers, dim), 0.2), "b": _rand(2, (layers, dim), 0.1)}
+    np.testing.assert_allclose(
+        np.asarray(cross_stack_pallas(x0, params)),
+        np.asarray(cross_stack_xla(x0, params)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_cross_pallas_custom_vjp_matches_autodiff():
+    x0 = _rand(3, (64, 16))
+    params = {"w": _rand(4, (3, 16), 0.2), "b": _rand(5, (3, 16), 0.1)}
+
+    def loss(fn):
+        return lambda x, p: jnp.sum(jnp.tanh(fn(x, p)))
+
+    gp = jax.grad(loss(cross_stack_pallas), argnums=(0, 1))(x0, params)
+    gx = jax.grad(loss(cross_stack_xla), argnums=(0, 1))(x0, params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_cross_dispatch_falls_back_for_v2():
+    """backend='pallas' with matrix (v2) weights silently uses XLA."""
+    x0 = _rand(6, (8, 8))
+    params = {"w": _rand(7, (2, 8, 8), 0.2), "b": _rand(8, (2, 8), 0.1)}
+    np.testing.assert_allclose(
+        np.asarray(cross_stack(x0, params, backend="pallas")),
+        np.asarray(cross_stack_xla(x0, params)),
+        rtol=1e-6,
+    )
+
+
+def test_gather_pallas_matches_take():
+    table = _rand(9, (50, 16))
+    ids = jnp.asarray(np.random.default_rng(10).integers(0, 50, 37).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(gather_pallas(table, ids)),
+        np.asarray(table)[np.asarray(ids)],
+        rtol=1e-6,
+    )
+
+
+def test_gather_pallas_under_jit_with_duplicates():
+    table = _rand(11, (20, 8))
+    ids = jnp.asarray(np.array([3, 3, 3, 0, 19, 3, 7, 7], np.int32))
+    got = jax.jit(gather_pallas)(table, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+    )

@@ -26,7 +26,9 @@ def cross_stack(
              {"u": [L, d, r], "v": [L, d, r]} via keys u/v (v2 low-rank),
              "b": [L, d]}.
     """
-    if backend == "pallas":
+    if backend == "pallas" and "w" in params and params["w"].ndim == 2:
+        # Fused kernel covers DCN-v1 (rank-one crosses); v2's matrix
+        # crosses are MXU matmuls XLA already schedules well.
         from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas
 
         return cross_stack_pallas(x0, params)

@@ -1,0 +1,153 @@
+"""Fused Pallas DCN-v1 cross stack (BASELINE.json R4, SURVEY.md §2c.2).
+
+All L cross layers run in one kernel: the activation tile x stays resident
+in VMEM across layers, so HBM traffic is one read of x0 and one write of
+x_L per tile instead of 2L round-trips — the cross stack is bandwidth-bound
+(each layer is only a matvec + elementwise chain), so this is the win.
+
+Layer recurrence (rank-one cross):
+    s_l = x_l . w_l              (per-row scalar)
+    x_{l+1} = x0 * s_l + b_l + x_l
+
+Backward (custom VJP, layers replayed forward in-kernel to recover x_l,
+then reversed):
+    ds   = sum_j g_j * x0_j
+    dw_l = sum_batch x_l * ds
+    db_l = sum_batch g
+    dx0 += g * s_l
+    g    = g + w_l * ds          (grad w.r.t. x_l)
+finally dx0 += g (the l=0 input is x0 itself).
+
+Falls back to interpret mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block_b(batch: int) -> int:
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if batch % cand == 0:
+            return cand
+    return batch
+
+
+def _fwd_kernel(x0_ref, w_ref, b_ref, out_ref, *, num_layers):
+    x0 = x0_ref[:]
+    x = x0
+    for l in range(num_layers):
+        s = jnp.dot(x, w_ref[l, :][:, None], preferred_element_type=jnp.float32)
+        x = x0 * s + b_ref[l, :][None, :] + x
+    out_ref[:] = x
+
+
+def _bwd_kernel(x0_ref, w_ref, b_ref, g_ref, dx0_ref, dw_ref, db_ref, *, num_layers):
+    x0 = x0_ref[:]
+    # Replay forward to collect per-layer inputs (L is small and static).
+    xs = [x0]
+    x = x0
+    ss = []
+    for l in range(num_layers):
+        s = jnp.dot(x, w_ref[l, :][:, None], preferred_element_type=jnp.float32)
+        ss.append(s)
+        x = x0 * s + b_ref[l, :][None, :] + x
+        xs.append(x)
+    g = g_ref[:]
+    dx0 = jnp.zeros_like(x0)
+    # dw/db accumulate across batch tiles: same output block every grid
+    # step, so zero them on the first step and add afterwards.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dws = []
+    dbs = []
+    for l in range(num_layers - 1, -1, -1):
+        ds = jnp.sum(g * x0, axis=1, keepdims=True)  # [TB, 1]
+        dws.append((l, jnp.sum(xs[l] * ds, axis=0)))
+        dbs.append((l, jnp.sum(g, axis=0)))
+        dx0 = dx0 + g * ss[l]
+        g = g + ds * w_ref[l, :][None, :]
+    dx0_ref[:] = dx0 + g
+    for l, dw in dws:
+        dw_ref[l, :] += dw
+    for l, db in dbs:
+        db_ref[l, :] += db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def cross_stack_pallas(x0: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    return _cross_fwd_impl(x0, params["w"], params["b"])
+
+
+def _cross_fwd_impl(x0, w, b):
+    if w.ndim != 2:
+        raise NotImplementedError(
+            "pallas cross kernel covers DCN-v1 (rank-one); use kernels=xla for v2"
+        )
+    batch, dim = x0.shape
+    num_layers = w.shape[0]
+    tb = _block_b(batch)
+    grid = (batch // tb,)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_layers=num_layers),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, dim), x0.dtype),
+        interpret=_interpret(),
+    )(x0, w, b)
+
+
+def _cross_fwd_rule(x0, params):
+    out = _cross_fwd_impl(x0, params["w"], params["b"])
+    return out, (x0, params["w"], params["b"])
+
+
+def _cross_bwd_rule(res, g):
+    x0, w, b = res
+    batch, dim = x0.shape
+    num_layers = w.shape[0]
+    tb = _block_b(batch)
+    grid = (batch // tb,)
+    dx0, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_layers=num_layers),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, dim), x0.dtype),
+            jax.ShapeDtypeStruct((num_layers, dim), w.dtype),
+            jax.ShapeDtypeStruct((num_layers, dim), b.dtype),
+        ],
+        interpret=_interpret(),
+    )(x0, w, b, g)
+    return dx0, {"w": dw, "b": db}
+
+
+cross_stack_pallas.defvjp(_cross_fwd_rule, _cross_bwd_rule)

@@ -43,8 +43,9 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         mesh_cfg: MeshConfig | None = None,
         *,
         l2_reg: float = 0.0,
+        kernels: str = "xla",
     ):
-        super().__init__(model, loss_name, optim_cfg, l2_reg=l2_reg)
+        super().__init__(model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels)
         self.mesh = mesh
         self.mesh_cfg = mesh_cfg or MeshConfig()
         mode = self.mesh_cfg.table_sharding

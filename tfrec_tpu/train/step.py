@@ -57,6 +57,13 @@ def default_lookup(tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray]):
     return {name: gather(tables[name], t_ids) for name, t_ids in ids.items()}
 
 
+def pallas_lookup(tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray]):
+    """Fused Pallas row-gather (kernels/gather_pallas.py)."""
+    from tfrec_tpu.kernels.gather_pallas import gather_pallas
+
+    return {name: gather_pallas(tables[name], t_ids) for name, t_ids in ids.items()}
+
+
 class TrainStepBuilder:
     """Builds the pure step function for a (model, loss, optimizers) triple.
 
@@ -72,12 +79,15 @@ class TrainStepBuilder:
         *,
         l2_reg: float = 0.0,
         lookup_fn: LookupFn | None = None,
+        kernels: str = "xla",
     ):
         self.model = model
         self.loss_fn = make_loss(loss_name)
         self.optim_cfg = optim_cfg
         self.l2_reg = l2_reg
-        self.lookup_fn = lookup_fn or default_lookup
+        if lookup_fn is None:
+            lookup_fn = pallas_lookup if kernels == "pallas" else default_lookup
+        self.lookup_fn = lookup_fn
         self.dense_tx = make_dense_tx(optim_cfg)
         self.sparse_opt: SparseOptimizer = make_sparse_optimizer(
             optim_cfg.sparse_optimizer,

@@ -113,12 +113,14 @@ class Trainer:
 
             self.mesh = make_mesh(c.mesh.data_axis_size, c.mesh.table_axis_size)
             self.builder = ShardedTrainStepBuilder(
-                self.model, loss, c.optim, self.mesh, c.mesh, l2_reg=c.model.l2_reg
+                self.model, loss, c.optim, self.mesh, c.mesh,
+                l2_reg=c.model.l2_reg, kernels=c.train.kernels,
             )
             self.jit_step = None  # compiled lazily against the first batch
         else:
             self.builder = TrainStepBuilder(
-                self.model, loss, c.optim, l2_reg=c.model.l2_reg
+                self.model, loss, c.optim,
+                l2_reg=c.model.l2_reg, kernels=c.train.kernels,
             )
             self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
         self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))

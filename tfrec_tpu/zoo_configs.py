@@ -1,0 +1,135 @@
+"""The five milestone configs (BASELINE.json:7-11) plus synthetic stand-ins.
+
+Each constructor returns a full Config. The MovieLens/Criteo configs expect
+a dataset path (no datasets ship in this environment — SURVEY.md §0); the
+``*_synthetic`` variants are the seeded stand-ins CI and benchmarks use.
+"""
+
+from __future__ import annotations
+
+from tfrec_tpu.configs import (
+    Config,
+    DataConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+
+
+def mf_bpr_ml100k(path: str | None = None) -> Config:
+    """Config 1: MF + BPR on MovieLens-100K — single table, dot-product
+    scorer, CPU-runnable."""
+    return Config(
+        run_name="mf_bpr_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio",
+            test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="mf", embed_dim=64),
+        optim=OptimConfig(
+            learning_rate=0.05, dense_optimizer="adagrad",
+            sparse_optimizer="rowwise_adagrad",
+        ),
+        train=TrainConfig(
+            batch_size=2048, epochs=30, loss="bpr", eval_every_epochs=5,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
+def fm_ctr_ml1m(path: str | None = None) -> Config:
+    """Config 2: FM pointwise CTR on MovieLens-1M, multi-field categoricals."""
+    return Config(
+        run_name="fm_ctr_ml1m",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio",
+            test_fraction=0.2,
+            num_users=6040, num_items=3706, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="fm", embed_dim=64),
+        optim=OptimConfig(
+            learning_rate=0.02, dense_optimizer="adagrad",
+            sparse_optimizer="rowwise_adagrad",
+        ),
+        train=TrainConfig(
+            batch_size=4096, epochs=20, loss="logloss", num_negatives=4,
+            eval_every_epochs=5, eval_topk=(10, 20),
+        ),
+    )
+
+
+def neumf_ml20m(path: str | None = None) -> Config:
+    """Config 3: NeuMF (GMF + MLP fusion) with sampled negatives."""
+    return Config(
+        run_name="neumf_ml20m",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="leave_one_out",
+            num_users=8192, num_items=4096, interactions_per_user=32,
+        ),
+        model=ModelConfig(
+            name="neumf", gmf_dim=32, mlp_embed_dim=32, mlp_dims=(64, 32, 16)
+        ),
+        optim=OptimConfig(
+            learning_rate=0.001, dense_optimizer="adam",
+            sparse_optimizer="rowwise_adam",
+        ),
+        train=TrainConfig(
+            batch_size=8192, epochs=20, loss="logloss", num_negatives=4,
+            eval_every_epochs=5, eval_topk=(10, 20),
+        ),
+    )
+
+
+def dcn_criteo(path: str | None = None, max_examples: int = 2_000_000) -> Config:
+    """Config 4: DCN (cross + deep) on a Criteo subset, sharded tables on
+    one host."""
+    return Config(
+        run_name="dcn_criteo",
+        data=DataConfig(
+            source="criteo" if path else "synthetic_ctr",
+            path=path,
+            num_examples=max_examples,
+            num_dense_features=13,
+            categorical_vocab_sizes=(100_000,) * 26 if path else (10_000,) * 8,
+            test_fraction=0.05,
+        ),
+        model=ModelConfig(
+            name="dcn", embed_dim=32, num_cross_layers=3, mlp_dims=(512, 256, 128)
+        ),
+        optim=OptimConfig(
+            learning_rate=0.001, dense_optimizer="adam",
+            sparse_optimizer="rowwise_adagrad",
+            sparse_learning_rate=0.02,
+        ),
+        train=TrainConfig(batch_size=8192, epochs=2, loss="logloss",
+                          eval_every_epochs=1),
+        mesh=MeshConfig(table_sharding="row"),
+    )
+
+
+def dcn_retrieval_multihost(path: str | None = None) -> Config:
+    """Config 5: multi-host DCN + retrieval — row/column-sharded tables,
+    all-to-all over ICI (v5e-16 target; runs on any mesh size)."""
+    cfg = dcn_criteo(path)
+    return cfg.replace(
+        run_name="dcn_multihost",
+        mesh=MeshConfig(table_sharding="row", a2a_capacity_factor=2.0),
+    )
+
+
+ZOO = {
+    "mf_bpr_ml100k": mf_bpr_ml100k,
+    "fm_ctr_ml1m": fm_ctr_ml1m,
+    "neumf_ml20m": neumf_ml20m,
+    "dcn_criteo": dcn_criteo,
+    "dcn_multihost": dcn_retrieval_multihost,
+}
