@@ -1,0 +1,162 @@
+"""Headline benchmark: examples/s/chip on Criteo-shaped DCN CTR training
+(BASELINE.json metric). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference published no numbers (BASELINE.json:13 -> {};
+SURVEY.md §6), so the denominator is our own recorded first TPU measurement
+stored in BENCH_BASELINE.json — i.e. the line tracks regressions/speedups
+against round-1 performance. Until that file exists, vs_baseline = 1.0 and
+the current value is recorded as the baseline.
+
+Flags: --model dcn|dlrm|mf  --steps N  --batch N  --kernels xla|pallas
+       --devices auto|cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_dcn_bench(batch_size: int, kernels: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfrec_tpu.configs import ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.train.step import TrainStepBuilder
+
+    num_dense = 13
+    vocabs = (100_000,) * 26  # Criteo-DAC shape
+    model = build_model(
+        ModelConfig(name="dcn", embed_dim=32, num_cross_layers=3,
+                    mlp_dims=(512, 256, 128)),
+        DataSpec.ctr(vocabs, num_dense),
+        backend=kernels,
+    )
+    builder = TrainStepBuilder(
+        model, "logloss",
+        OptimConfig(learning_rate=1e-3, dense_optimizer="adam",
+                    sparse_optimizer="rowwise_adagrad", sparse_learning_rate=0.02),
+        kernels=kernels,
+    )
+    state = builder.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n_batches = 8
+    batches = []
+    for _ in range(n_batches):
+        batches.append({
+            "dense": jnp.asarray(rng.normal(size=(batch_size, num_dense)).astype(np.float32)),
+            "cat": jnp.asarray(
+                np.stack([rng.integers(0, v, batch_size) for v in vocabs], 1).astype(np.int32)
+            ),
+            "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.float32)),
+        })
+    step = jax.jit(builder.step, donate_argnums=(0,))
+    return step, state, batches
+
+
+def build_mf_bench(batch_size: int, kernels: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfrec_tpu.configs import OptimConfig
+    from tfrec_tpu.models import MF, DataSpec
+    from tfrec_tpu.train.step import TrainStepBuilder
+
+    model = MF(DataSpec.interaction(1_000_000, 1_000_000), embed_dim=64)
+    builder = TrainStepBuilder(
+        model, "bpr",
+        OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad"),
+        kernels=kernels,
+    )
+    state = builder.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(8):
+        batches.append({
+            "user": jnp.asarray(rng.integers(0, 1_000_000, batch_size).astype(np.int32)),
+            "pos": jnp.asarray(rng.integers(0, 1_000_000, batch_size).astype(np.int32)),
+            "neg": jnp.asarray(rng.integers(0, 1_000_000, batch_size).astype(np.int32)),
+        })
+    step = jax.jit(builder.step, donate_argnums=(0,))
+    return step, state, batches
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="dcn", choices=["dcn", "mf"])
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--batch", type=int, default=8192)
+    parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--devices", default="auto", choices=["auto", "cpu"])
+    args = parser.parse_args(argv)
+
+    if args.devices == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    platform = jax.default_backend()
+    if args.model == "dcn":
+        step, state, batches = build_dcn_bench(args.batch, args.kernels)
+    else:
+        step, state, batches = build_mf_bench(args.batch, args.kernels)
+
+    # Warmup (compile + cache).
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_s = args.steps * args.batch / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs_baseline = 1.0
+    record = None
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)
+            key = f"{args.model}-{platform}"
+            if key in base:
+                vs_baseline = examples_per_s / base[key]
+            else:
+                record = key
+        except Exception:
+            pass
+    else:
+        base, record = {}, f"{args.model}-{platform}"
+    if record and platform == "tpu":
+        base[record] = examples_per_s
+        try:
+            with open(baseline_path, "w") as f:
+                json.dump(base, f, indent=1)
+        except OSError:
+            pass
+
+    print(json.dumps({
+        "metric": f"examples/s/chip ({args.model} CTR train, {platform}, "
+                  f"batch={args.batch}, kernels={args.kernels})",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

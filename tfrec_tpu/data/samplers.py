@@ -60,6 +60,10 @@ class PairwiseSampler:
 
     Fresh negatives and a fresh shuffle every epoch, seeded as
     fold(seed, epoch) for exact reproducibility.
+
+    ``multi_neg=True`` emits {"user", "pos", "negs" [B, num_negatives]}
+    batches (one positive against K negatives — sampled-softmax training);
+    the default emits one (pos, neg) row per negative.
     """
 
     def __init__(
@@ -68,19 +72,36 @@ class PairwiseSampler:
         batch_size: int,
         num_negatives: int = 1,
         seed: int = 0,
+        multi_neg: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_negatives = num_negatives
         self.seed = seed
+        self.multi_neg = multi_neg
         self.index = _TrainPairIndex(dataset)
 
     def num_batches(self) -> int:
-        return (len(self.dataset.train) * self.num_negatives) // self.batch_size
+        n = len(self.dataset.train)
+        if not self.multi_neg:
+            n *= self.num_negatives
+        return n // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng((self.seed, epoch))
         train = self.dataset.train
+        if self.multi_neg:
+            users, pos = train.users, train.items
+            flat_users = np.repeat(users, self.num_negatives)
+            negs = _sample_negatives(
+                rng, self.index, flat_users, self.dataset.num_items
+            ).reshape(-1, self.num_negatives)
+            perm = rng.permutation(len(users))
+            users, pos, negs = users[perm], pos[perm], negs[perm]
+            for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+                sl = slice(start, start + self.batch_size)
+                yield {"user": users[sl], "pos": pos[sl], "negs": negs[sl]}
+            return
         users = np.repeat(train.users, self.num_negatives)
         pos = np.repeat(train.items, self.num_negatives)
         negs = _sample_negatives(rng, self.index, users, self.dataset.num_items)

@@ -37,9 +37,15 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":
-        return MLP(data_spec, cfg.mlp_embed_dim or cfg.embed_dim, cfg.mlp_dims)
+        return MLP(
+            data_spec, cfg.mlp_embed_dim or cfg.embed_dim, cfg.mlp_dims,
+            dropout=cfg.dropout,
+        )
     if name == "neumf":
-        return NeuMF(data_spec, cfg.gmf_dim, cfg.mlp_embed_dim, cfg.mlp_dims)
+        return NeuMF(
+            data_spec, cfg.gmf_dim, cfg.mlp_embed_dim, cfg.mlp_dims,
+            dropout=cfg.dropout,
+        )
     if name == "fm":
         return FM(data_spec, cfg.embed_dim)
     if name in ("dcn", "dcnv2"):
@@ -51,11 +57,14 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             v2=(name == "dcnv2"),
             cross_rank=cfg.cross_rank,
             backend=backend,
+            dropout=cfg.dropout,
         )
     if name == "deepfm":
-        return DeepFM(data_spec, cfg.embed_dim, cfg.mlp_dims)
+        return DeepFM(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
     if name == "widedeep":
-        return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims)
+        return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
     if name == "dlrm":
-        return DLRM(data_spec, cfg.embed_dim, top_dims=cfg.mlp_dims)
+        return DLRM(
+            data_spec, cfg.embed_dim, top_dims=cfg.mlp_dims, dropout=cfg.dropout
+        )
     raise ValueError(f"unknown model {cfg.name!r}")

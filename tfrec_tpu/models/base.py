@@ -71,7 +71,11 @@ class RecModel(abc.ABC):
         ...
 
     @abc.abstractmethod
-    def forward(self, dense, gathered: Dict[str, jnp.ndarray], batch) -> jnp.ndarray:
+    def forward(
+        self, dense, gathered: Dict[str, jnp.ndarray], batch, *, rng=None
+    ) -> jnp.ndarray:
+        """Logits. ``rng`` is supplied only on training steps (enables
+        dropout); eval paths omit it."""
         ...
 
     def init(self, rng: jax.Array):
@@ -96,5 +100,9 @@ class RecModel(abc.ABC):
 
     @staticmethod
     def pair_item_ids(batch) -> jnp.ndarray:
-        """Item-id vector for a pairwise batch: [pos; neg], length 2B."""
+        """Item-id vector for a pairwise batch: [pos; negs...], length
+        B*(1+K). Single-negative batches have "neg" [B]; multi-negative
+        batches (sampled softmax) have "negs" [B, K]."""
+        if "negs" in batch:
+            return jnp.concatenate([batch["pos"], batch["negs"].reshape(-1)])
         return jnp.concatenate([batch["pos"], batch["neg"]])

@@ -32,6 +32,7 @@ class DCN(CTRBase):
         v2: bool = False,
         cross_rank: int = 0,
         backend: str = "xla",
+        dropout: float = 0.0,
     ):
         super().__init__(data_spec, embed_dim)
         self.num_cross_layers = num_cross_layers
@@ -39,6 +40,7 @@ class DCN(CTRBase):
         self.v2 = v2
         self.cross_rank = cross_rank
         self.backend = backend
+        self.dropout = dropout
 
     @property
     def input_dim(self) -> int:
@@ -65,11 +67,14 @@ class DCN(CTRBase):
             "b_out": jnp.zeros(()),
         }
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         x0 = self.flat_input(gathered, batch)
         x_cross = cross_stack(x0, dense["cross"], backend=self.backend)
         if self.mlp_dims:
-            deep = apply_mlp(dense["mlp"], x0, final_linear=False)
+            deep = apply_mlp(
+                dense["mlp"], x0, final_linear=False,
+                dropout=self.dropout, rng=rng,
+            )
             fused = jnp.concatenate([x_cross, deep], axis=-1)
         else:
             fused = x_cross

@@ -24,10 +24,12 @@ class DLRM(CTRBase):
         embed_dim: int,
         bottom_dims=(64,),
         top_dims=(256, 128),
+        dropout: float = 0.0,
     ):
         super().__init__(data_spec, embed_dim)
         self.bottom_dims = tuple(bottom_dims)
         self.top_dims = tuple(top_dims)
+        self.dropout = dropout
         self.has_bottom = data_spec.num_dense > 0
 
     def _num_vectors(self) -> int:
@@ -49,7 +51,7 @@ class DLRM(CTRBase):
             )
         return d
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         vecs = [self.field_stack(gathered)]  # [B, F, D]
         bottom = None
         if self.has_bottom:
@@ -61,4 +63,4 @@ class DLRM(CTRBase):
         rows, cols = np.tril_indices(nv, k=-1)
         pairs = inter[:, rows, cols]  # [B, nv*(nv-1)/2]
         top_in = jnp.concatenate([bottom, pairs], axis=-1) if bottom is not None else pairs
-        return apply_mlp(dense["top"], top_in)[:, 0]
+        return apply_mlp(dense["top"], top_in, dropout=self.dropout, rng=rng)[:, 0]

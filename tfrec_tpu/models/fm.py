@@ -27,7 +27,7 @@ class FM(CTRBase):
             d["w_dense"] = jnp.zeros((self.data_spec.num_dense,))
         return d
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         logit = dense["w0"] + self.linear_sum(gathered)
         if self.data_spec.num_dense > 0:
             logit = logit + batch["dense"] @ dense["w_dense"]

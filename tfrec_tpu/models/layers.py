@@ -37,11 +37,21 @@ def apply_mlp(
     x: jnp.ndarray,
     *,
     final_linear: bool = True,
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """ReLU MLP; if final_linear, the last layer has no activation (a head)."""
+    """ReLU MLP; if final_linear, the last layer has no activation (a head).
+
+    Dropout (inverted scaling) is applied after each ReLU only when an rng
+    is supplied — eval paths simply omit the rng.
+    """
     n = len(params)
     for i, (w, b) in enumerate(params):
         x = x @ w + b
         if not (final_linear and i == n - 1):
             x = jax.nn.relu(x)
+            if dropout > 0.0 and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
     return x

@@ -51,12 +51,20 @@ class MF(RecModel):
             s = s + i_bias[:, 0]
         return s
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         u = gathered["user_emb"]
         i = gathered["item_emb"]
         b = gathered.get("item_bias")
         if self.is_pairwise(batch):
             bsz = u.shape[0]
+            if "negs" in batch:  # multi-negative: [B, 1+K] score matrix
+                k = batch["negs"].shape[1]
+                # items layout: [pos (B); negs.reshape(-1) (B*K, user-major)]
+                u_rep = jnp.concatenate([u, jnp.repeat(u, k, axis=0)])
+                s = self._score(u_rep, i, b)  # [B*(1+K)]
+                return jnp.concatenate(
+                    [s[:bsz, None], s[bsz:].reshape(bsz, k)], axis=1
+                )
             s_pos = self._score(u, i[:bsz], None if b is None else b[:bsz])
             s_neg = self._score(u, i[bsz:], None if b is None else b[bsz:])
             return s_pos - s_neg

@@ -35,20 +35,34 @@ class _NCFBase(RecModel):
             ids[spec.name] = batch["user"] if spec.name.startswith("user") else items
         return ids
 
-    def _pair_logit(self, dense, u_g: Dict, i_g: Dict) -> jnp.ndarray:
+    def _pair_logit(self, dense, u_g: Dict, i_g: Dict, rng=None) -> jnp.ndarray:
         raise NotImplementedError
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         user_keys = [k for k in gathered if k.startswith("user")]
         item_keys = [k for k in gathered if k.startswith("item")]
         u_g = {k: gathered[k] for k in user_keys}
         if self.is_pairwise(batch):
             bsz = batch["user"].shape[0]
+            if "negs" in batch:  # [B, 1+K] score matrix for sampled softmax
+                k = batch["negs"].shape[1]
+                u_rep = {
+                    key: jnp.concatenate([v, jnp.repeat(v, k, axis=0)])
+                    for key, v in u_g.items()
+                }
+                i_g = {key: gathered[key] for key in item_keys}
+                s = self._pair_logit(dense, u_rep, i_g, rng)
+                return jnp.concatenate(
+                    [s[:bsz, None], s[bsz:].reshape(bsz, k)], axis=1
+                )
             pos = {k: gathered[k][:bsz] for k in item_keys}
             neg = {k: gathered[k][bsz:] for k in item_keys}
-            return self._pair_logit(dense, u_g, pos) - self._pair_logit(dense, u_g, neg)
+            r1, r2 = (None, None) if rng is None else jax.random.split(rng)
+            return self._pair_logit(dense, u_g, pos, r1) - self._pair_logit(
+                dense, u_g, neg, r2
+            )
         i_g = {k: gathered[k] for k in item_keys}
-        return self._pair_logit(dense, u_g, i_g)
+        return self._pair_logit(dense, u_g, i_g, rng)
 
     def score_items(self, params, user_ids, item_ids) -> jnp.ndarray:
         """[B, C]: every user in the batch scored against a shared item chunk."""
@@ -93,7 +107,7 @@ class GMF(_NCFBase):
     def init_dense(self, rng: jax.Array):
         return {"h": jnp.ones((self.embed_dim,)) / self.embed_dim, "b": jnp.zeros(())}
 
-    def _pair_logit(self, dense, u_g, i_g) -> jnp.ndarray:
+    def _pair_logit(self, dense, u_g, i_g, rng=None) -> jnp.ndarray:
         return (u_g["user_emb"] * i_g["item_emb"]) @ dense["h"] + dense["b"]
 
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
@@ -108,11 +122,15 @@ class GMF(_NCFBase):
 class MLP(_NCFBase):
     """NCF-MLP: logit = MLP([p_u ; q_i])."""
 
-    def __init__(self, data_spec: DataSpec, embed_dim: int, mlp_dims: Tuple[int, ...]):
+    def __init__(
+        self, data_spec: DataSpec, embed_dim: int, mlp_dims: Tuple[int, ...],
+        dropout: float = 0.0,
+    ):
         assert data_spec.kind == "interaction"
         self.data_spec = data_spec
         self.embed_dim = embed_dim
         self.mlp_dims = tuple(mlp_dims)
+        self.dropout = dropout
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         u, v, d = self.data_spec.num_users, self.data_spec.num_items, self.embed_dim
@@ -121,9 +139,9 @@ class MLP(_NCFBase):
     def init_dense(self, rng: jax.Array):
         return {"mlp": init_mlp(rng, 2 * self.embed_dim, self.mlp_dims, out_dim=1)}
 
-    def _pair_logit(self, dense, u_g, i_g) -> jnp.ndarray:
+    def _pair_logit(self, dense, u_g, i_g, rng=None) -> jnp.ndarray:
         z = jnp.concatenate([u_g["user_emb"], i_g["item_emb"]], axis=-1)
-        return apply_mlp(dense["mlp"], z)[:, 0]
+        return apply_mlp(dense["mlp"], z, dropout=self.dropout, rng=rng)[:, 0]
 
 
 class NeuMF(_NCFBase):
@@ -135,12 +153,14 @@ class NeuMF(_NCFBase):
         gmf_dim: int,
         mlp_embed_dim: int,
         mlp_dims: Tuple[int, ...],
+        dropout: float = 0.0,
     ):
         assert data_spec.kind == "interaction"
         self.data_spec = data_spec
         self.gmf_dim = gmf_dim
         self.mlp_embed_dim = mlp_embed_dim
         self.mlp_dims = tuple(mlp_dims)
+        self.dropout = dropout
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         u, v = self.data_spec.num_users, self.data_spec.num_items
@@ -160,10 +180,12 @@ class NeuMF(_NCFBase):
             "b_out": jnp.zeros(()),
         }
 
-    def _pair_logit(self, dense, u_g, i_g) -> jnp.ndarray:
+    def _pair_logit(self, dense, u_g, i_g, rng=None) -> jnp.ndarray:
         gmf_vec = u_g["user_gmf"] * i_g["item_gmf"]
         z = jnp.concatenate([u_g["user_mlp"], i_g["item_mlp"]], axis=-1)
         # All layers of the tower are "hidden": ReLU on the last too, per NCF.
-        mlp_vec = apply_mlp(dense["mlp"], z, final_linear=False)
+        mlp_vec = apply_mlp(
+            dense["mlp"], z, final_linear=False, dropout=self.dropout, rng=rng
+        )
         fused = jnp.concatenate([gmf_vec, mlp_vec], axis=-1)
         return (fused @ dense["w_out"])[:, 0] + dense["b_out"]

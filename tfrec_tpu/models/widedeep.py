@@ -15,9 +15,11 @@ from tfrec_tpu.models.layers import apply_mlp, init_mlp
 class WideDeep(CTRBase):
     use_linear_tables = True
 
-    def __init__(self, data_spec: DataSpec, embed_dim: int, mlp_dims):
+    def __init__(self, data_spec: DataSpec, embed_dim: int, mlp_dims,
+                 dropout: float = 0.0):
         super().__init__(data_spec, embed_dim)
         self.mlp_dims = tuple(mlp_dims)
+        self.dropout = dropout
 
     def init_dense(self, rng: jax.Array):
         in_dim = self.num_fields * self.embed_dim + self.data_spec.num_dense
@@ -29,9 +31,12 @@ class WideDeep(CTRBase):
             d["w_dense"] = jnp.zeros((self.data_spec.num_dense,))
         return d
 
-    def forward(self, dense, gathered, batch) -> jnp.ndarray:
+    def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         wide = dense["b"] + self.linear_sum(gathered)
         if self.data_spec.num_dense > 0:
             wide = wide + batch["dense"] @ dense["w_dense"]
-        deep = apply_mlp(dense["mlp"], self.flat_input(gathered, batch))[:, 0]
+        deep = apply_mlp(
+            dense["mlp"], self.flat_input(gathered, batch),
+            dropout=self.dropout, rng=rng,
+        )[:, 0]
         return wide + deep

@@ -44,8 +44,11 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         *,
         l2_reg: float = 0.0,
         kernels: str = "xla",
+        seed: int = 0,
     ):
-        super().__init__(model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels)
+        super().__init__(
+            model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels, seed=seed
+        )
         self.mesh = mesh
         self.mesh_cfg = mesh_cfg or MeshConfig()
         mode = self.mesh_cfg.table_sharding
@@ -107,7 +110,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     # ---- state construction (padded + placed on the mesh) ----
 
-    def init_state(self, rng: jax.Array) -> State:
+    def _init_padded(self, rng: jax.Array) -> State:
         state = super().init_state(rng)
         # Pad row-sharded tables (and their opt state) to V_pad.
         for name, plan in self.plans.items():
@@ -122,11 +125,15 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     ),
                     state["sparse_opt"][name],
                 )
-        shardings = self.state_shardings(state)
-        return jax.tree_util.tree_map(
-            lambda leaf, sh: jax.device_put(leaf, sh), state, shardings,
-            is_leaf=lambda x: x is None,
-        )
+        return state
+
+    def init_state(self, rng: jax.Array) -> State:
+        # jit with out_shardings so each device/process materializes ONLY
+        # its own table shards — tables are never built on one host
+        # (SURVEY.md §3b "tables created sharded").
+        shapes = jax.eval_shape(self._init_padded, rng)
+        shardings = self.state_shardings(shapes)
+        return jax.jit(self._init_padded, out_shardings=shardings)(rng)
 
     # ---- seams ----
 

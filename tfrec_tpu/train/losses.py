@@ -9,17 +9,33 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import jax
 import jax.numpy as jnp
 
 
-def bpr(pair_diff: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+def _as_pair_diff(x: jnp.ndarray) -> jnp.ndarray:
+    """1D inputs are already s_pos - s_neg; 2D [B, 1+K] score matrices
+    (multi-negative batches) become per-negative diffs [B, K]."""
+    if x.ndim == 2:
+        return x[:, :1] - x[:, 1:]
+    return x
+
+
+def bpr(pair_logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """BPR: -mean log sigmoid(s_pos - s_neg) = mean softplus(-diff)."""
-    return jnp.mean(jnp.logaddexp(0.0, -pair_diff))
+    return jnp.mean(jnp.logaddexp(0.0, -_as_pair_diff(pair_logits)))
 
 
-def hinge(pair_diff: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+def hinge(pair_logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """Pairwise hinge with unit margin."""
-    return jnp.mean(jnp.maximum(0.0, 1.0 - pair_diff))
+    return jnp.mean(jnp.maximum(0.0, 1.0 - _as_pair_diff(pair_logits)))
+
+
+def sampled_softmax(scores: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+    """Sampled softmax over [B, 1+K] score matrices (column 0 is the
+    positive): -mean log softmax(scores)[:, 0]."""
+    assert scores.ndim == 2, "sampled_softmax needs multi-negative batches"
+    return -jnp.mean(jax.nn.log_softmax(scores, axis=-1)[:, 0])
 
 
 def logloss(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
@@ -42,9 +58,11 @@ _LOSSES: Dict[str, Callable] = {
     "hinge": hinge,
     "logloss": logloss,
     "mse": mse,
+    "sampled_softmax": sampled_softmax,
 }
 
-PAIRWISE_LOSSES = ("bpr", "hinge")
+PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax")
+MULTI_NEG_LOSSES = ("sampled_softmax",)
 
 
 def make_loss(name: str) -> Callable[[jnp.ndarray, Dict], jnp.ndarray]:

@@ -80,7 +80,9 @@ class TrainStepBuilder:
         l2_reg: float = 0.0,
         lookup_fn: LookupFn | None = None,
         kernels: str = "xla",
+        seed: int = 0,
     ):
+        self.base_rng = jax.random.PRNGKey(seed)
         self.model = model
         self.loss_fn = make_loss(loss_name)
         self.optim_cfg = optim_cfg
@@ -131,8 +133,11 @@ class TrainStepBuilder:
         ids = model.lookup_ids(batch)
         gathered, aux = self.lookup(state["tables"], ids)
 
+        # Per-step dropout rng, identical on every host/device (SPMD).
+        step_rng = jax.random.fold_in(self.base_rng, state["step"])
+
         def objective(dense_params, g):
-            logits = model.forward(dense_params, g, batch)
+            logits = model.forward(dense_params, g, batch, rng=step_rng)
             loss = loss_fn(logits, batch)
             if self.l2_reg > 0:
                 reg = sum(jnp.sum(v * v) for v in g.values())

@@ -32,7 +32,7 @@ from tfrec_tpu.data.synthetic import synthetic_ctr
 from tfrec_tpu.eval.metrics import auc as auc_metric
 from tfrec_tpu.eval.retrieval import evaluate_retrieval
 from tfrec_tpu.models import DataSpec, build_model
-from tfrec_tpu.train.losses import PAIRWISE_LOSSES
+from tfrec_tpu.train.losses import MULTI_NEG_LOSSES, PAIRWISE_LOSSES
 from tfrec_tpu.train.step import TrainStepBuilder
 from tfrec_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from tfrec_tpu.utils.logging import MetricLogger
@@ -114,13 +114,13 @@ class Trainer:
             self.mesh = make_mesh(c.mesh.data_axis_size, c.mesh.table_axis_size)
             self.builder = ShardedTrainStepBuilder(
                 self.model, loss, c.optim, self.mesh, c.mesh,
-                l2_reg=c.model.l2_reg, kernels=c.train.kernels,
+                l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
             )
             self.jit_step = None  # compiled lazily against the first batch
         else:
             self.builder = TrainStepBuilder(
                 self.model, loss, c.optim,
-                l2_reg=c.model.l2_reg, kernels=c.train.kernels,
+                l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
             )
             self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
         self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
@@ -132,20 +132,35 @@ class Trainer:
                 self.start_epoch = step
                 self.logger.log({"event": "resumed", "epoch": step})
 
-        # ---- sampler ----
+        # ---- sampler + profiler ----
         self.sampler = self._make_sampler()
+        from tfrec_tpu.utils.profile import StepProfiler
+
+        self.profiler = StepProfiler(c.train.profile_steps)
+        self.global_step = 0
 
     def _make_sampler(self):
+        """Multi-process (SURVEY.md §3b): every process samples its own
+        1/num_processes slice of each global batch (seed folded with the
+        process index), and _to_device_batch assembles the global array
+        from process-local shards."""
         c = self.config
+        n_proc = jax.process_count()
+        local_bs = c.train.batch_size // n_proc
+        assert local_bs * n_proc == c.train.batch_size, (
+            c.train.batch_size, n_proc,
+        )
+        seed = c.train.seed * max(n_proc, 1) + jax.process_index()
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
-            return CTRBatcher(dense, cat, label, c.train.batch_size, seed=c.train.seed)
+            return CTRBatcher(dense, cat, label, local_bs, seed=seed)
         if self.loss_name in PAIRWISE_LOSSES:
             return PairwiseSampler(
-                self.dataset, c.train.batch_size, c.train.num_negatives, c.train.seed
+                self.dataset, local_bs, c.train.num_negatives, seed,
+                multi_neg=self.loss_name in MULTI_NEG_LOSSES,
             )
         return PointwiseSampler(
-            self.dataset, c.train.batch_size, max(c.train.num_negatives, 1), c.train.seed
+            self.dataset, local_bs, max(c.train.num_negatives, 1), seed
         )
 
     def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -158,6 +173,13 @@ class Trainer:
             }
         if self.mesh is not None:
             shardings = self.builder.batch_shardings(batch)
+            if jax.process_count() > 1:
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        shardings[k], np.asarray(v)
+                    )
+                    for k, v in batch.items()
+                }
             return {
                 k: jax.device_put(jnp.asarray(v), shardings[k])
                 for k, v in batch.items()
@@ -266,7 +288,9 @@ class Trainer:
                 dev_batch = self._to_device_batch(batch)
                 if self.jit_step is None:
                     self.jit_step = self.builder.compile_step(self.state, dev_batch)
+                self.profiler.step(self.global_step)
                 self.state, metrics = self.jit_step(self.state, dev_batch)
+                self.global_step += 1
                 n_examples += c.train.batch_size
                 if (i + 1) % max(c.train.log_every_steps, 1) == 0:
                     losses.append(float(metrics["loss"]))
@@ -288,6 +312,7 @@ class Trainer:
                 and (epoch + 1) % c.train.checkpoint_every_epochs == 0
             ):
                 save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+        self.profiler.close()
         return history
 
 

@@ -33,6 +33,33 @@ def _flatten(state) -> Dict[str, Any]:
     return flat
 
 
+def _local_block(leaf) -> np.ndarray:
+    """This process's portion of a (possibly non-fully-addressable) array.
+
+    Deduplicates replicated shards by index and reassembles row/column
+    blocks along the sharded axis. Restore assumes the SAME process/mesh
+    topology (standard TPU practice — cross-topology restore would require
+    a global gather; documented limitation)."""
+    if not isinstance(leaf, jax.Array) or leaf.is_fully_addressable:
+        return np.asarray(jax.device_get(leaf))
+    blocks = {}
+    for shard in leaf.addressable_shards:
+        key = tuple(
+            (0 if s.start is None else int(s.start),
+             dim if s.stop is None else int(s.stop))
+            for s, dim in zip(shard.index, leaf.shape)
+        )
+        blocks.setdefault(key, np.asarray(shard.data))
+    if len(blocks) == 1:
+        return next(iter(blocks.values()))
+    keys = sorted(blocks)
+    axis = next(
+        d for d in range(len(keys[0]))
+        if len({k[d][0] for k in keys}) > 1
+    )
+    return np.concatenate([blocks[k] for k in keys], axis=axis)
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
     out = os.path.join(ckpt_dir, f"step_{step:010d}")
     tmp = out + ".tmp"
@@ -41,12 +68,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
     proc = jax.process_index()
     for key, leaf in flat.items():
         fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
-        arr = np.asarray(jax.device_get(leaf))
-        np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), arr)
+        np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), _local_block(leaf))
     if proc == 0:
         with open(os.path.join(tmp, "tree.json"), "w") as f:
             json.dump({"step": step, "keys": sorted(flat)}, f)
-    os.replace(tmp, out)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_{step}")
+    if proc == 0 or not os.path.exists(out):
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            pass
     return out
 
 
@@ -79,7 +113,11 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
             path = os.path.join(src, f"{fname}.p0.npy")
         arr = np.load(path)
         sharding = getattr(tmpl_leaf, "sharding", None)
-        if sharding is not None:
+        if sharding is not None and isinstance(tmpl_leaf, jax.Array) and not tmpl_leaf.is_fully_addressable:
+            loaded[key] = jax.make_array_from_process_local_data(
+                sharding, arr.astype(tmpl_leaf.dtype)
+            )
+        elif sharding is not None:
             loaded[key] = jax.device_put(arr.astype(tmpl_leaf.dtype), sharding)
         else:
             loaded[key] = arr
