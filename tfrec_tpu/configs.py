@@ -21,9 +21,11 @@ class DataConfig:
     # "synthetic_ctr".
     source: str = "synthetic_implicit"
     path: str | None = None
-    # Splitter: "ratio" (random holdout by fraction) or "leave_one_out"
-    # (most-recent interaction per user held out, TFRec-family convention).
+    # Splitter: "ratio" (random holdout by fraction), "leave_one_out"
+    # (most-recent interaction per user held out), or "given" (pre-split
+    # train at `path` + test at `test_path` — TFRec-family conventions).
     splitter: str = "ratio"
+    test_path: str | None = None
     test_fraction: float = 0.2
     min_interactions: int = 1
     # Implicit-feedback threshold: ratings >= this count as positives.
@@ -38,6 +40,10 @@ class DataConfig:
     num_examples: int = 100_000
     num_dense_features: int = 13
     categorical_vocab_sizes: Sequence[int] = (1000, 1000, 500, 500, 100, 100)
+    # Criteo: stream the TSV instead of materializing (1TB-scale files).
+    # The first eval_examples lines become the held-out eval slice.
+    streaming: bool = False
+    eval_examples: int = 100_000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,10 +30,12 @@ def iter_criteo_batches(
     batch_size: int,
     vocab_sizes: Sequence[int] | int = 100_000,
     max_examples: int | None = None,
+    drop_remainder: bool = True,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (dense [B,13] f32, cat [B,26] i32, label [B] f32) batches.
 
-    The final partial batch is dropped (static shapes for jit)."""
+    The final partial batch is dropped by default (static shapes for jit);
+    drop_remainder=False yields it trimmed (materialization paths)."""
     if isinstance(vocab_sizes, int):
         vocab_sizes = [vocab_sizes] * NUM_CATEGORICAL
     assert len(vocab_sizes) == NUM_CATEGORICAL
@@ -63,6 +65,59 @@ def iter_criteo_batches(
             if fill == batch_size:
                 yield dense.copy(), cat.copy(), label.copy()
                 fill = 0
+    if fill and not drop_remainder:
+        yield dense[:fill].copy(), cat[:fill].copy(), label[:fill].copy()
+
+
+class CriteoStreamBatcher:
+    """Streaming epoch iterator over a Criteo TSV for files too large to
+    materialize (BASELINE.json config 4's 1TB subset). The first
+    ``eval_examples`` lines form the held-out eval slice (materialized
+    once); training streams the remainder in file order each epoch.
+
+    Matches the CTRBatcher epoch(i) protocol the Trainer consumes. Batches
+    arrive in file order (no global shuffle — Criteo logs are already
+    time-shuffled at day granularity, the standard streaming treatment).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int,
+        vocab_sizes: Sequence[int] | int = 100_000,
+        eval_examples: int = 100_000,
+        max_examples: int | None = None,
+    ):
+        self.path = path
+        self.batch_size = batch_size
+        self.vocab_sizes = vocab_sizes
+        self.eval_examples = eval_examples
+        self.max_examples = max_examples
+        self._eval = None
+
+    def eval_arrays(self):
+        if self._eval is None:
+            self._eval = load_criteo(
+                self.path, self.vocab_sizes, max_examples=self.eval_examples
+            )
+        return self._eval
+
+    def num_batches(self) -> int:
+        if self.max_examples is None:
+            return -1  # unknown without a full pass
+        return (self.max_examples - self.eval_examples) // self.batch_size
+
+    def epoch(self, epoch: int):
+        skipped = 0
+        for dense, cat, label in iter_criteo_batches(
+            self.path, self.batch_size, self.vocab_sizes, self.max_examples
+        ):
+            # Skip the eval head (whole batches; eval_examples should be a
+            # multiple of batch_size for an exact split).
+            if skipped < self.eval_examples:
+                skipped += len(label)
+                continue
+            yield {"dense": dense, "cat": cat, "label": label}
 
 
 def load_criteo(
@@ -71,7 +126,10 @@ def load_criteo(
     max_examples: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Materialize a bounded Criteo subset in memory (for eval splits)."""
-    chunks = list(iter_criteo_batches(path, 8192, vocab_sizes, max_examples))
+    chunks = list(
+        iter_criteo_batches(path, 8192, vocab_sizes, max_examples,
+                            drop_remainder=False)
+    )
     if not chunks:
         raise ValueError(f"no complete batches read from {path}")
     dense = np.concatenate([c[0] for c in chunks])

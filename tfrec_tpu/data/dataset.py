@@ -178,11 +178,44 @@ def _make_split(inter: Interactions, is_test: np.ndarray) -> Dataset:
     )
 
 
+def split_given(train_raw, test_raw) -> Dataset:
+    """Pre-split ("given") train/test files: ids are densified over the
+    UNION so both sides share one id space; test pairs unseen in train are
+    kept (standard given-split protocol)."""
+    all_u = np.concatenate([train_raw[0], test_raw[0]])
+    all_i = np.concatenate([train_raw[1], test_raw[1]])
+    users, items, nu, ni = densify_ids(all_u, all_i)
+    n_train = len(train_raw[0])
+
+    def mk(sl, raw):
+        return Interactions(
+            users=users[sl],
+            items=items[sl],
+            ratings=raw[2].astype(np.float32),
+            times=raw[3].astype(np.float64),
+            num_users=nu,
+            num_items=ni,
+        )
+
+    return Dataset(
+        train=mk(slice(0, n_train), train_raw),
+        test=mk(slice(n_train, None), test_raw),
+        num_users=nu,
+        num_items=ni,
+    )
+
+
 def build_dataset(cfg: DataConfig) -> Dataset:
     """Config-driven entry: load or generate interactions, then split."""
     if cfg.source == "movielens":
-        from tfrec_tpu.data.movielens import load_uirt
+        from tfrec_tpu.data.movielens import load_uirt, load_uirt_raw
 
+        if cfg.splitter == "given":
+            if not cfg.test_path:
+                raise ValueError("splitter='given' requires data.test_path")
+            return split_given(
+                load_uirt_raw(cfg.path), load_uirt_raw(cfg.test_path)
+            )
         inter = load_uirt(cfg.path)
     elif cfg.source == "synthetic_implicit":
         from tfrec_tpu.data.synthetic import synthetic_implicit

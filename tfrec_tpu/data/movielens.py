@@ -28,8 +28,9 @@ def _sniff_separator(line: str) -> str:
     raise ValueError(f"cannot determine UIRT separator from line {line!r}")
 
 
-def load_uirt(path: str) -> Interactions:
-    """Load a user-item-rating[-time] file into densified Interactions."""
+def load_uirt_raw(path: str):
+    """(raw_users, raw_items, ratings, times) WITHOUT id densification —
+    for the 'given' splitter, which densifies over the train+test union."""
     if path is None or not os.path.exists(path):
         raise FileNotFoundError(f"rating file not found: {path}")
     with open(path, "r", encoding="latin-1") as f:
@@ -56,13 +57,18 @@ def load_uirt(path: str) -> Interactions:
         if len(parts) >= 4 and parts[3].strip():
             times[count] = float(parts[3])
         count += 1
-    raw_u, raw_i = raw_u[:count], raw_i[:count]
+    return raw_u[:count], raw_i[:count], ratings[:count], times[:count]
+
+
+def load_uirt(path: str) -> Interactions:
+    """Load a user-item-rating[-time] file into densified Interactions."""
+    raw_u, raw_i, ratings, times = load_uirt_raw(path)
     users, items, nu, ni = densify_ids(raw_u, raw_i)
     return Interactions(
         users=users,
         items=items,
-        ratings=ratings[:count],
-        times=times[:count],
+        ratings=ratings,
+        times=times,
         num_users=nu,
         num_items=ni,
     )

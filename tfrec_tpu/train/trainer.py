@@ -52,6 +52,7 @@ class Trainer:
         )
 
         # ---- data ----
+        self.stream = None
         if c.data.source in INTERACTION_SOURCES:
             self.dataset = build_dataset(c.data)
             nu, ni = self.dataset.num_users, self.dataset.num_items
@@ -61,7 +62,26 @@ class Trainer:
                 self.data_spec = DataSpec.interaction(nu, ni)
             self.ctr_arrays = None
         elif c.data.source in CTR_SOURCES:
-            if c.data.source == "synthetic_ctr":
+            if c.data.source == "criteo" and c.data.streaming:
+                from tfrec_tpu.data.criteo import NUM_CATEGORICAL, CriteoStreamBatcher
+
+                vocabs = tuple(c.data.categorical_vocab_sizes)
+                if len(vocabs) != NUM_CATEGORICAL:
+                    vocabs = (vocabs[0],) * NUM_CATEGORICAL
+                self.stream = CriteoStreamBatcher(
+                    c.data.path, c.train.batch_size, vocabs,
+                    eval_examples=c.data.eval_examples,
+                    max_examples=c.data.num_examples or None,
+                )
+                dense, cat, label = self.stream.eval_arrays()
+                self.ctr_arrays = {"train": None, "test": (dense, cat, label)}
+                self.dataset = None
+                self.data_spec = DataSpec.ctr(vocabs, num_dense=dense.shape[1])
+                if not self.is_ctr_model:
+                    raise ValueError(
+                        f"model {c.model.name!r} needs interaction data"
+                    )
+            elif c.data.source == "synthetic_ctr":
                 dense, cat, label = synthetic_ctr(
                     c.data.num_examples,
                     num_dense=c.data.num_dense_features,
@@ -82,13 +102,14 @@ class Trainer:
                 dense, cat, label = load_criteo(
                     c.data.path, vocabs, max_examples=c.data.num_examples or None
                 )
-            n_test = int(len(label) * c.data.test_fraction)
-            self.ctr_arrays = {
-                "train": (dense[:-n_test], cat[:-n_test], label[:-n_test]),
-                "test": (dense[-n_test:], cat[-n_test:], label[-n_test:]),
-            }
-            self.dataset = None
-            self.data_spec = DataSpec.ctr(vocabs, num_dense=dense.shape[1])
+            if self.stream is None:
+                n_test = int(len(label) * c.data.test_fraction)
+                self.ctr_arrays = {
+                    "train": (dense[:-n_test], cat[:-n_test], label[:-n_test]),
+                    "test": (dense[-n_test:], cat[-n_test:], label[-n_test:]),
+                }
+                self.dataset = None
+                self.data_spec = DataSpec.ctr(vocabs, num_dense=dense.shape[1])
             if not self.is_ctr_model:
                 raise ValueError(
                     f"model {c.model.name!r} needs interaction data, got {c.data.source!r}"
@@ -151,6 +172,9 @@ class Trainer:
             c.train.batch_size, n_proc,
         )
         seed = c.train.seed * max(n_proc, 1) + jax.process_index()
+        if self.stream is not None:
+            assert n_proc == 1, "criteo streaming is single-process for now"
+            return self.stream
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
             return CTRBatcher(dense, cat, label, local_bs, seed=seed)
