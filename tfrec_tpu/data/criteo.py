@@ -16,6 +16,28 @@ NUM_DENSE = 13
 NUM_CATEGORICAL = 26
 
 
+def best_batch_iter(
+    path: str,
+    batch_size: int,
+    vocab_sizes: Sequence[int] | int = 100_000,
+    max_examples: int | None = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Native (threaded C++) parser when a toolchain is available,
+    bit-identical Python fallback otherwise — the parsers share the FNV-1a
+    field hashing and log1p dense transform (pinned by tests)."""
+    try:
+        from tfrec_tpu.data.criteo_native import (
+            NativeUnavailable, iter_criteo_batches_native, load,
+        )
+
+        load()
+        return iter_criteo_batches_native(
+            path, batch_size, vocab_sizes, max_examples
+        )
+    except Exception:
+        return iter_criteo_batches(path, batch_size, vocab_sizes, max_examples)
+
+
 def _hash_token(token: str, vocab: int, field: int) -> int:
     # FNV-1a over (field, token) so identical tokens in different fields
     # don't collide systematically.
@@ -109,7 +131,7 @@ class CriteoStreamBatcher:
 
     def epoch(self, epoch: int):
         skipped = 0
-        for dense, cat, label in iter_criteo_batches(
+        for dense, cat, label in best_batch_iter(
             self.path, self.batch_size, self.vocab_sizes, self.max_examples
         ):
             # Skip the eval head (whole batches; eval_examples should be a

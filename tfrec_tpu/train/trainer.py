@@ -36,6 +36,7 @@ from tfrec_tpu.train.losses import MULTI_NEG_LOSSES, PAIRWISE_LOSSES
 from tfrec_tpu.train.step import TrainStepBuilder
 from tfrec_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from tfrec_tpu.utils.logging import MetricLogger
+from tfrec_tpu.utils.prefetch import prefetch
 
 CTR_MODELS = ("fm", "dcn", "dcnv2", "deepfm", "widedeep", "dlrm")
 INTERACTION_SOURCES = ("movielens", "synthetic_implicit")
@@ -306,10 +307,10 @@ class Trainer:
             t0 = time.monotonic()
             n_examples = 0
             losses = []
-            for i, batch in enumerate(self.sampler.epoch(epoch)):
+            batch_stream = prefetch(self.sampler.epoch(epoch), self._to_device_batch)
+            for i, dev_batch in enumerate(batch_stream):
                 if steps_cap > 0 and i >= steps_cap:
                     break
-                dev_batch = self._to_device_batch(batch)
                 if self.jit_step is None:
                     self.jit_step = self.builder.compile_step(self.state, dev_batch)
                 self.profiler.step(self.global_step)
