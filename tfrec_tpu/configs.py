@@ -40,10 +40,19 @@ class DataConfig:
     num_examples: int = 100_000
     num_dense_features: int = 13
     categorical_vocab_sizes: Sequence[int] = (1000, 1000, 500, 500, 100, 100)
+    # Multi-hot bag width per field (empty = all single-hot). A width-W
+    # field occupies W columns of the cat matrix, sentinel-padded.
+    categorical_field_widths: Sequence[int] = ()
     # Criteo: stream the TSV instead of materializing (1TB-scale files).
     # The first eval_examples lines become the held-out eval slice.
     streaming: bool = False
     eval_examples: int = 100_000
+    # Side features for interaction data used by CTR models (config 2's
+    # multi-field FM): ml-1m users.dat / movies.dat paths, or synthetic
+    # stand-ins (gender/age/occupation + genre) when True.
+    user_features_path: str | None = None
+    item_features_path: str | None = None
+    synthetic_side_features: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,15 +41,29 @@ class DataSpec:
     num_items: int = 0
     field_vocabs: Tuple[int, ...] = ()
     num_dense: int = 0
+    # Multi-hot bag width per field (1 = single-hot). A width-W field
+    # occupies W columns of batch["cat"], padded with the sentinel value
+    # ``vocab`` (one past the end); embeddings are mean-combined over the
+    # valid ids (SURVEY.md §5: bag width is the recsys sequence-length
+    # analog — scaled by sharding, not sequence parallelism).
+    field_widths: Tuple[int, ...] = ()
 
     @staticmethod
     def interaction(num_users: int, num_items: int) -> "DataSpec":
         return DataSpec(kind="interaction", num_users=num_users, num_items=num_items)
 
     @staticmethod
-    def ctr(field_vocabs: Sequence[int], num_dense: int) -> "DataSpec":
+    def ctr(
+        field_vocabs: Sequence[int],
+        num_dense: int,
+        field_widths: Sequence[int] | None = None,
+    ) -> "DataSpec":
+        vocabs = tuple(field_vocabs)
+        widths = tuple(field_widths) if field_widths else (1,) * len(vocabs)
+        assert len(widths) == len(vocabs), (widths, vocabs)
         return DataSpec(
-            kind="ctr", field_vocabs=tuple(field_vocabs), num_dense=num_dense
+            kind="ctr", field_vocabs=vocabs, num_dense=num_dense,
+            field_widths=widths,
         )
 
 

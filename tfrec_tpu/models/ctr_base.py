@@ -1,10 +1,13 @@
 """Shared plumbing for CTR / feature-interaction models over multi-field
 categorical + dense inputs (FM, DCN, DeepFM, Wide&Deep, DLRM).
 
-Batch convention: {"dense": [B, Dd] f32 (Dd may be 0), "cat": [B, F] i32,
-"label": [B] f32}. One embedding table per field ("field_{f}"), plus
-optional per-field linear (vocab x 1) tables for models with a wide/FM
-linear term.
+Batch convention: {"dense": [B, Dd] f32 (Dd may be 0), "cat": [B, sum(W_f)]
+i32, "label": [B] f32} — a width-W_f multi-hot field occupies W_f columns,
+padded with the sentinel ``vocab_f`` (clamped on gather, masked out of the
+combine, dropped by the sparse-optimizer scatter). One embedding table per
+field ("field_{f}"), plus optional per-field linear (vocab x 1) tables.
+Multi-hot embeddings use a masked MEAN combiner; linear terms use masked
+SUM.
 """
 
 from __future__ import annotations
@@ -24,10 +27,21 @@ class CTRBase(RecModel):
         assert data_spec.kind == "ctr"
         self.data_spec = data_spec
         self.embed_dim = embed_dim
+        self.widths = data_spec.field_widths or (1,) * len(data_spec.field_vocabs)
+        self._offsets = []
+        off = 0
+        for w in self.widths:
+            self._offsets.append(off)
+            off += w
+        self.cat_columns = off
 
     @property
     def num_fields(self) -> int:
         return len(self.data_spec.field_vocabs)
+
+    @property
+    def multi_hot(self) -> bool:
+        return any(w > 1 for w in self.widths)
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         specs = [
@@ -41,28 +55,59 @@ class CTRBase(RecModel):
             ]
         return tuple(specs)
 
+    def _field_ids(self, batch, f: int) -> jnp.ndarray:
+        """Flat ids for field f: [B * W_f] (sentinel-padded for bags)."""
+        off, w = self._offsets[f], self.widths[f]
+        cols = batch["cat"][:, off : off + w]
+        return cols.reshape(-1)
+
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
-        cat = batch["cat"]
-        ids = {f"field_{f}": cat[:, f] for f in range(self.num_fields)}
+        ids = {f"field_{f}": self._field_ids(batch, f) for f in range(self.num_fields)}
         if self.use_linear_tables:
-            ids.update({f"lin_{f}": cat[:, f] for f in range(self.num_fields)})
+            ids.update(
+                {f"lin_{f}": ids[f"field_{f}"] for f in range(self.num_fields)}
+            )
         return ids
 
-    def field_stack(self, gathered) -> jnp.ndarray:
-        """[B, F, D] stacked field embeddings."""
+    def _combine(self, gathered_rows: jnp.ndarray, batch, f: int, mean: bool) -> jnp.ndarray:
+        """[B*W, D] rows -> [B, D] masked mean/sum over the bag width."""
+        w = self.widths[f]
+        bsz = batch["cat"].shape[0]
+        if w == 1:
+            return gathered_rows
+        vocab = self.data_spec.field_vocabs[f]
+        ids = self._field_ids(batch, f).reshape(bsz, w)
+        valid = ids < vocab  # [B, W]
+        # where (not multiply): padded rows may be NaN-filled by the gather.
+        rows = jnp.where(
+            valid[:, :, None], gathered_rows.reshape(bsz, w, -1), 0.0
+        )
+        out = jnp.sum(rows, axis=1)
+        if mean:
+            denom = jnp.maximum(jnp.sum(valid.astype(out.dtype), axis=1), 1.0)
+            out = out / denom[:, None]
+        return out
+
+    def field_stack(self, gathered, batch) -> jnp.ndarray:
+        """[B, F, D] combined field embeddings."""
         return jnp.stack(
-            [gathered[f"field_{f}"] for f in range(self.num_fields)], axis=1
+            [
+                self._combine(gathered[f"field_{f}"], batch, f, mean=True)
+                for f in range(self.num_fields)
+            ],
+            axis=1,
         )
 
-    def linear_sum(self, gathered) -> jnp.ndarray:
-        """[B] sum of per-field linear weights."""
-        return sum(
-            gathered[f"lin_{f}"][:, 0] for f in range(self.num_fields)
-        )
+    def linear_sum(self, gathered, batch) -> jnp.ndarray:
+        """[B] masked sum of per-field linear weights."""
+        total = 0.0
+        for f in range(self.num_fields):
+            total = total + self._combine(gathered[f"lin_{f}"], batch, f, mean=False)[:, 0]
+        return total
 
     def flat_input(self, gathered, batch) -> jnp.ndarray:
-        """[B, F*D + Dd]: concatenated embeddings + dense features."""
-        flat = self.field_stack(gathered).reshape(batch["cat"].shape[0], -1)
+        """[B, F*D + Dd]: concatenated field embeddings + dense features."""
+        flat = self.field_stack(gathered, batch).reshape(batch["cat"].shape[0], -1)
         if self.data_spec.num_dense > 0:
             flat = jnp.concatenate([flat, batch["dense"]], axis=-1)
         return flat

@@ -32,8 +32,8 @@ class DeepFM(CTRBase):
         return d
 
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
-        fields = self.field_stack(gathered)
-        logit = dense["w0"] + self.linear_sum(gathered) + fm_second_order(fields)
+        fields = self.field_stack(gathered, batch)
+        logit = dense["w0"] + self.linear_sum(gathered, batch) + fm_second_order(fields)
         if self.data_spec.num_dense > 0:
             logit = logit + batch["dense"] @ dense["w_dense"]
         deep = apply_mlp(

@@ -52,7 +52,7 @@ class DLRM(CTRBase):
         return d
 
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
-        vecs = [self.field_stack(gathered)]  # [B, F, D]
+        vecs = [self.field_stack(gathered, batch)]  # [B, F, D]
         bottom = None
         if self.has_bottom:
             bottom = apply_mlp(dense["bottom"], batch["dense"])  # [B, D]

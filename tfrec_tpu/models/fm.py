@@ -28,10 +28,10 @@ class FM(CTRBase):
         return d
 
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
-        logit = dense["w0"] + self.linear_sum(gathered)
+        logit = dense["w0"] + self.linear_sum(gathered, batch)
         if self.data_spec.num_dense > 0:
             logit = logit + batch["dense"] @ dense["w_dense"]
-        return logit + fm_second_order(self.field_stack(gathered))
+        return logit + fm_second_order(self.field_stack(gathered, batch))
 
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         """Full-catalog scores for the (user, item) 2-field case: the only

@@ -32,7 +32,7 @@ class WideDeep(CTRBase):
         return d
 
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
-        wide = dense["b"] + self.linear_sum(gathered)
+        wide = dense["b"] + self.linear_sum(gathered, batch)
         if self.data_spec.num_dense > 0:
             wide = wide + batch["dense"] @ dense["w_dense"]
         deep = apply_mlp(

@@ -56,10 +56,11 @@ def init_tables(
 def gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Row gather ``table[ids]`` — the XLA reference path.
 
-    jnp's default out-of-bounds behavior (clamp) is acceptable here because
-    callers only pass in-range ids or sentinel rows whose outputs are masked.
+    mode='clip': sentinel (out-of-range) ids used for bag padding clamp to
+    the last row instead of jnp.take's default NaN fill; callers mask those
+    outputs, and a clamped value is maskable where NaN (0*NaN=NaN) is not.
     """
-    return jnp.take(table, ids, axis=0)
+    return jnp.take(table, ids, axis=0, mode="clip")
 
 
 def combine_duplicate_ids(

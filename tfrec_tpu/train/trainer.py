@@ -57,8 +57,10 @@ class Trainer:
         if c.data.source in INTERACTION_SOURCES:
             self.dataset = build_dataset(c.data)
             nu, ni = self.dataset.num_users, self.dataset.num_items
+            self.user_side = self.item_side = None
             if self.is_ctr_model:
-                self.data_spec = DataSpec.ctr((nu, ni), num_dense=0)
+                side_vocabs = self._load_side_features(nu, ni)
+                self.data_spec = DataSpec.ctr((nu, ni) + side_vocabs, num_dense=0)
             else:
                 self.data_spec = DataSpec.interaction(nu, ni)
             self.ctr_arrays = None
@@ -88,6 +90,7 @@ class Trainer:
                     num_dense=c.data.num_dense_features,
                     vocab_sizes=c.data.categorical_vocab_sizes,
                     seed=c.data.seed,
+                    field_widths=c.data.categorical_field_widths or None,
                 )
                 vocabs = tuple(c.data.categorical_vocab_sizes)
             else:
@@ -110,7 +113,10 @@ class Trainer:
                     "test": (dense[-n_test:], cat[-n_test:], label[-n_test:]),
                 }
                 self.dataset = None
-                self.data_spec = DataSpec.ctr(vocabs, num_dense=dense.shape[1])
+                self.data_spec = DataSpec.ctr(
+                    vocabs, num_dense=dense.shape[1],
+                    field_widths=c.data.categorical_field_widths or None,
+                )
             if not self.is_ctr_model:
                 raise ValueError(
                     f"model {c.model.name!r} needs interaction data, got {c.data.source!r}"
@@ -161,6 +167,45 @@ class Trainer:
         self.profiler = StepProfiler(c.train.profile_steps)
         self.global_step = 0
 
+    def _load_side_features(self, nu: int, ni: int):
+        """Per-user/per-item categorical side features for multi-field CTR
+        models over interaction data (BASELINE.json:8 'multi-field'). Returns
+        the tuple of side-field vocab sizes; fills self.user_side [U, Fu] /
+        self.item_side [V, Fi] int32 arrays (or leaves them None)."""
+        c = self.config
+        vocabs: tuple = ()
+        if c.data.user_features_path:
+            from tfrec_tpu.data.movielens import load_ml1m_user_features
+
+            feats, fv = load_ml1m_user_features(c.data.user_features_path)
+            # Raw ids here must match the dataset's raw->dense mapping only
+            # approximately; unmatched users get field value 0.
+            arr = np.zeros((nu, len(fv)), np.int32)
+            for raw, vec in feats.items():
+                if raw - 1 < nu:  # ml-1m raw ids are 1-based and dense
+                    arr[raw - 1] = vec
+            self.user_side = arr
+            vocabs += fv
+        if c.data.item_features_path:
+            from tfrec_tpu.data.movielens import load_ml1m_item_genres
+
+            genres, n_genres = load_ml1m_item_genres(c.data.item_features_path)
+            arr = np.zeros((ni, 1), np.int32)
+            for raw, g in genres.items():
+                if raw - 1 < ni:
+                    arr[raw - 1, 0] = g
+            self.item_side = arr
+            vocabs += (n_genres,)
+        if c.data.synthetic_side_features and not vocabs:
+            rng = np.random.default_rng(c.data.seed + 11)
+            side_vocabs_u = (2, 7, 21)  # gender, age bucket, occupation
+            self.user_side = np.stack(
+                [rng.integers(0, v, nu) for v in side_vocabs_u], axis=1
+            ).astype(np.int32)
+            self.item_side = rng.integers(0, 18, (ni, 1)).astype(np.int32)
+            vocabs = side_vocabs_u + (18,)
+        return vocabs
+
     def _make_sampler(self):
         """Multi-process (SURVEY.md §3b): every process samples its own
         1/num_processes slice of each global batch (seed folded with the
@@ -190,10 +235,16 @@ class Trainer:
 
     def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         if self.is_ctr_model and self.ctr_arrays is None:
-            # interaction pointwise sample -> 2-field categorical batch
+            # interaction pointwise sample -> multi-field categorical batch
+            # [user, item, user-side fields..., item-side fields...]
+            cols = [batch["user"][:, None], batch["item"][:, None]]
+            if self.user_side is not None:
+                cols.append(self.user_side[batch["user"]])
+            if self.item_side is not None:
+                cols.append(self.item_side[batch["item"]])
             batch = {
                 "dense": np.zeros((len(batch["user"]), 0), np.float32),
-                "cat": np.stack([batch["user"], batch["item"]], axis=1),
+                "cat": np.concatenate(cols, axis=1).astype(np.int32),
                 "label": batch["label"],
             }
         if self.mesh is not None:

@@ -43,7 +43,10 @@ def mf_bpr_ml100k(path: str | None = None) -> Config:
 
 
 def fm_ctr_ml1m(path: str | None = None) -> Config:
-    """Config 2: FM pointwise CTR on MovieLens-1M, multi-field categoricals."""
+    """Config 2: FM pointwise CTR on MovieLens-1M, multi-field categoricals
+    (user, item + gender/age/occupation/genre side fields; set
+    data.user_features_path / item_features_path to the ml-1m users.dat /
+    movies.dat for the real side features)."""
     return Config(
         run_name="fm_ctr_ml1m",
         data=DataConfig(
@@ -52,6 +55,7 @@ def fm_ctr_ml1m(path: str | None = None) -> Config:
             splitter="ratio",
             test_fraction=0.2,
             num_users=6040, num_items=3706, interactions_per_user=64,
+            synthetic_side_features=path is None,
         ),
         model=ModelConfig(name="fm", embed_dim=64),
         optim=OptimConfig(
