@@ -1,0 +1,76 @@
+"""Serving surface (predict / recommend), Pop baseline, explicit-rating MSE."""
+
+import numpy as np
+
+from tfrec_tpu.configs import (
+    Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+)
+from tfrec_tpu.serve import Recommender
+from tfrec_tpu.train.trainer import Trainer
+
+
+def _trained_trainer(model_cfg=None, loss="bpr", epochs=4, **train_kw):
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96, num_items=200,
+                        interactions_per_user=12, seed=0),
+        model=model_cfg or ModelConfig(name="mf", embed_dim=16),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=256, epochs=epochs, eval_every_epochs=0,
+                          loss=loss, **train_kw),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t = Trainer(cfg, quiet=True)
+    t.train()
+    return t
+
+
+def test_predict_matches_score_catalog():
+    t = _trained_trainer()
+    rec = Recommender.from_trainer(t)
+    users = np.array([1, 5, 9], np.int32)
+    items = np.array([3, 7, 100], np.int32)
+    point = rec.predict(users, items)
+    catalog = rec.score_catalog(users)
+    np.testing.assert_allclose(
+        point, catalog[np.arange(3), items], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_recommend_excludes_train_items():
+    t = _trained_trainer()
+    rec = Recommender.from_trainer(t)
+    users = np.arange(16, dtype=np.int32)
+    ids, vals = rec.recommend(users, k=20, exclude_train=True)
+    assert ids.shape == (16, 20) and vals.shape == (16, 20)
+    csr = t.dataset.train_csr
+    for r, u in enumerate(users):
+        train_items = set(csr.indices[csr.indptr[u]:csr.indptr[u + 1]].tolist())
+        assert not train_items & set(ids[r].tolist())
+    # scores sorted descending
+    assert np.all(np.diff(vals, axis=1) <= 1e-6)
+
+
+def test_pop_baseline_learns_popularity():
+    t = _trained_trainer(ModelConfig(name="pop"), epochs=6)
+    rec = Recommender.from_trainer(t)
+    scores = rec.score_catalog(np.array([0], np.int32))[0]
+    # learned score should correlate with empirical train popularity
+    pop = np.asarray(t.dataset.train_csr.sum(axis=0)).ravel()
+    corr = np.corrcoef(scores, pop)[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_explicit_rating_mse_training():
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=64, num_items=128,
+                        interactions_per_user=10, seed=1),
+        model=ModelConfig(name="mf", embed_dim=8),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=128, epochs=3, eval_every_epochs=0,
+                          loss="mse", num_negatives=1),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t = Trainer(cfg, quiet=True)
+    hist = t.train()
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]

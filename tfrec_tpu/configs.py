@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # mf | fm | gmf | mlp | neumf | dcn | deepfm | widedeep | dlrm | dcnv2
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm
     embed_dim: int = 64
     # Dense-tower widths (MLP/NeuMF deep tower, DCN deep tower).
     mlp_dims: Sequence[int] = (256, 128, 64)

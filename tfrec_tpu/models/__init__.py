@@ -12,12 +12,14 @@ from tfrec_tpu.models.dlrm import DLRM
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
+from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.widedeep import WideDeep
 
 __all__ = [
     "DataSpec",
     "RecModel",
     "MF",
+    "Pop",
     "FM",
     "GMF",
     "MLP",
@@ -32,6 +34,8 @@ __all__ = [
 
 def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") -> RecModel:
     name = cfg.name.lower()
+    if name == "pop":
+        return Pop(data_spec)
     if name == "mf":
         return MF(data_spec, cfg.embed_dim)
     if name == "gmf":
