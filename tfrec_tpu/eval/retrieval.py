@@ -120,6 +120,74 @@ def chunked_topk(
     return vals, ids
 
 
+class RetrievalEvaluator:
+    """Compile-once full-catalog ranking evaluation.
+
+    The jitted per-batch program (catalog scoring -> train-item masking ->
+    top-k -> metrics) and the padded positives are built once and reused
+    across eval epochs — rebuilding them per call would recompile every
+    time, which dominates eval cost on TPU.
+    """
+
+    def __init__(
+        self,
+        score_all_fn: Callable[..., jnp.ndarray],
+        dataset,
+        ks: Sequence[int],
+        user_batch: int = 256,
+    ):
+        self.ks = tuple(ks)
+        self.user_batch = user_batch
+        self.train_padded, self.train_counts = padded_positives(dataset.train_csr)
+        self.test_padded, self.test_counts = padded_positives(dataset.test_csr)
+        self.users_with_test = np.flatnonzero(self.test_counts > 0).astype(np.int32)
+        max_k = max(self.ks)
+        ks_local = self.ks
+
+        @jax.jit
+        def eval_batch(params, users, trn_p, trn_c, tst_p, tst_c):
+            with jax.named_scope("score_catalog"):
+                scores = score_all_fn(params, users)
+            with jax.named_scope("mask_topk"):
+                _, topk_items = topk_scores(scores, max_k, trn_p, trn_c)
+            with jax.named_scope("ranking_metrics"):
+                m = ranking_metrics_from_topk(topk_items, tst_p, tst_c, ks_local)
+            n_users = jnp.sum((tst_c > 0).astype(jnp.float32))
+            return {k: v * n_users for k, v in m.items()}, n_users
+
+        self._eval_batch = eval_batch
+
+    def __call__(self, params) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        total_users = 0.0
+        user_batch = self.user_batch
+        for start in range(0, len(self.users_with_test), user_batch):
+            batch_users = self.users_with_test[start : start + user_batch]
+            # Pad the final batch to static shape; padded users have 0 test
+            # items so they contribute nothing.
+            if len(batch_users) < user_batch:
+                pad = np.zeros(user_batch - len(batch_users), dtype=np.int32)
+                mask = np.concatenate(
+                    [np.ones(len(batch_users), bool), np.zeros(len(pad), bool)]
+                )
+                batch_users = np.concatenate([batch_users, pad])
+            else:
+                mask = np.ones(user_batch, bool)
+            tst_c = np.where(mask, self.test_counts[batch_users], 0).astype(np.int32)
+            metrics, n_users = self._eval_batch(
+                params,
+                jnp.asarray(batch_users),
+                jnp.asarray(self.train_padded[batch_users]),
+                jnp.asarray(self.train_counts[batch_users]),
+                jnp.asarray(self.test_padded[batch_users]),
+                jnp.asarray(tst_c),
+            )
+            total_users += float(n_users)
+            for key, val in metrics.items():
+                sums[key] = sums.get(key, 0.0) + float(val)
+        return {k: v / max(total_users, 1.0) for k, v in sums.items()}
+
+
 def evaluate_retrieval(
     score_all_fn: Callable[..., jnp.ndarray],
     params,
@@ -128,50 +196,5 @@ def evaluate_retrieval(
     user_batch: int = 256,
     chunk_size: int | None = None,
 ) -> Dict[str, float]:
-    """Full-catalog ranking evaluation over all users with test items.
-
-    ``score_all_fn(params, user_ids) -> [B, num_items]`` scores the whole
-    catalog for a user batch (models provide this; for dot-product scorers
-    it is one MXU matmul).
-    """
-    num_items = dataset.num_items
-    train_padded, train_counts = padded_positives(dataset.train_csr)
-    test_padded, test_counts = padded_positives(dataset.test_csr)
-    max_k = max(ks)
-
-    @jax.jit
-    def eval_batch(params, users, trn_p, trn_c, tst_p, tst_c):
-        scores = score_all_fn(params, users)
-        _, topk_items = topk_scores(scores, max_k, trn_p, trn_c)
-        m = ranking_metrics_from_topk(topk_items, tst_p, tst_c, ks)
-        n_users = jnp.sum((tst_c > 0).astype(jnp.float32))
-        return {k: v * n_users for k, v in m.items()}, n_users
-
-    users_with_test = np.flatnonzero(test_counts > 0).astype(np.int32)
-    sums: Dict[str, float] = {}
-    total_users = 0.0
-    for start in range(0, len(users_with_test), user_batch):
-        batch_users = users_with_test[start : start + user_batch]
-        # Pad the final batch to static shape; padded users have 0 test items
-        # so they contribute nothing.
-        if len(batch_users) < user_batch:
-            pad = np.zeros(user_batch - len(batch_users), dtype=np.int32)
-            pad_counts_mask = np.concatenate(
-                [np.ones(len(batch_users), bool), np.zeros(len(pad), bool)]
-            )
-            batch_users = np.concatenate([batch_users, pad])
-        else:
-            pad_counts_mask = np.ones(user_batch, bool)
-        tst_c = np.where(pad_counts_mask, test_counts[batch_users], 0).astype(np.int32)
-        metrics, n_users = eval_batch(
-            params,
-            jnp.asarray(batch_users),
-            jnp.asarray(train_padded[batch_users]),
-            jnp.asarray(train_counts[batch_users]),
-            jnp.asarray(test_padded[batch_users]),
-            jnp.asarray(tst_c),
-        )
-        total_users += float(n_users)
-        for key, val in metrics.items():
-            sums[key] = sums.get(key, 0.0) + float(val)
-    return {k: v / max(total_users, 1.0) for k, v in sums.items()}
+    """One-shot convenience wrapper around RetrievalEvaluator."""
+    return RetrievalEvaluator(score_all_fn, dataset, ks, user_batch)(params)

@@ -130,8 +130,9 @@ class TrainStepBuilder:
 
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
         model, loss_fn = self.model, self.loss_fn
-        ids = model.lookup_ids(batch)
-        gathered, aux = self.lookup(state["tables"], ids)
+        with jax.named_scope("embedding_lookup"):
+            ids = model.lookup_ids(batch)
+            gathered, aux = self.lookup(state["tables"], ids)
 
         # Per-step dropout rng, identical on every host/device (SPMD).
         step_rng = jax.random.fold_in(self.base_rng, state["step"])
@@ -147,21 +148,25 @@ class TrainStepBuilder:
                 loss = loss + self.l2_reg * reg / logits.shape[0]
             return loss
 
-        loss, (dense_grad, gathered_grad) = jax.value_and_grad(
-            objective, argnums=(0, 1)
-        )(state["dense"], gathered)
+        with jax.named_scope("forward_backward"):
+            loss, (dense_grad, gathered_grad) = jax.value_and_grad(
+                objective, argnums=(0, 1)
+            )(state["dense"], gathered)
 
-        updates, new_dense_opt = self.dense_tx.update(
-            dense_grad, state["dense_opt"], state["dense"]
-        )
-        new_dense = optax.apply_updates(state["dense"], updates)
+        with jax.named_scope("dense_update"):
+            updates, new_dense_opt = self.dense_tx.update(
+                dense_grad, state["dense_opt"], state["dense"]
+            )
+            new_dense = optax.apply_updates(state["dense"], updates)
 
         new_tables = dict(state["tables"])
         new_sparse = dict(state["sparse_opt"])
-        for name, g in gathered_grad.items():
-            new_tables[name], new_sparse[name] = self.sparse_update(
-                name, state["tables"][name], state["sparse_opt"][name], ids[name], g
-            )
+        with jax.named_scope("sparse_update"):
+            for name, g in gathered_grad.items():
+                new_tables[name], new_sparse[name] = self.sparse_update(
+                    name, state["tables"][name], state["sparse_opt"][name],
+                    ids[name], g,
+                )
 
         new_state = {
             "step": state["step"] + 1,

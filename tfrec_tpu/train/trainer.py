@@ -166,6 +166,9 @@ class Trainer:
 
         self.profiler = StepProfiler(c.train.profile_steps)
         self.global_step = 0
+        # Compile-once eval caches.
+        self._retrieval_eval = None
+        self._fwd_jit = None
 
     def _load_side_features(self, nu: int, ni: int):
         """Per-user/per-item categorical side features for multi-field CTR
@@ -280,34 +283,45 @@ class Trainer:
             dense, cat, label = self.ctr_arrays["test"]
             out.update(self._eval_ctr(dense, cat, label))
             return out
-        # Interaction data: full-catalog ranking eval.
-        try:
-            out.update(
-                evaluate_retrieval(
+        # Interaction data: full-catalog ranking eval (compiled once).
+        if self._retrieval_eval is None:
+            try:
+                from tfrec_tpu.eval.retrieval import RetrievalEvaluator
+
+                self._retrieval_eval = RetrievalEvaluator(
                     lambda p, u: self.model.score_all(p, u),
-                    self.params,
                     self.dataset,
                     ks=tuple(c.train.eval_topk),
                     user_batch=c.train.eval_user_batch,
                 )
-            )
-        except NotImplementedError:
-            pass
+            except NotImplementedError:
+                self._retrieval_eval = False
+        if self._retrieval_eval:
+            try:
+                out.update(self._retrieval_eval(self.params))
+            except NotImplementedError:
+                self._retrieval_eval = False
         if self.loss_name == "logloss" or self.is_ctr_model:
             out.update(self._eval_interaction_auc())
         return out
+
+    def _forward_fn(self):
+        if self._fwd_jit is None:
+
+            @jax.jit
+            def fwd(state, batch):
+                ids = self.model.lookup_ids(batch)
+                g = self.builder.lookup_fn(state["tables"], ids)
+                return self.model.forward(state["dense"], g, batch)
+
+            self._fwd_jit = fwd
+        return self._fwd_jit
 
     def _eval_ctr(self, dense, cat, label, max_n: int = 200_000) -> Dict[str, float]:
         n = min(len(label), max_n)
         bs = min(8192, n)
         logits_out = []
-
-        @jax.jit
-        def fwd(state, batch):
-            ids = self.model.lookup_ids(batch)
-            g = self.builder.lookup_fn(state["tables"], ids)
-            return self.model.forward(state["dense"], g, batch)
-
+        fwd = self._forward_fn()
         for s in range(0, n - bs + 1, bs):
             batch = {
                 "dense": jnp.asarray(dense[s : s + bs]),
@@ -338,14 +352,7 @@ class Trainer:
         labels = np.tile(np.array([1.0, 0.0], np.float32), n)
         batch = {"user": users.astype(np.int32), "item": items, "label": labels}
         dev_batch = self._to_device_batch(batch)
-
-        @jax.jit
-        def fwd(state, b):
-            ids = self.model.lookup_ids(b)
-            g = self.builder.lookup_fn(state["tables"], ids)
-            return self.model.forward(state["dense"], g, b)
-
-        logits = fwd(self.state, dev_batch)
+        logits = self._forward_fn()(self.state, dev_batch)
         return {"auc": float(auc_metric(logits, dev_batch["label"]))}
 
     # ---- training ----

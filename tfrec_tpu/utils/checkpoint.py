@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from typing import Any, Dict
 
 import jax
@@ -60,7 +61,7 @@ def _local_block(leaf) -> np.ndarray:
     return np.concatenate([blocks[k] for k in keys], axis=axis)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
+def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
     out = os.path.join(ckpt_dir, f"step_{step:010d}")
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
@@ -81,6 +82,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
             os.replace(tmp, out)
         except OSError:
             pass
+    # Retention: keep the newest `keep` checkpoints (process 0 only).
+    if proc == 0 and keep > 0:
+        steps = sorted(
+            int(m.group(1))
+            for d in os.listdir(ckpt_dir)
+            if (m := re.fullmatch(r"step_(\d+)", d))
+        )
+        for old in steps[:-keep]:
+            victim = os.path.join(ckpt_dir, f"step_{old:010d}")
+            try:
+                shutil.rmtree(victim)
+            except OSError:
+                pass
     return out
 
 
