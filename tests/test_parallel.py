@@ -197,3 +197,40 @@ def test_sharded_topk_respects_exclusions(mesh8):
     got = np.asarray(ids)
     for u in range(4):
         assert not set(top3[u]) & set(got[u])
+
+
+def test_gspmd_mode_matches_single_device(mesh8):
+    """table_sharding='gspmd': same row layout, XLA-generated collectives."""
+    ds = build_dataset(
+        DataConfig(
+            source="synthetic_implicit", num_users=96, num_items=200,
+            interactions_per_user=12, seed=0,
+        )
+    )
+    model = MF(DataSpec.interaction(ds.num_users, ds.num_items), embed_dim=16)
+    ocfg = OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad")
+    b_ref = TrainStepBuilder(model, "bpr", ocfg)
+    s_ref = b_ref.init_state(jax.random.PRNGKey(0))
+    b_g = ShardedTrainStepBuilder(
+        model, "bpr", ocfg, mesh8, MeshConfig(table_sharding="gspmd")
+    )
+    s_g = b_g.init_state(jax.random.PRNGKey(0))
+    sampler = PairwiseSampler(ds, batch_size=128, seed=1)
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()} for b in list(sampler.epoch(0))[:2]
+    ]
+    step_ref = jax.jit(b_ref.step)
+    step_g = b_g.compile_step(s_g, batches[0])
+    for b in batches:
+        s_ref, _ = step_ref(s_ref, b)
+        bs = {
+            k: jax.device_put(v, NamedSharding(mesh8, P("data")))
+            for k, v in b.items()
+        }
+        s_g, _ = step_g(s_g, bs)
+    ut = b_g.unpadded_tables(s_g)
+    for name in s_ref["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(ut[name]), np.asarray(s_ref["tables"][name]),
+            rtol=2e-4, atol=1e-5,
+        )

@@ -97,7 +97,9 @@ class MeshConfig:
 
     data_axis_size: int = -1  # -1: infer (all devices / table_axis_size); 0: force single-device path (no mesh)
     table_axis_size: int = 1
-    # Embedding-table sharding: "row" | "col" | "replicated".
+    # Embedding-table sharding: "row" (explicit all-to-all path) | "col"
+    # (feature-dim over the table axis) | "gspmd" (row layout, XLA-
+    # partitioner-generated collectives — the A/B reference) | "replicated".
     table_sharding: str = "row"
     # Static per-destination-shard capacity for the all-to-all ID exchange,
     # as a multiple of the even share (cap = ceil(ids/T) * factor). Overflow

@@ -53,6 +53,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         self.mesh_cfg = mesh_cfg or MeshConfig()
         mode = self.mesh_cfg.table_sharding
         self.plans: Dict[str, object] = {}
+        self._gspmd_row = mode == "gspmd"
         for spec in model.table_specs():
             if mode == "row":
                 self.plans[spec.name] = RowShardedTable(
@@ -63,14 +64,19 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                 )
             elif mode == "col" and spec.dim % mesh.shape["table"] == 0 and mesh.shape["table"] > 1:
                 self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
-            else:  # replicated (or col-incompatible dim): GSPMD handles it
+            elif mode == "gspmd":
+                # Row-sharded layout but lookups/updates via plain gather/
+                # scatter — the XLA SPMD partitioner inserts the collectives.
+                # The A/B reference for the explicit all-to-all path.
+                self.plans[spec.name] = "gspmd_row"
+            else:  # replicated: GSPMD handles it
                 self.plans[spec.name] = None
 
     # ---- layout helpers ----
 
     def table_spec_sharding(self, name: str) -> NamedSharding:
         plan = self.plans[name]
-        if isinstance(plan, RowShardedTable):
+        if isinstance(plan, RowShardedTable) or plan == "gspmd_row":
             return NamedSharding(self.mesh, P("data", None))
         if isinstance(plan, ColShardedTable):
             return NamedSharding(self.mesh, P(None, "table"))
@@ -78,7 +84,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     def _opt_state_sharding(self, name: str, leaf) -> NamedSharding:
         plan = self.plans[name]
-        if isinstance(plan, RowShardedTable):
+        if isinstance(plan, RowShardedTable) or plan == "gspmd_row":
             return NamedSharding(self.mesh, P("data", *([None] * (leaf.ndim - 1))))
         if isinstance(plan, ColShardedTable) and leaf.ndim == 2:
             return NamedSharding(self.mesh, P(None, "table"))
@@ -141,8 +147,8 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         gathered, overflow_total = {}, jnp.zeros((), jnp.int32)
         for name, t_ids in ids.items():
             plan = self.plans[name]
-            if plan is None:
-                gathered[name] = jnp.take(tables[name], t_ids, axis=0)
+            if plan is None or plan == "gspmd_row":
+                gathered[name] = jnp.take(tables[name], t_ids, axis=0, mode="clip")
             else:
                 gathered[name], ovf = plan.lookup(tables[name], t_ids)
                 overflow_total = overflow_total + ovf
@@ -150,7 +156,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     def sparse_update(self, name, table, opt_state, ids, grads):
         plan = self.plans[name]
-        if plan is None:
+        if plan is None or plan == "gspmd_row":
             return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
         new_table, new_state, _ = plan.update(
             table, opt_state, ids, grads, self.sparse_opt, self.sparse_lr
