@@ -98,6 +98,26 @@ def main(argv=None) -> int:
     parser.add_argument("--devices", default="auto", choices=["auto", "cpu"])
     args = parser.parse_args(argv)
 
+    if args.devices == "auto":
+        # The TPU tunnel in this environment can wedge (stateful PJRT
+        # session hangs while control stays up). Probe it in a subprocess
+        # with a hard deadline; fall back to CPU rather than hanging the
+        # benchmark run forever.
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"],
+                timeout=180, capture_output=True, text=True,
+            )
+            tpu_ok = probe.returncode == 0 and "4.0" in probe.stdout
+        except subprocess.TimeoutExpired:
+            tpu_ok = False
+        if not tpu_ok:
+            print("bench: device probe failed/hung; falling back to CPU",
+                  file=sys.stderr)
+            args.devices = "cpu"
     if args.devices == "cpu":
         import jax
 
@@ -131,7 +151,7 @@ def main(argv=None) -> int:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}"
+            key = f"{args.model}-{platform}-b{args.batch}"
             if key in base:
                 vs_baseline = examples_per_s / base[key]
             else:
@@ -139,7 +159,7 @@ def main(argv=None) -> int:
         except Exception:
             pass
     else:
-        base, record = {}, f"{args.model}-{platform}"
+        base, record = {}, f"{args.model}-{platform}-b{args.batch}"
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:

@@ -1,0 +1,72 @@
+"""TPU-lowering validation without TPU hardware.
+
+``jax.export`` cross-platform lowering runs the full Mosaic lowering for
+the TPU target on the CPU host, so Pallas block/tiling violations (e.g.
+the (1, D) row-block gather that real TPU rejects) are caught in CI
+instead of at first hardware contact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfrec_tpu.kernels import cross_pallas as cp_mod
+from tfrec_tpu.kernels import gather_pallas as gp_mod
+
+
+@pytest.fixture(autouse=True)
+def _force_compiled(monkeypatch):
+    # Lower the real (non-interpret) kernels for the TPU target.
+    monkeypatch.setattr(gp_mod, "_interpret", lambda: False)
+    monkeypatch.setattr(cp_mod, "_interpret", lambda: False)
+
+
+def _lowers_for_tpu(fn, *args):
+    jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+@pytest.mark.parametrize("v,d,n", [(1000, 32, 8192), (50_000, 128, 4096), (97, 64, 33)])
+def test_gather_pallas_lowers_for_tpu(v, d, n):
+    table = jnp.zeros((v, d), jnp.float32)
+    ids = jnp.zeros((n,), jnp.int32)
+    _lowers_for_tpu(gp_mod.gather_pallas, table, ids)
+
+
+@pytest.mark.parametrize("b,d,layers", [(512, 845, 3), (8192, 256, 2), (256, 77, 4)])
+def test_cross_pallas_fwd_bwd_lower_for_tpu(b, d, layers):
+    x0 = jnp.zeros((b, d), jnp.float32)
+    params = {"w": jnp.zeros((layers, d)), "b": jnp.zeros((layers, d))}
+    _lowers_for_tpu(cp_mod.cross_stack_pallas, x0, params)
+
+    def loss(x, p):
+        return jnp.sum(cp_mod.cross_stack_pallas(x, p))
+
+    _lowers_for_tpu(jax.grad(loss, argnums=(0, 1)), x0, params)
+
+
+def test_full_dcn_pallas_step_lowers_for_tpu():
+    """The whole single-device DCN train step with kernels=pallas."""
+    from tfrec_tpu.configs import ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.train.step import TrainStepBuilder
+
+    vocabs = (1000,) * 4
+    model = build_model(
+        ModelConfig(name="dcn", embed_dim=32, num_cross_layers=2, mlp_dims=(64,)),
+        DataSpec.ctr(vocabs, 13),
+        backend="pallas",
+    )
+    builder = TrainStepBuilder(
+        model, "logloss", OptimConfig(learning_rate=1e-3), kernels="pallas"
+    )
+    state = builder.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(256, 13)).astype(np.float32)),
+        "cat": jnp.asarray(
+            np.stack([rng.integers(0, v, 256) for v in vocabs], 1).astype(np.int32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, 256).astype(np.float32)),
+    }
+    _lowers_for_tpu(builder.step, state, batch)

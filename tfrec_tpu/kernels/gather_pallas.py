@@ -1,50 +1,69 @@
 """Fused Pallas embedding gather (BASELINE.json R4, SURVEY.md §2c.2).
 
-The id vector is a scalar-prefetch argument, so each grid step's table
-block origin is computed from the ids BEFORE the body runs — Pallas's
-pipeline emitter turns this into double-buffered row DMAs from HBM with no
-materialized one-hot or XLA gather scratch. One grid step per looked-up
-row; rows are (1, D) blocks (D should be a multiple of 128 for full lanes).
+TPU lowering requires >=(8, 128)-aligned blocks, so a (1, D) block-per-row
+gather does not compile; instead each grid step issues 8 explicit row DMAs
+from the HBM-resident table into a VMEM scratch (ids are scalar-prefetched
+into SMEM so the addresses are known before the body runs), then writes the
+assembled (8, D) tile to the output. The DMAs for a tile are all in flight
+together; Pallas's pipeline emitter overlaps the output writeback with the
+next tile's loads.
 
 The backward (scatter-add of row grads) stays on the XLA path via
 ops/sparse_optim — gradients never flow through this op in the train step
-(autodiff stops at the gathered activations), so no custom VJP is needed;
-a stop_gradient guards against accidental differentiation.
+(autodiff stops at the gathered activations); a stop_gradient guards
+against accidental differentiation.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ROWS = 8  # rows per grid step (sublane-aligned tile height)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gather_kernel(ids_ref, table_ref, out_ref):
-    # BlockSpecs already routed table row ids_ref[i] into table_ref.
-    out_ref[:] = table_ref[:]
+def _gather_kernel(ids_ref, table_ref, out_ref, scratch, sems):
+    i = pl.program_id(0)
+    for j in range(_ROWS):
+        idx = ids_ref[i * _ROWS + j]
+        pltpu.make_async_copy(table_ref.at[idx], scratch.at[j], sems.at[j]).start()
+    for j in range(_ROWS):
+        pltpu.make_async_copy(table_ref.at[0], scratch.at[j], sems.at[j]).wait()
+    out_ref[:] = scratch[:]
 
 
 def gather_pallas(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """table [V, D], ids [N] int32 -> rows [N, D]."""
     n = ids.shape[0]
     v, d = table.shape
+    n_pad = -(-n // _ROWS) * _ROWS
+    ids_padded = jnp.clip(
+        jnp.pad(ids, (0, n_pad - n)), 0, v - 1
+    ).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, d), lambda i, ids_ref: (ids_ref[i], 0)),
+        grid=(n_pad // _ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+        out_specs=pl.BlockSpec(
+            (_ROWS, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, d), table.dtype),
+            pltpu.SemaphoreType.DMA((_ROWS,)),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i, ids_ref: (i, 0)),
     )
     out = pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), table.dtype),
         interpret=_interpret(),
-    )(ids, table)
-    return jax.lax.stop_gradient(out)
+    )(ids_padded, table)
+    return jax.lax.stop_gradient(out[:n])
