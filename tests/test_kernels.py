@@ -69,3 +69,65 @@ def test_gather_pallas_under_jit_with_duplicates():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(table)[np.asarray(ids)], rtol=1e-6
     )
+
+
+def test_fused_rowwise_adagrad_matches_xla_apply():
+    from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+    from tfrec_tpu.ops.embedding import combine_duplicate_ids
+    from tfrec_tpu.ops.sparse_optim import make_sparse_optimizer
+
+    rng = np.random.default_rng(0)
+    V, D, N = 40, 16, 24
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    opt = make_sparse_optimizer("rowwise_adagrad", adagrad_init=0.05)
+    state = opt.init(table)
+    ids = jnp.asarray(rng.integers(0, V, N).astype(np.int32))  # with duplicates
+    grads = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    ref_table, ref_state = opt.apply(table, state, ids, grads, 0.1)
+    uids, g = combine_duplicate_ids(ids, grads, sentinel=V)
+    got_table, got_acc = jax.jit(
+        lambda t, a, u, gg: fused_rowwise_adagrad(t, a, u, gg, 0.1)
+    )(table, state["acc"], uids, g)
+    np.testing.assert_allclose(np.asarray(got_table), np.asarray(ref_table),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_acc), np.asarray(ref_state["acc"]),
+                               rtol=1e-5)
+
+
+def test_pallas_step_matches_xla_step():
+    """Full single-device step: kernels='pallas' == kernels='xla'."""
+    from tfrec_tpu.configs import ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.train.step import TrainStepBuilder
+
+    vocabs = (50, 30)
+    rng = np.random.default_rng(1)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32)),
+        "cat": jnp.asarray(
+            np.stack([rng.integers(0, v, 64) for v in vocabs], 1).astype(np.int32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, 64).astype(np.float32)),
+    }
+    ocfg = OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad")
+    states = {}
+    for kern in ("xla", "pallas"):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2, mlp_dims=(16,)),
+            DataSpec.ctr(vocabs, 4),
+            backend=kern,
+        )
+        b = TrainStepBuilder(model, "logloss", ocfg, kernels=kern)
+        s = b.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(b.step)
+        for _ in range(3):
+            s, m = step(s, batch)
+        states[kern] = (s, float(m["loss"]))
+    assert abs(states["xla"][1] - states["pallas"][1]) < 1e-5
+    for name in states["xla"][0]["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(states["pallas"][0]["tables"][name]),
+            np.asarray(states["xla"][0]["tables"][name]),
+            rtol=1e-4, atol=1e-5,
+        )

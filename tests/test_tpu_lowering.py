@@ -70,3 +70,17 @@ def test_full_dcn_pallas_step_lowers_for_tpu():
         "label": jnp.asarray(rng.integers(0, 2, 256).astype(np.float32)),
     }
     _lowers_for_tpu(builder.step, state, batch)
+
+
+def test_fused_adagrad_lowers_for_tpu(monkeypatch):
+    from tfrec_tpu.kernels import scatter_pallas as sp_mod
+
+    monkeypatch.setattr(sp_mod, "_interpret", lambda: False)
+    table = jnp.zeros((100_000, 32), jnp.float32)
+    acc = jnp.zeros((100_000,), jnp.float32)
+    uids = jnp.zeros((8192,), jnp.int32)
+    grads = jnp.zeros((8192, 32), jnp.float32)
+    _lowers_for_tpu(
+        lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
+        table, acc, uids, grads,
+    )

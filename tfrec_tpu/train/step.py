@@ -90,6 +90,7 @@ class TrainStepBuilder:
         if lookup_fn is None:
             lookup_fn = pallas_lookup if kernels == "pallas" else default_lookup
         self.lookup_fn = lookup_fn
+        self.kernels = kernels
         self.dense_tx = make_dense_tx(optim_cfg)
         self.sparse_opt: SparseOptimizer = make_sparse_optimizer(
             optim_cfg.sparse_optimizer,
@@ -126,6 +127,18 @@ class TrainStepBuilder:
 
     def sparse_update(self, name: str, table, opt_state, ids, grads):
         """One table's sparse-optimizer application. Returns (table, state)."""
+        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
+            # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
+            # duplicate combine stays in XLA (sort + segment-sum).
+            from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+            from tfrec_tpu.ops.embedding import combine_duplicate_ids
+
+            uids, g = combine_duplicate_ids(ids, grads, sentinel=table.shape[0])
+            new_table, new_acc = fused_rowwise_adagrad(
+                table, opt_state["acc"], uids, g, self.sparse_lr,
+                self.optim_cfg.eps,
+            )
+            return new_table, {"acc": new_acc}
         return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
 
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
