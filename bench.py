@@ -21,7 +21,7 @@ import sys
 import time
 
 
-def build_dcn_bench(batch_size: int, kernels: str):
+def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,7 +33,7 @@ def build_dcn_bench(batch_size: int, kernels: str):
     num_dense = 13
     vocabs = (100_000,) * 26  # Criteo-DAC shape
     model = build_model(
-        ModelConfig(name="dcn", embed_dim=32, num_cross_layers=3,
+        ModelConfig(name="dcn", embed_dim=embed_dim, num_cross_layers=3,
                     mlp_dims=(512, 256, 128)),
         DataSpec.ctr(vocabs, num_dense),
         backend=kernels,
@@ -95,7 +95,11 @@ def main(argv=None) -> int:
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
-    parser.add_argument("--devices", default="auto", choices=["auto", "cpu"])
+    parser.add_argument("--embed_dim", type=int, default=32)
+    parser.add_argument(
+        "--devices", default="auto", choices=["auto", "cpu", "tpu"],
+        help="auto probes the TPU with a deadline; tpu skips the probe",
+    )
     args = parser.parse_args(argv)
 
     if args.devices == "auto":
@@ -126,7 +130,7 @@ def main(argv=None) -> int:
 
     platform = jax.default_backend()
     if args.model == "dcn":
-        step, state, batches = build_dcn_bench(args.batch, args.kernels)
+        step, state, batches = build_dcn_bench(args.batch, args.kernels, args.embed_dim)
     else:
         step, state, batches = build_mf_bench(args.batch, args.kernels)
 
@@ -151,7 +155,7 @@ def main(argv=None) -> int:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}-b{args.batch}"
+            key = f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}"
             if key in base:
                 vs_baseline = examples_per_s / base[key]
             else:
@@ -159,7 +163,7 @@ def main(argv=None) -> int:
         except Exception:
             pass
     else:
-        base, record = {}, f"{args.model}-{platform}-b{args.batch}"
+        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}"
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:

@@ -1,0 +1,104 @@
+"""Careful sequential TPU experiment runner.
+
+The axon TPU tunnel in this environment wedges for a long time after an
+abnormal client exit (timeout kill, crash mid-session). This runner
+minimizes that risk:
+
+- probes the chip first; skips everything if it hangs;
+- runs each experiment in its OWN subprocess, sequentially, with output
+  appended to a log file as it happens (partial progress survives);
+- each experiment script catches its own exceptions and exits 0;
+- a cooldown between experiments lets session teardown finish;
+- the parent never kills a child mid-run (waits without timeout by
+  default; --child_timeout only as a last resort).
+
+Usage: python benchmarks/tpu_experiments.py --log /tmp/tpu_exp.log
+       [--only name1,name2] [--list]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = "import jax, jax.numpy as jnp; print('PROBE_OK', float(jnp.ones(4).sum()))"
+
+EXPERIMENTS = {
+    "bench_xla": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+                   "--devices", "tpu"],
+    "bench_xla_d128": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+                        "--devices", "tpu", "--embed_dim", "128"],
+    "bench_pallas_d128": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+                           "--kernels", "pallas", "--devices", "tpu",
+                           "--embed_dim", "128"],
+    "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
+                  "--steps", "30", "--devices", "tpu"],
+    "kernel_bench": ["python", "benchmarks/kernel_bench.py", "--sizes", "full"],
+    "cross_check": ["python", "benchmarks/exp_cross_check.py"],
+    "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
+}
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log", default="/tmp/tpu_experiments.log")
+    parser.add_argument("--only", default="")
+    parser.add_argument("--list", action="store_true")
+    parser.add_argument("--cooldown", type=int, default=30)
+    parser.add_argument("--child_timeout", type=int, default=0, help="0 = none")
+    args = parser.parse_args(argv)
+
+    if args.list:
+        print("\n".join(EXPERIMENTS))
+        return 0
+    names = [n for n in args.only.split(",") if n] or list(EXPERIMENTS)
+
+    log = open(args.log, "a", buffering=1)
+
+    def note(msg):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        log.write(line + "\n")
+        print(line, flush=True)
+
+    note(f"=== tpu_experiments start: {names}")
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", PROBE], timeout=120, capture_output=True,
+            text=True, cwd=REPO,
+        )
+        if "PROBE_OK" not in probe.stdout:
+            note(f"probe failed: rc={probe.returncode} out={probe.stdout[-200:]} "
+                 f"err={probe.stderr[-200:]}")
+            return 1
+    except subprocess.TimeoutExpired:
+        note("probe HUNG — tunnel wedged; aborting (no experiments run)")
+        return 1
+    note("probe ok")
+    time.sleep(args.cooldown)
+
+    for name in names:
+        cmd = EXPERIMENTS[name]
+        note(f"--- {name}: {' '.join(cmd)}")
+        with open(args.log, "a") as child_log:
+            try:
+                rc = subprocess.run(
+                    [sys.executable] + cmd[1:] if cmd[0] == "python" else cmd,
+                    stdout=child_log, stderr=child_log, cwd=REPO,
+                    timeout=args.child_timeout or None,
+                ).returncode
+                note(f"--- {name}: exit {rc}")
+            except subprocess.TimeoutExpired:
+                note(f"--- {name}: TIMEOUT (tunnel may now be wedged)")
+                return 1
+        time.sleep(args.cooldown)
+    note("=== all done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,9 +41,16 @@ def _gather_kernel(ids_ref, table_ref, out_ref, scratch, sems):
 
 
 def gather_pallas(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """table [V, D], ids [N] int32 -> rows [N, D]."""
+    """table [V, D], ids [N] int32 -> rows [N, D].
+
+    Hardware constraint (verified on v5e): per-row DMA slices must be
+    128-lane aligned, so D % 128 != 0 falls back to the XLA gather. Pad
+    embedding dims to multiples of 128 to stay on the fused path.
+    """
     n = ids.shape[0]
     v, d = table.shape
+    if d % 128 != 0 and not _interpret():
+        return jax.lax.stop_gradient(jnp.take(table, ids, axis=0, mode="clip"))
     n_pad = -(-n // _ROWS) * _ROWS
     ids_padded = jnp.clip(
         jnp.pad(ids, (0, n_pad - n)), 0, v - 1

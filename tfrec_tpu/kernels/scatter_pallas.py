@@ -110,6 +110,10 @@ def fused_rowwise_adagrad(
     grads: [N, D] combined gradients. Returns (table, acc) updated.
     """
     v, d = table.shape
+    if d % 128 != 0 and not _interpret():
+        # Per-row DMA slices must be 128-lane aligned on real TPU; callers
+        # (train/step.py) route misaligned dims to the XLA apply instead.
+        raise ValueError(f"fused_rowwise_adagrad requires D % 128 == 0, got {d}")
     n = uids.shape[0]
     n_pad = -(-n // _ROWS) * _ROWS
     uids_p = jnp.pad(uids, (0, n_pad - n), constant_values=v).astype(jnp.int32)

@@ -127,7 +127,11 @@ class TrainStepBuilder:
 
     def sparse_update(self, name: str, table, opt_state, ids, grads):
         """One table's sparse-optimizer application. Returns (table, state)."""
-        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
+        if (
+            self.kernels == "pallas"
+            and self.sparse_opt.name == "rowwise_adagrad"
+            and (table.shape[1] % 128 == 0 or jax.default_backend() != "tpu")
+        ):
             # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
             # duplicate combine stays in XLA (sort + segment-sum).
             from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
