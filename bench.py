@@ -96,6 +96,8 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--embed_dim", type=int, default=32)
+    parser.add_argument("--precision", default="default",
+                        choices=["default", "bfloat16", "float32", "highest"])
     parser.add_argument(
         "--devices", default="auto", choices=["auto", "cpu", "tpu"],
         help="auto probes the TPU with a deadline; tpu skips the probe",
@@ -128,6 +130,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     platform = jax.default_backend()
     if args.model == "dcn":
         step, state, batches = build_dcn_bench(args.batch, args.kernels, args.embed_dim)
@@ -155,7 +159,7 @@ def main(argv=None) -> int:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}"
+            key = f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}-{args.precision}"
             if key in base:
                 vs_baseline = examples_per_s / base[key]
             else:
@@ -163,7 +167,7 @@ def main(argv=None) -> int:
         except Exception:
             pass
     else:
-        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}"
+        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}-{args.precision}"
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:
@@ -174,7 +178,7 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "metric": f"examples/s/chip ({args.model} CTR train, {platform}, "
-                  f"batch={args.batch}, kernels={args.kernels})",
+                  f"batch={args.batch}, kernels={args.kernels}, prec={args.precision})",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),

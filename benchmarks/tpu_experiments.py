@@ -38,6 +38,12 @@ EXPERIMENTS = {
                            "--embed_dim", "128"],
     "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
                   "--steps", "30", "--devices", "tpu"],
+    "bench_xla_bf16": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+                        "--devices", "tpu", "--precision", "bfloat16"],
+    "bench_pallas_d128_bf16": ["python", "bench.py", "--batch", "8192",
+                                "--steps", "30", "--kernels", "pallas",
+                                "--devices", "tpu", "--embed_dim", "128",
+                                "--precision", "bfloat16"],
     "kernel_bench": ["python", "benchmarks/kernel_bench.py", "--sizes", "full"],
     "cross_check": ["python", "benchmarks/exp_cross_check.py"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],

@@ -128,6 +128,11 @@ class TrainConfig:
     resume: bool = False
     # Kernel backend: "pallas" (fused TPU kernels) or "xla" (jnp reference).
     kernels: str = "xla"
+    # jax_default_matmul_precision: "default" leaves XLA's choice (f32
+    # inputs decompose into multi-pass bf16 on the MXU); "bfloat16" forces
+    # single-pass bf16 (fastest, the production CTR setting); "highest"
+    # forces full f32 (exactness tests).
+    matmul_precision: str = "default"
     profile_steps: tuple[int, int] | None = None
 
 

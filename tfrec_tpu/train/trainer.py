@@ -48,6 +48,10 @@ class Trainer:
         self.config = config
         c = config
         self.is_ctr_model = c.model.name.lower() in CTR_MODELS
+        if c.train.matmul_precision != "default":
+            jax.config.update(
+                "jax_default_matmul_precision", c.train.matmul_precision
+            )
         self.logger = MetricLogger(
             c.run_name, out_dir=c.train.checkpoint_dir, quiet=quiet
         )
