@@ -76,11 +76,20 @@ def test_fused_adagrad_lowers_for_tpu(monkeypatch):
     from tfrec_tpu.kernels import scatter_pallas as sp_mod
 
     monkeypatch.setattr(sp_mod, "_interpret", lambda: False)
-    table = jnp.zeros((100_000, 32), jnp.float32)
+    # D must be a 128 multiple on real TPU (per-row DMA lane alignment).
+    table = jnp.zeros((100_000, 128), jnp.float32)
     acc = jnp.zeros((100_000,), jnp.float32)
     uids = jnp.zeros((8192,), jnp.int32)
-    grads = jnp.zeros((8192, 32), jnp.float32)
+    grads = jnp.zeros((8192, 128), jnp.float32)
     _lowers_for_tpu(
         lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
         table, acc, uids, grads,
     )
+
+    # Misaligned D raises a clear error instead of failing at Mosaic.
+    with pytest.raises(ValueError, match="128"):
+        _lowers_for_tpu(
+            lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
+            jnp.zeros((100, 32)), jnp.zeros((100,)),
+            jnp.zeros((8,), jnp.int32), jnp.zeros((8, 32)),
+        )
