@@ -71,7 +71,9 @@ class ModelConfig:
     gmf_dim: int = 32
     mlp_embed_dim: int = 32
     dropout: float = 0.0
-    # Parameter dtype for dense towers; embeddings stay f32 for optimizer parity.
+    # Parameter dtype for dense towers; embeddings stay f32 for optimizer
+    # parity. For MXU speed use train.matmul_precision="bfloat16" (params
+    # stay f32; multiplies run single-pass bf16) rather than bf16 params.
     dtype: str = "float32"
     l2_reg: float = 0.0
 
