@@ -72,23 +72,37 @@ def main(argv=None) -> int:
         print(line, flush=True)
 
     note(f"=== tpu_experiments start: {names}")
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", PROBE], timeout=120, capture_output=True,
-            text=True, cwd=REPO,
-        )
-        if "PROBE_OK" not in probe.stdout:
-            note(f"probe failed: rc={probe.returncode} out={probe.stdout[-200:]} "
-                 f"err={probe.stderr[-200:]}")
-            return 1
-    except subprocess.TimeoutExpired:
-        note("probe HUNG — tunnel wedged; aborting (no experiments run)")
+
+    def probe_ok(attempts: int = 4, wait_s: int = 180) -> bool:
+        """Session creation right after another session often hangs while
+        the server side tears down; retry with long gaps."""
+        for attempt in range(attempts):
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", PROBE], timeout=240,
+                    capture_output=True, text=True, cwd=REPO,
+                )
+                if "PROBE_OK" in probe.stdout:
+                    return True
+                note(f"probe attempt {attempt}: rc={probe.returncode} "
+                     f"err={probe.stderr[-150:]}")
+            except subprocess.TimeoutExpired:
+                note(f"probe attempt {attempt}: HUNG")
+            if attempt + 1 < attempts:
+                time.sleep(wait_s)
+        return False
+
+    if not probe_ok():
+        note("tunnel unavailable; aborting (no experiments run)")
         return 1
     note("probe ok")
     time.sleep(args.cooldown)
 
     for name in names:
         cmd = EXPERIMENTS[name]
+        if not probe_ok(attempts=3, wait_s=120):
+            note(f"tunnel lost before {name}; stopping")
+            return 1
         note(f"--- {name}: {' '.join(cmd)}")
         with open(args.log, "a") as child_log:
             try:
