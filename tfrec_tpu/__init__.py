@@ -19,3 +19,22 @@ contract is /root/repo/BASELINE.json — see SURVEY.md §0):
 __version__ = "0.1.0"
 
 from tfrec_tpu import configs  # noqa: F401
+
+__all__ = ["configs", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax at package import).
+    if name == "Recommender":
+        from tfrec_tpu.serve import Recommender
+
+        return Recommender
+    if name == "run":
+        from tfrec_tpu.train.trainer import run
+
+        return run
+    if name == "ZOO":
+        from tfrec_tpu.zoo_configs import ZOO
+
+        return ZOO
+    raise AttributeError(name)
