@@ -1,0 +1,64 @@
+"""Unit tests for utility modules: prefetch, logger, profile timers."""
+
+import json
+import time
+
+import pytest
+
+from tfrec_tpu.utils.logging import MetricLogger
+from tfrec_tpu.utils.prefetch import prefetch
+
+
+def test_prefetch_preserves_order_and_values():
+    out = list(prefetch(range(20), lambda x: x * x, depth=3))
+    assert out == [x * x for x in range(20)]
+
+
+def test_prefetch_early_exit_releases_worker():
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), lambda x: x, depth=2)
+    got = [next(it) for _ in range(3)]
+    it.close()  # consumer stops early
+    time.sleep(0.3)
+    n_after = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n_after  # worker stopped producing
+    assert got == [0, 1, 2]
+
+
+def test_prefetch_propagates_worker_exception():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), lambda x: x)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_metric_logger_jsonl(tmp_path):
+    logger = MetricLogger("t", out_dir=str(tmp_path), quiet=True, tensorboard=False)
+    logger.log({"epoch": 0, "loss": 1.5})
+    logger.log({"epoch": 1, "loss": 1.2, "recall@20": 0.3})
+    logger.close()
+    lines = [json.loads(l) for l in open(tmp_path / "t.metrics.jsonl")]
+    assert lines[0]["loss"] == 1.5 and "wall_s" in lines[0]
+    assert lines[1]["recall@20"] == 0.3
+
+
+def test_cli_overrides_parse():
+    from tfrec_tpu.cli import parse_overrides
+
+    got = parse_overrides(["train.batch_size=512", "model.name='fm'",
+                           "train.eval_topk=(5,10)", "data.path=/x/y.tsv"])
+    assert got == {"train.batch_size": 512, "model.name": "fm",
+                   "train.eval_topk": (5, 10), "data.path": "/x/y.tsv"}
+    with pytest.raises(SystemExit):
+        parse_overrides(["noequals"])
