@@ -72,3 +72,40 @@ def test_dropout_train_vs_eval_paths():
     r1 = model.forward(params["dense"], g, batch, rng=jax.random.PRNGKey(1))
     r2 = model.forward(params["dense"], g, batch, rng=jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(r1), np.asarray(r2))  # masks differ
+
+
+def test_lr_schedule_warmup_cosine():
+    from tfrec_tpu.configs import OptimConfig
+    from tfrec_tpu.train.step import make_schedule
+
+    cfg = OptimConfig(learning_rate=1.0, lr_schedule="cosine",
+                      warmup_steps=10, decay_steps=100, end_lr_factor=0.1)
+    sched = make_schedule(cfg, 1.0)
+    lrs = [float(sched(s)) for s in [0, 4, 9, 50, 100, 1000]]
+    assert lrs[0] < lrs[1] < lrs[2]           # warming up
+    assert abs(lrs[2] - 1.0) < 0.05           # warmup done ~ base lr (cosine already ticking)
+    assert 0.1 < lrs[3] < 1.0                 # mid-decay
+    assert abs(lrs[4] - 0.1) < 0.01           # decayed to end
+    assert abs(lrs[5] - 0.1) < 0.01           # clamped
+
+
+def test_schedule_trains_end_to_end():
+    import numpy as np
+
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=64, num_items=128,
+                        interactions_per_user=10),
+        model=ModelConfig(name="mf", embed_dim=8),
+        optim=OptimConfig(learning_rate=0.1, lr_schedule="cosine",
+                          warmup_steps=5, decay_steps=50),
+        train=TrainConfig(batch_size=128, epochs=3, eval_every_epochs=0, loss="bpr"),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]

@@ -91,6 +91,13 @@ class OptimConfig:
     eps: float = 1e-8
     adagrad_init: float = 0.0
     weight_decay: float = 0.0
+    # LR schedule (applies to BOTH dense and sparse paths):
+    # "constant" | "cosine" (decay to end_lr_factor*lr over decay_steps)
+    # | "linear" (same, linearly); warmup_steps of linear warmup first.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    end_lr_factor: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,9 +37,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(uids_ref, g_ref, table_in, acc_in, table_out, acc_out,
-            row_s, acc_s, row_sem, acc_sem, *, vocab, lr, eps):
+def _kernel(uids_ref, lr_ref, g_ref, table_in, acc_in, table_out, acc_out,
+            row_s, acc_s, row_sem, acc_sem, *, vocab, eps):
     i = pl.program_id(0)
+    lr = lr_ref[0]  # scalar-prefetched so schedules (traced lr) work
 
     def valid(j):
         return uids_ref[i * _ROWS + j] < vocab
@@ -119,11 +120,12 @@ def fused_rowwise_adagrad(
     uids_p = jnp.pad(uids, (0, n_pad - n), constant_values=v).astype(jnp.int32)
     grads_p = jnp.pad(grads, ((0, n_pad - n), (0, 0)))
     acc2d = acc[:, None]  # DMA-friendly [V, 1]
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_pad // _ROWS,),
         in_specs=[
-            pl.BlockSpec((_ROWS, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, d), lambda i, ids, lr: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to out 0)
             pl.BlockSpec(memory_space=pltpu.ANY),  # acc (aliased to out 1)
         ],
@@ -139,16 +141,16 @@ def fused_rowwise_adagrad(
         ],
     )
     new_table, new_acc2d = pl.pallas_call(
-        functools.partial(_kernel, vocab=v, lr=lr, eps=eps),
+        functools.partial(_kernel, vocab=v, eps=eps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((v, d), table.dtype),
             jax.ShapeDtypeStruct((v, 1), acc.dtype),
         ],
-        # Flat operand indices INCLUDE the scalar-prefetch arg: ids=0,
-        # grads=1, table=2, acc=3 -> outputs 0, 1.
-        input_output_aliases={2: 0, 3: 1},
+        # Flat operand indices INCLUDE the scalar-prefetch args: ids=0,
+        # lr=1, grads=2, table=3, acc=4 -> outputs 0, 1.
+        input_output_aliases={3: 0, 4: 1},
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(uids_p, grads_p, table, acc2d)
+    )(uids_p, lr_arr, grads_p, table, acc2d)
     return new_table, new_acc2d[:, 0]

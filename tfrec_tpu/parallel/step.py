@@ -154,12 +154,12 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                 overflow_total = overflow_total + ovf
         return gathered, {"lookup_overflow": overflow_total}
 
-    def sparse_update(self, name, table, opt_state, ids, grads):
+    def sparse_update(self, name, table, opt_state, ids, grads, lr):
         plan = self.plans[name]
         if plan is None or plan == "gspmd_row":
-            return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
+            return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
         new_table, new_state, _ = plan.update(
-            table, opt_state, ids, grads, self.sparse_opt, self.sparse_lr
+            table, opt_state, ids, grads, self.sparse_opt, lr
         )
         return new_table, new_state
 

@@ -34,17 +34,41 @@ State = Dict
 LookupFn = Callable[[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]
 
 
+def make_schedule(cfg: OptimConfig, base_lr: float):
+    """Step -> lr. Shared by the dense (optax) and sparse (rowwise) paths."""
+    if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
+        return lambda step: base_lr
+    end = base_lr * cfg.end_lr_factor
+    decay_steps = max(cfg.decay_steps, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(1.0, (step + 1.0) / max(cfg.warmup_steps, 1))
+        if cfg.lr_schedule == "cosine":
+            frac = jnp.clip(step / decay_steps, 0.0, 1.0)
+            decayed = end + 0.5 * (base_lr - end) * (1 + jnp.cos(jnp.pi * frac))
+        elif cfg.lr_schedule == "linear":
+            frac = jnp.clip(step / decay_steps, 0.0, 1.0)
+            decayed = base_lr + (end - base_lr) * frac
+        else:  # constant (+ warmup)
+            decayed = base_lr
+        return decayed * (warm if cfg.warmup_steps > 0 else 1.0)
+
+    return schedule
+
+
 def make_dense_tx(cfg: OptimConfig) -> optax.GradientTransformation:
+    lr = make_schedule(cfg, cfg.learning_rate)
     if cfg.dense_optimizer == "adam":
-        tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.eps)
+        tx = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.eps)
     elif cfg.dense_optimizer == "adagrad":
         tx = optax.adagrad(
-            cfg.learning_rate,
+            lr,
             initial_accumulator_value=cfg.adagrad_init,
             eps=max(cfg.eps, 1e-10),
         )
     elif cfg.dense_optimizer == "sgd":
-        tx = optax.sgd(cfg.learning_rate)
+        tx = optax.sgd(lr)
     else:
         raise ValueError(f"unknown dense optimizer {cfg.dense_optimizer!r}")
     if cfg.weight_decay > 0:
@@ -104,6 +128,7 @@ class TrainStepBuilder:
             if optim_cfg.sparse_learning_rate is not None
             else optim_cfg.learning_rate
         )
+        self.sparse_schedule = make_schedule(optim_cfg, self.sparse_lr)
 
     def init_state(self, rng: jax.Array) -> State:
         params = self.model.init(rng)
@@ -125,7 +150,7 @@ class TrainStepBuilder:
         """Returns (gathered rows per table, aux metrics e.g. overflow)."""
         return self.lookup_fn(tables, ids), {}
 
-    def sparse_update(self, name: str, table, opt_state, ids, grads):
+    def sparse_update(self, name: str, table, opt_state, ids, grads, lr):
         """One table's sparse-optimizer application. Returns (table, state)."""
         if (
             self.kernels == "pallas"
@@ -139,11 +164,10 @@ class TrainStepBuilder:
 
             uids, g = combine_duplicate_ids(ids, grads, sentinel=table.shape[0])
             new_table, new_acc = fused_rowwise_adagrad(
-                table, opt_state["acc"], uids, g, self.sparse_lr,
-                self.optim_cfg.eps,
+                table, opt_state["acc"], uids, g, lr, self.optim_cfg.eps
             )
             return new_table, {"acc": new_acc}
-        return self.sparse_opt.apply(table, opt_state, ids, grads, self.sparse_lr)
+        return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
 
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
         model, loss_fn = self.model, self.loss_fn
@@ -178,11 +202,12 @@ class TrainStepBuilder:
 
         new_tables = dict(state["tables"])
         new_sparse = dict(state["sparse_opt"])
+        sparse_lr_t = self.sparse_schedule(state["step"])
         with jax.named_scope("sparse_update"):
             for name, g in gathered_grad.items():
                 new_tables[name], new_sparse[name] = self.sparse_update(
                     name, state["tables"][name], state["sparse_opt"][name],
-                    ids[name], g,
+                    ids[name], g, sparse_lr_t,
                 )
 
         new_state = {
