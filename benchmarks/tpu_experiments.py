@@ -73,13 +73,16 @@ def main(argv=None) -> int:
 
     note(f"=== tpu_experiments start: {names}")
 
-    def probe_ok(attempts: int = 4, wait_s: int = 180) -> bool:
+    def probe_ok(attempts: int = 3, wait_s: int = 60) -> bool:
         """Session creation right after another session often hangs while
         the server side tears down; retry with long gaps."""
+        # Session creation can legitimately take minutes while the
+        # previous session tears down; waiting out one long attempt beats
+        # killing it (kills extend the teardown).
         for attempt in range(attempts):
             try:
                 probe = subprocess.run(
-                    [sys.executable, "-c", PROBE], timeout=240,
+                    [sys.executable, "-c", PROBE], timeout=600,
                     capture_output=True, text=True, cwd=REPO,
                 )
                 if "PROBE_OK" in probe.stdout:
@@ -100,7 +103,7 @@ def main(argv=None) -> int:
 
     for name in names:
         cmd = EXPERIMENTS[name]
-        if not probe_ok(attempts=3, wait_s=120):
+        if not probe_ok(attempts=2, wait_s=60):
             note(f"tunnel lost before {name}; stopping")
             return 1
         note(f"--- {name}: {' '.join(cmd)}")
