@@ -234,3 +234,40 @@ def test_gspmd_mode_matches_single_device(mesh8):
             np.asarray(ut[name]), np.asarray(s_ref["tables"][name]),
             rtol=2e-4, atol=1e-5,
         )
+
+
+def test_row_sharded_pallas_kernels_match_xla(mesh8):
+    """kernels='pallas' inside shard_map (interpret on CPU): lookup and
+    fused update match the XLA sharded path. D=128 to satisfy the fused
+    update's alignment gate."""
+    opt = make_sparse_optimizer("rowwise_adagrad")
+    d128 = 128
+    rt_x = RowShardedTable(mesh8, V, d128, kernels="xla")
+    rt_p = RowShardedTable(mesh8, V, d128, kernels="pallas")
+    table = _rand(20, (rt_x.vocab_padded, d128))
+    ids = _ids(21)
+    grads = _rand(22, (B, d128))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh8, P("data")))
+    gs = jax.device_put(grads, NamedSharding(mesh8, P("data", None)))
+    out_x, _ = jax.jit(rt_x.lookup)(ts, ids_s)
+    out_p, _ = jax.jit(rt_p.lookup)(ts, ids_s)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-6)
+
+    state = opt.init(table)
+    ss = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh8, P("data", *([None] * (x.ndim - 1))))
+        ),
+        state,
+    )
+    tx, sx, _ = jax.jit(lambda t, s, i, g: rt_x.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs
+    )
+    tp, sp, _ = jax.jit(lambda t, s, i, g: rt_p.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs
+    )
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(tx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sp["acc"]), np.asarray(sx["acc"]), rtol=1e-5
+    )

@@ -111,6 +111,7 @@ class RowShardedTable:
         *,
         axis: str = "data",
         capacity_factor: float = 2.0,
+        kernels: str = "xla",
     ):
         self.mesh = mesh
         self.axis = axis
@@ -120,6 +121,7 @@ class RowShardedTable:
         self.rows_per_shard = self.vocab_padded // self.num_shards
         self.dim = dim
         self.capacity_factor = capacity_factor
+        self.kernels = kernels  # "pallas": fused local gather/update inside shard_map
         self.sentinel = self.vocab_padded  # one past the padded end
 
     # ---- forward ----
@@ -144,9 +146,16 @@ class RowShardedTable:
             base = jax.lax.axis_index(axis) * rps
             local_idx = jnp.clip(recv_ids - base, 0, rps - 1)
             valid = (recv_ids >= base) & (recv_ids < base + rps)
-            rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
-                n_sh, cap, -1
-            )
+            if self.kernels == "pallas":
+                from tfrec_tpu.kernels.gather_pallas import gather_pallas
+
+                rows = gather_pallas(tbl, local_idx.reshape(-1)).reshape(
+                    n_sh, cap, -1
+                )
+            else:
+                rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
+                    n_sh, cap, -1
+                )
             rows = jnp.where(valid[:, :, None], rows, 0.0)
             back = jax.lax.all_to_all(
                 rows, axis, split_axis=0, concat_axis=0, tiled=True
@@ -209,9 +218,22 @@ class RowShardedTable:
             # optimizer's mode='drop' scatters).
             lrow = recv_ids.reshape(-1) - base
             lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
-            new_tbl, new_state = sparse_opt.apply(
-                tbl, ostate, lrow, recv_g.reshape(n_sh * cap, -1), lr
-            )
+            flat_g = recv_g.reshape(n_sh * cap, -1)
+            if (
+                self.kernels == "pallas"
+                and sparse_opt.name == "rowwise_adagrad"
+                and tbl.shape[1] % 128 == 0
+            ):
+                from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+
+                uids, inv = dedup_ids(lrow, rps)
+                combined = jax.ops.segment_sum(flat_g, inv, num_segments=flat_g.shape[0])
+                new_tbl, new_acc = fused_rowwise_adagrad(
+                    tbl, ostate["acc"], uids, combined, lr
+                )
+                new_state = {"acc": new_acc}
+            else:
+                new_tbl, new_state = sparse_opt.apply(tbl, ostate, lrow, flat_g, lr)
             return new_tbl, new_state, jax.lax.psum(overflow, axis)
 
         state_spec = jax.tree_util.tree_map(

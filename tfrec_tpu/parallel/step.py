@@ -61,6 +61,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     spec.vocab,
                     spec.dim,
                     capacity_factor=self.mesh_cfg.a2a_capacity_factor,
+                    kernels=kernels,
                 )
             elif mode == "col" and spec.dim % mesh.shape["table"] == 0 and mesh.shape["table"] > 1:
                 self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
