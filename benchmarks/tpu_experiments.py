@@ -107,11 +107,13 @@ def main(argv=None) -> int:
         # creation on its own (can take minutes).
         cmd = EXPERIMENTS[name]
         note(f"--- {name}: {' '.join(cmd)}")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         with open(args.log, "a") as child_log:
             try:
                 rc = subprocess.run(
                     [sys.executable] + cmd[1:] if cmd[0] == "python" else cmd,
-                    stdout=child_log, stderr=child_log, cwd=REPO,
+                    stdout=child_log, stderr=child_log, cwd=REPO, env=env,
                     timeout=args.child_timeout or None,
                 ).returncode
                 note(f"--- {name}: exit {rc}")

@@ -36,11 +36,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _block_b(batch: int) -> int:
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if batch % cand == 0:
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+
+
+def _block_b(batch: int, dim: int, n_live_bufs: int) -> int:
+    """Largest batch-tile whose live VMEM footprint fits the budget.
+
+    n_live_bufs counts [tb, dim] f32 buffers live at once including the
+    pipeline's double buffering: forward ~4 (x0 in x2, out x2); backward
+    ~2*(L+4) (x0/g in, dx0 out, replayed xs, temporaries).
+    """
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if batch % cand == 0 and cand * dim * 4 * n_live_bufs <= _VMEM_BUDGET:
             return cand
-    return batch
+    return 8
 
 
 def _fwd_kernel(x0_ref, w_ref, b_ref, out_ref, *, num_layers):
@@ -99,7 +108,7 @@ def _cross_fwd_impl(x0, w, b):
         )
     batch, dim = x0.shape
     num_layers = w.shape[0]
-    tb = _block_b(batch)
+    tb = _block_b(batch, dim, n_live_bufs=4 + num_layers)
     grid = (batch // tb,)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_layers=num_layers),
@@ -124,7 +133,7 @@ def _cross_bwd_rule(res, g):
     x0, w, b = res
     batch, dim = x0.shape
     num_layers = w.shape[0]
-    tb = _block_b(batch)
+    tb = _block_b(batch, dim, n_live_bufs=2 * (num_layers + 5))
     grid = (batch // tb,)
     dx0, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, num_layers=num_layers),
