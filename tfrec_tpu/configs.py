@@ -131,6 +131,11 @@ class TrainConfig:
     seed: int = 42
     eval_topk: Sequence[int] = (10, 20, 50)
     eval_user_batch: int = 256
+    # Ranking-eval protocol: "full" (full-catalog, stable bands — default)
+    # or "sampled" (positive vs eval_num_candidates sampled negatives,
+    # HR@k/NDCG@k — the NCF leave-one-out paper protocol).
+    eval_protocol: str = "full"
+    eval_num_candidates: int = 100
     log_every_steps: int = 100
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 0  # 0 = off

@@ -287,6 +287,23 @@ class Trainer:
             dense, cat, label = self.ctr_arrays["test"]
             out.update(self._eval_ctr(dense, cat, label))
             return out
+        if (
+            c.train.eval_protocol == "sampled"
+            and self.model.data_spec.kind == "interaction"
+        ):
+            if self._retrieval_eval is None:
+                from tfrec_tpu.eval.sampled import SampledEvaluator
+
+                self._retrieval_eval = SampledEvaluator(
+                    self.model, self.dataset, ks=tuple(c.train.eval_topk),
+                    num_candidates=c.train.eval_num_candidates,
+                    seed=c.train.seed + 13,
+                    user_batch=c.train.eval_user_batch,
+                )
+            out.update(self._retrieval_eval(self.params))
+            if self.loss_name == "logloss" or self.is_ctr_model:
+                out.update(self._eval_interaction_auc())
+            return out
         # Interaction data: full-catalog ranking eval (compiled once).
         if self._retrieval_eval is None:
             try:

@@ -89,6 +89,8 @@ def neumf_ml20m(path: str | None = None) -> Config:
         train=TrainConfig(
             batch_size=8192, epochs=20, loss="logloss", num_negatives=4,
             eval_every_epochs=5, eval_topk=(10, 20),
+            # NCF-paper protocol: held-out item vs 100 sampled negatives.
+            eval_protocol="sampled", eval_num_candidates=100,
         ),
     )
 
