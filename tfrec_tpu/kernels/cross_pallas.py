@@ -52,11 +52,22 @@ def _block_b(batch: int, dim: int, n_live_bufs: int) -> int:
     return 8
 
 
+def _row_dot(x, w_row):
+    """Per-row dot x . w as a VPU multiply+reduce in FULL f32.
+
+    Hardware finding: an MXU matvec (jnp.dot) inside the kernel runs at
+    the backend's default (bf16) precision and diverged from the XLA
+    reference by ~1e-1 at d~1000 on real TPU; the VPU reduction keeps f32
+    and a matvec has no MXU advantage anyway (it is bandwidth-bound).
+    """
+    return jnp.sum(x * w_row[None, :], axis=1, keepdims=True)
+
+
 def _fwd_kernel(x0_ref, w_ref, b_ref, out_ref, *, num_layers):
     x0 = x0_ref[:]
     x = x0
     for l in range(num_layers):
-        s = jnp.dot(x, w_ref[l, :][:, None], preferred_element_type=jnp.float32)
+        s = _row_dot(x, w_ref[l, :])
         x = x0 * s + b_ref[l, :][None, :] + x
     out_ref[:] = x
 
@@ -68,7 +79,7 @@ def _bwd_kernel(x0_ref, w_ref, b_ref, g_ref, dx0_ref, dw_ref, db_ref, *, num_lay
     x = x0
     ss = []
     for l in range(num_layers):
-        s = jnp.dot(x, w_ref[l, :][:, None], preferred_element_type=jnp.float32)
+        s = _row_dot(x, w_ref[l, :])
         ss.append(s)
         x = x0 * s + b_ref[l, :][None, :] + x
         xs.append(x)
