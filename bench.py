@@ -1,5 +1,7 @@
 """Headline benchmark: examples/s/chip on Criteo-shaped DCN CTR training
-(BASELINE.json metric). Prints ONE JSON line:
+(BASELINE.json metric). Defaults are the fastest validated configuration
+(embed_dim 128 — 128-lane-aligned rows; fused Pallas kernels; see
+docs/PERF.md for the measured matrix). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference published no numbers (BASELINE.json:13 -> {};
@@ -94,8 +96,8 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
-    parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
-    parser.add_argument("--embed_dim", type=int, default=32)
+    parser.add_argument("--kernels", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--embed_dim", type=int, default=128)
     parser.add_argument("--precision", default="default",
                         choices=["default", "bfloat16", "float32", "highest"])
     parser.add_argument(
@@ -133,6 +135,8 @@ def main(argv=None) -> int:
     if args.precision != "default":
         jax.config.update("jax_default_matmul_precision", args.precision)
     platform = jax.default_backend()
+    # MF ignores --embed_dim (fixed d=64); keep its baseline key stable.
+    key_dim = args.embed_dim if args.model == "dcn" else 64
     if args.model == "dcn":
         step, state, batches = build_dcn_bench(args.batch, args.kernels, args.embed_dim)
     else:
@@ -159,7 +163,7 @@ def main(argv=None) -> int:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}-{args.precision}"
+            key = f"{args.model}-{platform}-b{args.batch}-d{key_dim}-{args.kernels}-{args.precision}"
             if key in base:
                 vs_baseline = examples_per_s / base[key]
             else:
@@ -167,7 +171,7 @@ def main(argv=None) -> int:
         except Exception:
             pass
     else:
-        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{args.embed_dim}-{args.kernels}-{args.precision}"
+        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{key_dim}-{args.kernels}-{args.precision}"
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:
