@@ -137,15 +137,30 @@ def main(argv=None) -> int:
     platform = jax.default_backend()
     # MF ignores --embed_dim (fixed d=64); keep its baseline key stable.
     key_dim = args.embed_dim if args.model == "dcn" else 64
-    if args.model == "dcn":
-        step, state, batches = build_dcn_bench(args.batch, args.kernels, args.embed_dim)
-    else:
-        step, state, batches = build_mf_bench(args.batch, args.kernels)
 
-    # Warmup (compile + cache).
-    for i in range(args.warmup):
-        state, metrics = step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["loss"])
+    def build(kernels):
+        if args.model == "dcn":
+            return build_dcn_bench(args.batch, kernels, args.embed_dim)
+        return build_mf_bench(args.batch, kernels)
+
+    step, state, batches = build(args.kernels)
+    # Warmup (compile + cache); if the fused-kernel path fails to compile
+    # on this hardware, fall back to the XLA path rather than dying.
+    try:
+        for i in range(args.warmup):
+            state, metrics = step(state, batches[i % len(batches)])
+        jax.block_until_ready(metrics["loss"])
+    except Exception as e:
+        if args.kernels == "pallas":
+            print(f"bench: pallas path failed ({type(e).__name__}); "
+                  "falling back to xla kernels", file=sys.stderr)
+            args.kernels = "xla"
+            step, state, batches = build("xla")
+            for i in range(args.warmup):
+                state, metrics = step(state, batches[i % len(batches)])
+            jax.block_until_ready(metrics["loss"])
+        else:
+            raise
 
     t0 = time.perf_counter()
     for i in range(args.steps):
