@@ -46,6 +46,7 @@ EXPERIMENTS = {
                                 "--precision", "bfloat16"],
     "kernel_bench": ["python", "benchmarks/kernel_bench.py", "--sizes", "full"],
     "cross_check": ["python", "benchmarks/exp_cross_check.py"],
+    "roofline": ["python", "benchmarks/exp_roofline.py"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
 }
 
