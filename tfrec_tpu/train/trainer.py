@@ -401,9 +401,16 @@ class Trainer:
             # Block on the last step for honest timing.
             jax.block_until_ready(self.state["step"])
             dt = time.monotonic() - t0
+            if n_examples == 0:
+                # Empty epoch (dataset smaller than one batch): nothing to
+                # log or learn, but don't reference unbound step metrics.
+                self.logger.log({"epoch": epoch, "event": "empty_epoch"})
+                history.append({"epoch": epoch, "loss": float("nan"),
+                                "examples_per_s": 0.0})
+                continue
             rec: Dict[str, float] = {
                 "epoch": epoch,
-                "loss": float(metrics["loss"]) if n_examples else float("nan"),
+                "loss": float(metrics["loss"]),
                 "examples_per_s": n_examples / max(dt, 1e-9),
             }
             if c.train.eval_every_epochs and (epoch + 1) % c.train.eval_every_epochs == 0:
