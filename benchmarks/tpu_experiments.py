@@ -47,6 +47,7 @@ EXPERIMENTS = {
     "kernel_bench": ["python", "benchmarks/kernel_bench.py", "--sizes", "full"],
     "cross_check": ["python", "benchmarks/exp_cross_check.py"],
     "roofline": ["python", "benchmarks/exp_roofline.py"],
+    "honest": ["python", "benchmarks/exp_honest.py"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
 }
 
