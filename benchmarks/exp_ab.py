@@ -1,0 +1,55 @@
+"""Interleaved A/B benchmark: xla vs pallas DCN step in ONE session.
+
+Session-to-session throughput varies ±40% on this tunnel, so cross-window
+comparisons are noise. This probe alternates timed blocks of the two
+step variants (A B A B A B) inside one process and reports per-variant
+medians — the only comparison design that controls for window drift.
+Catches everything; exits 0.
+"""
+
+import statistics
+import sys
+import time
+import traceback
+
+import jax
+
+
+def main() -> int:
+    try:
+        sys.path.insert(0, ".")
+        from bench import build_dcn_bench
+
+        batch, d = 8192, 128
+        variants = {}
+        for name in ("xla", "pallas"):
+            step, state, batches = build_dcn_bench(batch, name, d)
+            # warmup/compile
+            for i in range(3):
+                state, m = step(state, batches[i % len(batches)])
+            jax.block_until_ready(m["loss"])
+            variants[name] = [step, state, batches, []]
+
+        rounds, steps_per_block = 5, 10
+        for r in range(rounds):
+            for name, slot in variants.items():
+                step, state, batches, times = slot
+                t0 = time.perf_counter()
+                for i in range(steps_per_block):
+                    state, m = step(state, batches[i % len(batches)])
+                jax.block_until_ready(m["loss"])
+                dt = time.perf_counter() - t0
+                slot[1] = state
+                times.append(steps_per_block * batch / dt)
+        for name, (_, _, _, times) in variants.items():
+            med = statistics.median(times)
+            print(f"AB {name}: median {med/1e6:.2f}M ex/s "
+                  f"(blocks: {', '.join(f'{t/1e6:.1f}' for t in times)})",
+                  flush=True)
+    except Exception:
+        traceback.print_exc()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

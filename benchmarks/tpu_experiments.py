@@ -48,6 +48,7 @@ EXPERIMENTS = {
     "cross_check": ["python", "benchmarks/exp_cross_check.py"],
     "roofline": ["python", "benchmarks/exp_roofline.py"],
     "honest": ["python", "benchmarks/exp_honest.py"],
+    "ab": ["python", "benchmarks/exp_ab.py"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
 }
 
