@@ -1,7 +1,7 @@
 """Headline benchmark: examples/s/chip on Criteo-shaped DCN CTR training
-(BASELINE.json metric). Defaults are the fastest validated configuration
-(embed_dim 128 — 128-lane-aligned rows; fused Pallas kernels; see
-docs/PERF.md for the measured matrix). Prints ONE JSON line:
+(BASELINE.json metric). Defaults: embed_dim 128 (128-lane-aligned rows),
+XLA kernels (at least as fast as the fused path in controlled interleaved
+A/B runs; docs/PERF.md discusses the measurement-environment variance). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference published no numbers (BASELINE.json:13 -> {};
@@ -96,7 +96,7 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
-    parser.add_argument("--kernels", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--embed_dim", type=int, default=128)
     parser.add_argument("--precision", default="default",
                         choices=["default", "bfloat16", "float32", "highest"])
