@@ -132,6 +132,11 @@ class Trainer:
         self.model = build_model(c.model, self.data_spec, backend=c.train.kernels)
         loss = c.train.loss
         if self.is_ctr_model and loss in PAIRWISE_LOSSES:
+            self.logger.log({
+                "event": "loss_coerced",
+                "from": loss, "to": "logloss",
+                "reason": "CTR models train pointwise",
+            })
             loss = "logloss"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
