@@ -131,13 +131,31 @@ class CriteoStreamBatcher:
 
     def epoch(self, epoch: int):
         skipped = 0
+        pend = None  # partial batch carried across the eval/train boundary
         for dense, cat, label in best_batch_iter(
             self.path, self.batch_size, self.vocab_sizes, self.max_examples
         ):
-            # Skip the eval head (whole batches; eval_examples should be a
-            # multiple of batch_size for an exact split).
             if skipped < self.eval_examples:
-                skipped += len(label)
+                take = min(self.eval_examples - skipped, len(label))
+                skipped += take
+                if take == len(label):
+                    continue
+                # Examples straddling the boundary belong to training.
+                pend = (dense[take:], cat[take:], label[take:])
+                continue
+            if pend is not None:
+                d = np.concatenate([pend[0], dense])
+                ca = np.concatenate([pend[1], cat])
+                la = np.concatenate([pend[2], label])
+                yield {
+                    "dense": d[: self.batch_size],
+                    "cat": ca[: self.batch_size],
+                    "label": la[: self.batch_size],
+                }
+                pend = (d[self.batch_size:], ca[self.batch_size:],
+                        la[self.batch_size:])
+                if len(pend[2]) == 0:
+                    pend = None
                 continue
             yield {"dense": dense, "cat": cat, "label": label}
 

@@ -194,7 +194,6 @@ def evaluate_retrieval(
     dataset,
     ks: Sequence[int],
     user_batch: int = 256,
-    chunk_size: int | None = None,
 ) -> Dict[str, float]:
     """One-shot convenience wrapper around RetrievalEvaluator."""
     return RetrievalEvaluator(score_all_fn, dataset, ks, user_batch)(params)

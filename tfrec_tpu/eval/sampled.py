@@ -52,10 +52,18 @@ def build_candidates(
             excl_cache[int(u)] = excl
         draw = rng.integers(0, num_items, num_candidates * 2)
         picked = [d for d in draw if d not in excl][:num_candidates]
-        while len(picked) < num_candidates:  # rare for real catalogs
+        for _ in range(8):  # bounded rejection rounds
+            if len(picked) >= num_candidates:
+                break
             extra = rng.integers(0, num_items, num_candidates)
             picked.extend(d for d in extra if d not in excl)
-            picked = picked[:num_candidates]
+        picked = picked[:num_candidates]
+        if len(picked) < num_candidates:
+            # Degenerate user interacting with (almost) the whole catalog:
+            # fill with unrestricted draws so evaluation terminates; the
+            # metric is pessimistic for this user, never wrong for others.
+            fill = rng.integers(0, num_items, num_candidates - len(picked))
+            picked.extend(int(d) for d in fill)
         negs[i] = picked
     candidates = np.concatenate([pos[:, None], negs], axis=1).astype(np.int32)
     return {"user": users.astype(np.int32), "candidates": candidates}

@@ -39,17 +39,25 @@ def _interpret() -> bool:
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
 
-def _block_b(batch: int, dim: int, n_live_bufs: int) -> int:
+def _block_b(dim: int, n_live_bufs: int) -> int:
     """Largest batch-tile whose live VMEM footprint fits the budget.
 
     n_live_bufs counts [tb, dim] f32 buffers live at once including the
     pipeline's double buffering: forward ~4 (x0 in x2, out x2); backward
-    ~2*(L+4) (x0/g in, dx0 out, replayed xs, temporaries).
+    ~2*(L+4) (x0/g in, dx0 out, replayed xs, temporaries). Callers pad the
+    batch up to a tile multiple (a non-divisible grid would silently skip
+    tail rows).
     """
-    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if batch % cand == 0 and cand * dim * 4 * n_live_bufs <= _VMEM_BUDGET:
+    for cand in (1024, 512, 256, 128, 64, 32, 16):
+        if cand * dim * 4 * n_live_bufs <= _VMEM_BUDGET:
             return cand
     return 8
+
+
+def _pad_batch(x: jnp.ndarray, tb: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % tb
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
 def _row_dot(x, w_row):
@@ -119,20 +127,22 @@ def _cross_fwd_impl(x0, w, b):
         )
     batch, dim = x0.shape
     num_layers = w.shape[0]
-    tb = _block_b(batch, dim, n_live_bufs=4 + num_layers)
-    grid = (batch // tb,)
-    return pl.pallas_call(
+    tb = _block_b(dim, n_live_bufs=4 + num_layers)
+    x0p = _pad_batch(x0, tb)
+    padded = x0p.shape[0]
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, num_layers=num_layers),
-        grid=grid,
+        grid=(padded // tb,),
         in_specs=[
             pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, dim), x0.dtype),
+        out_shape=jax.ShapeDtypeStruct((padded, dim), x0.dtype),
         interpret=_interpret(),
-    )(x0, w, b)
+    )(x0p, w, b)
+    return out[:batch]
 
 
 def _cross_fwd_rule(x0, params):
@@ -144,11 +154,13 @@ def _cross_bwd_rule(res, g):
     x0, w, b = res
     batch, dim = x0.shape
     num_layers = w.shape[0]
-    tb = _block_b(batch, dim, n_live_bufs=2 * (num_layers + 5))
-    grid = (batch // tb,)
+    tb = _block_b(dim, n_live_bufs=2 * (num_layers + 5))
+    x0p = _pad_batch(x0, tb)
+    gp = _pad_batch(g, tb)  # zero rows contribute nothing to dw/db
+    padded = x0p.shape[0]
     dx0, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, num_layers=num_layers),
-        grid=grid,
+        grid=(padded // tb,),
         in_specs=[
             pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -161,13 +173,13 @@ def _cross_bwd_rule(res, g):
             pl.BlockSpec((num_layers, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, dim), x0.dtype),
+            jax.ShapeDtypeStruct((padded, dim), x0.dtype),
             jax.ShapeDtypeStruct((num_layers, dim), w.dtype),
             jax.ShapeDtypeStruct((num_layers, dim), b.dtype),
         ],
         interpret=_interpret(),
-    )(x0, w, b, g)
-    return dx0, {"w": dw, "b": db}
+    )(x0p, w, b, gp)
+    return dx0[:batch], {"w": dw, "b": db}
 
 
 cross_stack_pallas.defvjp(_cross_fwd_rule, _cross_bwd_rule)

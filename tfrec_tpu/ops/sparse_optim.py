@@ -56,6 +56,9 @@ class SparseOptimizer:
     name: str
     init: Callable[[jnp.ndarray], State]
     apply: Callable[..., Tuple[jnp.ndarray, State]]
+    # Exposed so fused-kernel paths (which bypass `apply`) use the SAME
+    # epsilon as the closure baked into `apply`.
+    eps: float = 1e-8
 
 
 def _dedup(table: jnp.ndarray, ids: jnp.ndarray, grads: jnp.ndarray):
@@ -138,13 +141,14 @@ def make_sparse_optimizer(
     **_: Any,
 ) -> SparseOptimizer:
     if name == "sgd":
-        return SparseOptimizer("sgd", _sgd_init, _sgd_apply)
+        return SparseOptimizer("sgd", _sgd_init, _sgd_apply, eps)
     if name == "rowwise_adagrad":
         return SparseOptimizer(
-            "rowwise_adagrad", _adagrad_init_fn(adagrad_init), _adagrad_apply_fn(eps)
+            "rowwise_adagrad", _adagrad_init_fn(adagrad_init),
+            _adagrad_apply_fn(eps), eps,
         )
     if name == "rowwise_adam":
         return SparseOptimizer(
-            "rowwise_adam", _adam_init, _adam_apply_fn(adam_b1, adam_b2, eps)
+            "rowwise_adam", _adam_init, _adam_apply_fn(adam_b1, adam_b2, eps), eps
         )
     raise ValueError(f"unknown sparse optimizer {name!r}")

@@ -229,7 +229,7 @@ class RowShardedTable:
                 uids, inv = dedup_ids(lrow, rps)
                 combined = jax.ops.segment_sum(flat_g, inv, num_segments=flat_g.shape[0])
                 new_tbl, new_acc = fused_rowwise_adagrad(
-                    tbl, ostate["acc"], uids, combined, lr
+                    tbl, ostate["acc"], uids, combined, lr, eps=sparse_opt.eps
                 )
                 new_state = {"acc": new_acc}
             else:

@@ -164,7 +164,7 @@ class TrainStepBuilder:
 
             uids, g = combine_duplicate_ids(ids, grads, sentinel=table.shape[0])
             new_table, new_acc = fused_rowwise_adagrad(
-                table, opt_state["acc"], uids, g, lr, self.optim_cfg.eps
+                table, opt_state["acc"], uids, g, lr, self.sparse_opt.eps
             )
             return new_table, {"acc": new_acc}
         return self.sparse_opt.apply(table, opt_state, ids, grads, lr)

@@ -30,7 +30,7 @@ from tfrec_tpu.data.dataset import build_dataset
 from tfrec_tpu.data.samplers import CTRBatcher, PairwiseSampler, PointwiseSampler
 from tfrec_tpu.data.synthetic import synthetic_ctr
 from tfrec_tpu.eval.metrics import auc as auc_metric
-from tfrec_tpu.eval.retrieval import evaluate_retrieval
+from tfrec_tpu.eval.metrics import logloss as logloss_metric
 from tfrec_tpu.models import DataSpec, build_model
 from tfrec_tpu.train.losses import MULTI_NEG_LOSSES, PAIRWISE_LOSSES
 from tfrec_tpu.train.step import TrainStepBuilder
@@ -39,6 +39,25 @@ from tfrec_tpu.utils.logging import MetricLogger
 from tfrec_tpu.utils.prefetch import prefetch
 
 CTR_MODELS = ("fm", "dcn", "dcnv2", "deepfm", "widedeep", "dlrm")
+
+
+def _criteo_vocabs(sizes) -> tuple:
+    """Criteo needs exactly 26 per-field vocab sizes; a single value is an
+    explicit broadcast, anything else is a config error (silently
+    broadcasting the first value would corrupt model capacity)."""
+    from tfrec_tpu.data.criteo import NUM_CATEGORICAL
+
+    sizes = tuple(sizes)
+    if len(sizes) == 1:
+        return sizes * NUM_CATEGORICAL
+    if len(sizes) != NUM_CATEGORICAL:
+        raise ValueError(
+            f"criteo needs 1 or {NUM_CATEGORICAL} categorical_vocab_sizes, "
+            f"got {len(sizes)}"
+        )
+    return sizes
+
+
 INTERACTION_SOURCES = ("movielens", "synthetic_implicit")
 CTR_SOURCES = ("criteo", "synthetic_ctr")
 
@@ -72,9 +91,7 @@ class Trainer:
             if c.data.source == "criteo" and c.data.streaming:
                 from tfrec_tpu.data.criteo import NUM_CATEGORICAL, CriteoStreamBatcher
 
-                vocabs = tuple(c.data.categorical_vocab_sizes)
-                if len(vocabs) != NUM_CATEGORICAL:
-                    vocabs = (vocabs[0],) * NUM_CATEGORICAL
+                vocabs = _criteo_vocabs(c.data.categorical_vocab_sizes)
                 self.stream = CriteoStreamBatcher(
                     c.data.path, c.train.batch_size, vocabs,
                     eval_examples=c.data.eval_examples,
@@ -98,20 +115,20 @@ class Trainer:
                 )
                 vocabs = tuple(c.data.categorical_vocab_sizes)
             else:
-                from tfrec_tpu.data.criteo import NUM_CATEGORICAL, load_criteo
+                from tfrec_tpu.data.criteo import load_criteo
 
-                vocabs = tuple(c.data.categorical_vocab_sizes) * (
-                    NUM_CATEGORICAL // max(len(c.data.categorical_vocab_sizes), 1)
-                ) if len(c.data.categorical_vocab_sizes) != NUM_CATEGORICAL else tuple(
-                    c.data.categorical_vocab_sizes
-                )
-                if len(vocabs) != NUM_CATEGORICAL:
-                    vocabs = (vocabs[0],) * NUM_CATEGORICAL
+                vocabs = _criteo_vocabs(c.data.categorical_vocab_sizes)
                 dense, cat, label = load_criteo(
                     c.data.path, vocabs, max_examples=c.data.num_examples or None
                 )
             if self.stream is None:
                 n_test = int(len(label) * c.data.test_fraction)
+                if n_test == 0 or n_test >= len(label):
+                    raise ValueError(
+                        f"test_fraction={c.data.test_fraction} with "
+                        f"{len(label)} examples yields an empty train or "
+                        "test split; adjust num_examples/test_fraction"
+                    )
                 self.ctr_arrays = {
                     "train": (dense[:-n_test], cat[:-n_test], label[:-n_test]),
                     "test": (dense[-n_test:], cat[-n_test:], label[-n_test:]),
@@ -358,11 +375,7 @@ class Trainer:
         logits = np.concatenate(logits_out)
         labels = label[: len(logits)]
         a = float(auc_metric(jnp.asarray(logits), jnp.asarray(labels)))
-        ll = float(
-            np.mean(
-                np.maximum(logits, 0) - logits * labels + np.log1p(np.exp(-np.abs(logits)))
-            )
-        )
+        ll = float(logloss_metric(jnp.asarray(logits), jnp.asarray(labels)))
         return {"auc": a, "logloss": ll}
 
     def _eval_interaction_auc(self, num_neg: int = 50) -> Dict[str, float]:
@@ -387,10 +400,16 @@ class Trainer:
         c = self.config
         history: List[Dict[str, float]] = []
         steps_cap = c.train.steps_per_epoch
+        if steps_cap <= 0 and jax.process_count() > 1:
+            # Each process samples local batches over the FULL train set;
+            # one global epoch = total-batches / num_processes steps per
+            # process (otherwise an "epoch" would make n_proc data passes).
+            total = self.sampler.num_batches()
+            if total > 0:
+                steps_cap = max(total // jax.process_count(), 1)
         for epoch in range(self.start_epoch, c.train.epochs):
             t0 = time.monotonic()
             n_examples = 0
-            losses = []
             batch_stream = prefetch(self.sampler.epoch(epoch), self._to_device_batch)
             for i, dev_batch in enumerate(batch_stream):
                 if steps_cap > 0 and i >= steps_cap:
@@ -401,8 +420,6 @@ class Trainer:
                 self.state, metrics = self.jit_step(self.state, dev_batch)
                 self.global_step += 1
                 n_examples += c.train.batch_size
-                if (i + 1) % max(c.train.log_every_steps, 1) == 0:
-                    losses.append(float(metrics["loss"]))
             # Block on the last step for honest timing.
             jax.block_until_ready(self.state["step"])
             dt = time.monotonic() - t0
