@@ -109,3 +109,69 @@ def test_schedule_trains_end_to_end():
     _, hist = run(cfg, quiet=True)
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_in_batch_softmax_oracle():
+    from tfrec_tpu.train.losses import in_batch_softmax
+
+    scores = jnp.asarray([[3.0, 0.0], [0.0, 2.0]])
+    got = float(in_batch_softmax(scores, {}))
+    want = -np.mean([
+        np.log(np.exp(3) / (np.exp(3) + 1)),
+        np.log(np.exp(2) / (np.exp(2) + 1)),
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_mf_trains_with_in_batch_softmax():
+    import numpy as _np
+
+    from tfrec_tpu.configs import (
+        Config, DataConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96, num_items=192,
+                        interactions_per_user=12),
+        model=ModelConfig(name="mf", embed_dim=16),
+        optim=OptimConfig(learning_rate=0.1, sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(batch_size=128, epochs=6, eval_every_epochs=6,
+                          eval_topk=(20,), loss="in_batch_softmax"),
+    )
+    _, hist = run(cfg, quiet=True)
+    # In-batch negatives carry popularity bias; convergence is slower on
+    # this tiny setup — the gate is "well above random" (random ~ 0.078).
+    assert hist[-1]["recall@20"] > 0.10, hist[-1]
+    assert hist[-1]["loss"] < 4.2  # started near ln(128) ~ 4.85
+
+
+def test_gmf_in_batch_and_mlp_raises():
+    from tfrec_tpu.configs import ModelConfig
+    from tfrec_tpu.models import DataSpec, build_model
+
+    spec = DataSpec.interaction(10, 20)
+    gmf = build_model(ModelConfig(name="gmf", gmf_dim=8), spec)
+    params = gmf.init(jax.random.PRNGKey(0))
+    batch = {"user": jnp.arange(4, dtype=jnp.int32),
+             "pos": jnp.arange(4, dtype=jnp.int32)}
+    ids = gmf.lookup_ids(batch)
+    g = {k: jnp.take(params["tables"][k], v, axis=0) for k, v in ids.items()}
+    scores = gmf.forward(params["dense"], g, batch)
+    assert scores.shape == (4, 4)
+    # consistency: diagonal == pointwise logits
+    point = {"user": batch["user"], "item": batch["pos"],
+             "label": jnp.zeros(4)}
+    pids = gmf.lookup_ids(point)
+    pg = {k: jnp.take(params["tables"][k], v, axis=0) for k, v in pids.items()}
+    logits = gmf.forward(params["dense"], pg, point)
+    np.testing.assert_allclose(np.asarray(jnp.diag(scores)), np.asarray(logits),
+                               rtol=1e-5, atol=1e-6)
+
+    mlp = build_model(ModelConfig(name="mlp", mlp_embed_dim=8, mlp_dims=(8,)), spec)
+    mp = mlp.init(jax.random.PRNGKey(1))
+    mids = mlp.lookup_ids(batch)
+    mg = {k: jnp.take(mp["tables"][k], v, axis=0) for k, v in mids.items()}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="in_batch"):
+        mlp.forward(mp["dense"], mg, batch)

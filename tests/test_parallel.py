@@ -271,3 +271,26 @@ def test_row_sharded_pallas_kernels_match_xla(mesh8):
     np.testing.assert_allclose(
         np.asarray(sp["acc"]), np.asarray(sx["acc"]), rtol=1e-5
     )
+
+
+def test_col_sharded_trainer_end_to_end():
+    """table_axis_size=2 via the Trainer: column-sharded tables train and
+    learn on the (4, 2) mesh."""
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig as MC, ModelConfig, OptimConfig,
+        TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96, num_items=192,
+                        interactions_per_user=12),
+        model=ModelConfig(name="mf", embed_dim=16),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=128, epochs=4, eval_every_epochs=4,
+                          eval_topk=(20,), loss="bpr"),
+        mesh=MC(data_axis_size=4, table_axis_size=2, table_sharding="col"),
+    )
+    trainer, hist = run(cfg, quiet=True)
+    assert trainer.mesh is not None and trainer.mesh.shape["table"] == 2
+    assert hist[-1]["recall@20"] > 0.12, hist[-1]

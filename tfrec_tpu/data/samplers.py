@@ -73,23 +73,32 @@ class PairwiseSampler:
         num_negatives: int = 1,
         seed: int = 0,
         multi_neg: bool = False,
+        no_negatives: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_negatives = num_negatives
         self.seed = seed
         self.multi_neg = multi_neg
+        self.no_negatives = no_negatives  # in-batch losses: (user, pos) only
         self.index = _TrainPairIndex(dataset)
 
     def num_batches(self) -> int:
         n = len(self.dataset.train)
-        if not self.multi_neg:
+        if not (self.multi_neg or self.no_negatives):
             n *= self.num_negatives
         return n // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng((self.seed, epoch))
         train = self.dataset.train
+        if self.no_negatives:
+            perm = rng.permutation(len(train))
+            users, pos = train.users[perm], train.items[perm]
+            for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+                sl = slice(start, start + self.batch_size)
+                yield {"user": users[sl], "pos": pos[sl]}
+            return
         if self.multi_neg:
             users, pos = train.users, train.items
             flat_users = np.repeat(users, self.num_negatives)

@@ -116,7 +116,11 @@ class RecModel(abc.ABC):
     def pair_item_ids(batch) -> jnp.ndarray:
         """Item-id vector for a pairwise batch: [pos; negs...], length
         B*(1+K). Single-negative batches have "neg" [B]; multi-negative
-        batches (sampled softmax) have "negs" [B, K]."""
+        batches (sampled softmax) have "negs" [B, K]; in-batch-negative
+        batches have only "pos" (each row's positive is every other row's
+        negative)."""
         if "negs" in batch:
             return jnp.concatenate([batch["pos"], batch["negs"].reshape(-1)])
-        return jnp.concatenate([batch["pos"], batch["neg"]])
+        if "neg" in batch:
+            return jnp.concatenate([batch["pos"], batch["neg"]])
+        return batch["pos"]

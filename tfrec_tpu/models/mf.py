@@ -65,6 +65,11 @@ class MF(RecModel):
                 return jnp.concatenate(
                     [s[:bsz, None], s[bsz:].reshape(bsz, k)], axis=1
                 )
+            if "neg" not in batch:  # in-batch negatives: [B, B] MXU matmul
+                scores = jnp.dot(u, i.T, preferred_element_type=jnp.float32)
+                if b is not None:
+                    scores = scores + b[:, 0][None, :]
+                return scores
             s_pos = self._score(u, i[:bsz], None if b is None else b[:bsz])
             s_neg = self._score(u, i[bsz:], None if b is None else b[bsz:])
             return s_pos - s_neg

@@ -38,11 +38,21 @@ class _NCFBase(RecModel):
     def _pair_logit(self, dense, u_g: Dict, i_g: Dict, rng=None) -> jnp.ndarray:
         raise NotImplementedError
 
+    def in_batch_scores(self, dense, u_g: Dict, i_g: Dict) -> jnp.ndarray:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support in_batch_softmax "
+            "(dot-product scorers only: mf, gmf)"
+        )
+
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
         user_keys = [k for k in gathered if k.startswith("user")]
         item_keys = [k for k in gathered if k.startswith("item")]
         u_g = {k: gathered[k] for k in user_keys}
         if self.is_pairwise(batch):
+            if "neg" not in batch and "negs" not in batch:
+                return self.in_batch_scores(
+                    dense, u_g, {k: gathered[k] for k in item_keys}
+                )
             bsz = batch["user"].shape[0]
             if "negs" in batch:  # [B, 1+K] score matrix for sampled softmax
                 k = batch["negs"].shape[1]
@@ -109,6 +119,11 @@ class GMF(_NCFBase):
 
     def _pair_logit(self, dense, u_g, i_g, rng=None) -> jnp.ndarray:
         return (u_g["user_emb"] * i_g["item_emb"]) @ dense["h"] + dense["b"]
+
+    def in_batch_scores(self, dense, u_g, i_g) -> jnp.ndarray:
+        # h.(u*v) = (u*h).v: [B, B] via one MXU matmul.
+        u = u_g["user_emb"] * dense["h"][None, :]
+        return jnp.dot(u, i_g["item_emb"].T, preferred_element_type=jnp.float32) + dense["b"]
 
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         # h.(u*v) = (u*h).v — one MXU matmul against the item table.

@@ -38,6 +38,19 @@ def sampled_softmax(scores: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     return -jnp.mean(jax.nn.log_softmax(scores, axis=-1)[:, 0])
 
 
+def in_batch_softmax(scores: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+    """In-batch-negatives softmax over a [B, B] score matrix (row u scored
+    against every positive item in the batch; the diagonal is u's own
+    positive) — the standard two-tower production retrieval loss. Rows
+    whose positive collides with another row's positive are still valid
+    softmax targets (the duplicate column simply shares probability mass).
+    """
+    assert scores.ndim == 2 and scores.shape[0] == scores.shape[1], (
+        "in_batch_softmax needs the [B, B] user-x-batch-items score matrix"
+    )
+    return -jnp.mean(jnp.diag(jax.nn.log_softmax(scores, axis=-1)))
+
+
 def logloss(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """Binary cross-entropy from logits."""
     labels = batch["label"]
@@ -59,10 +72,13 @@ _LOSSES: Dict[str, Callable] = {
     "logloss": logloss,
     "mse": mse,
     "sampled_softmax": sampled_softmax,
+    "in_batch_softmax": in_batch_softmax,
 }
 
-PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax")
+PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")
 MULTI_NEG_LOSSES = ("sampled_softmax",)
+# Losses needing only (user, pos) rows; negatives come from the batch itself.
+IN_BATCH_LOSSES = ("in_batch_softmax",)
 
 
 def make_loss(name: str) -> Callable[[jnp.ndarray, Dict], jnp.ndarray]:

@@ -32,7 +32,9 @@ from tfrec_tpu.data.synthetic import synthetic_ctr
 from tfrec_tpu.eval.metrics import auc as auc_metric
 from tfrec_tpu.eval.metrics import logloss as logloss_metric
 from tfrec_tpu.models import DataSpec, build_model
-from tfrec_tpu.train.losses import MULTI_NEG_LOSSES, PAIRWISE_LOSSES
+from tfrec_tpu.train.losses import (
+    IN_BATCH_LOSSES, MULTI_NEG_LOSSES, PAIRWISE_LOSSES,
+)
 from tfrec_tpu.train.step import TrainStepBuilder
 from tfrec_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from tfrec_tpu.utils.logging import MetricLogger
@@ -257,6 +259,7 @@ class Trainer:
             return PairwiseSampler(
                 self.dataset, local_bs, c.train.num_negatives, seed,
                 multi_neg=self.loss_name in MULTI_NEG_LOSSES,
+                no_negatives=self.loss_name in IN_BATCH_LOSSES,
             )
         return PointwiseSampler(
             self.dataset, local_bs, max(c.train.num_negatives, 1), seed
