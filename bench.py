@@ -62,6 +62,36 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
     return step, state, batches
 
 
+def build_topk_bench(batch_size: int, embed_dim: int):
+    """Retrieval scoring throughput (R7): full-catalog top-k for a user
+    batch against a 1M-item table — users/s is the reported rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfrec_tpu.eval.retrieval import topk_scores
+
+    v, d, k = 1_000_000, embed_dim, 100
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+
+    @jax.jit
+    def query(users):
+        scores = jnp.dot(users, items.T, preferred_element_type=jnp.float32)
+        return topk_scores(scores, k)
+
+    batches = [
+        jnp.asarray(rng.normal(size=(batch_size, d)).astype(np.float32))
+        for _ in range(4)
+    ]
+
+    def step(state, batch):
+        vals, ids = query(batch)
+        return state, {"loss": vals[0, 0]}
+
+    return step, {}, batches
+
+
 def build_mf_bench(batch_size: int, kernels: str):
     import jax
     import jax.numpy as jnp
@@ -92,7 +122,7 @@ def build_mf_bench(batch_size: int, kernels: str):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="dcn", choices=["dcn", "mf"])
+    parser.add_argument("--model", default="dcn", choices=["dcn", "mf", "topk"])
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
@@ -143,6 +173,9 @@ def main(argv=None) -> int:
             return build_dcn_bench(args.batch, kernels, args.embed_dim)
         return build_mf_bench(args.batch, kernels)
 
+    if args.model == "topk":
+        def build(_):
+            return build_topk_bench(min(args.batch, 1024), args.embed_dim)
     step, state, batches = build(args.kernels)
     # Warmup (compile + cache); if the fused-kernel path fails to compile
     # on this hardware, fall back to the XLA path rather than dying.
@@ -195,8 +228,12 @@ def main(argv=None) -> int:
         except OSError:
             pass
 
+    desc = {
+        "dcn": "CTR train", "mf": "BPR train",
+        "topk": "top-100 retrieval vs 1M items, users/s",
+    }[args.model]
     print(json.dumps({
-        "metric": f"examples/s/chip ({args.model} CTR train, {platform}, "
+        "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
                   f"batch={args.batch}, kernels={args.kernels}, prec={args.precision})",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
