@@ -38,6 +38,8 @@ EXPERIMENTS = {
                            "--embed_dim", "128"],
     "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
                   "--steps", "30", "--devices", "tpu"],
+    "bench_topk": ["python", "bench.py", "--model", "topk", "--batch", "1024",
+                    "--steps", "20", "--devices", "tpu", "--embed_dim", "128"],
     "bench_xla_bf16": ["python", "bench.py", "--batch", "8192", "--steps", "30",
                         "--devices", "tpu", "--precision", "bfloat16"],
     "bench_pallas_d128_bf16": ["python", "bench.py", "--batch", "8192",
