@@ -294,3 +294,32 @@ def test_col_sharded_trainer_end_to_end():
     trainer, hist = run(cfg, quiet=True)
     assert trainer.mesh is not None and trainer.mesh.shape["table"] == 2
     assert hist[-1]["recall@20"] > 0.12, hist[-1]
+
+
+def test_negative_ids_counted_in_overflow():
+    ids = jnp.array([5, -3, 12, -1], jnp.int32)
+    send_ids, _, overflow = bucket_by_dest(
+        ids, num_shards=4, rows_per_shard=8, capacity=4, sentinel=32
+    )
+    assert int(overflow) == 2  # the two negative (corrupt) ids
+    # negatives never land in any send slot
+    assert not np.any((np.asarray(send_ids) < 0))
+
+
+def test_sharded_topk_small_catalog_sentinel(mesh8):
+    """k > catalog: empty slots carry the num_items sentinel, not padded ids."""
+    rt = RowShardedTable(mesh8, 24, D)
+    table = _rand(30, (rt.vocab_padded, D))
+    users = _rand(31, (4, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    vals, ids = jax.jit(
+        lambda u, t: sharded_topk_dot(mesh8, u, t, 10, 24)
+    )(users, ts)
+    got = np.asarray(ids)
+    # 24 real items: every id is either a real item or the sentinel 24
+    assert got.max() <= 24
+    # exclusion without counts raises clearly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exclude_counts"):
+        sharded_topk_dot(mesh8, users, ts, 5, 24,
+                         exclude_padded=jnp.zeros((4, 1), jnp.int32))

@@ -17,7 +17,8 @@ The gradient combine is the exact transpose: grads are bucketed with the
 same send plan, all_to_all'd to owners, and the rowwise sparse optimizer
 (ops/sparse_optim.py) applies the combined update to local rows only.
 
-Capacity/overflow: per-destination capacity C = ceil(b/N * factor). Ids
+Capacity/overflow: per-destination capacity C = ceil((mean + 4*sqrt(mean)
++ 8) * factor/2) with mean = unique-ids/N (see capacity_for). Ids
 beyond C are *dropped for that step* — their activations read as zero and
 their gradients are not sent. This is never silent: lookups return the
 global overflow count, the trainer logs a drop rate, and equivalence tests
@@ -40,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tfrec_tpu.ops.embedding import dedup_ids
+from tfrec_tpu.ops.embedding import combine_duplicate_ids, dedup_ids
 from tfrec_tpu.ops.sparse_optim import SparseOptimizer
 
 
@@ -65,18 +66,28 @@ def capacity_for(batch_per_device: int, num_shards: int, factor: float) -> int:
 
 
 def bucket_by_dest(
-    ids: jnp.ndarray, num_shards: int, rows_per_shard: int, capacity: int, sentinel: int
+    ids: jnp.ndarray, num_shards: int, rows_per_shard: int, capacity: int,
+    sentinel: int, ids_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pack ids into a [N, C] send buffer by destination shard.
 
     Returns (send_ids [N, C] int32 sentinel-padded, send_pos [N, C] int32
     position-in-batch with n as the drop marker, overflow scalar).
+    Out-of-range ids (negative or >= sentinel) are never sent; negatives
+    count toward overflow (corrupt input, loudly dropped). ``ids_sorted``
+    skips the destination sort when the caller's ids are already ascending
+    (dedup_ids output) — saves an O(n log n) pass on the hot path.
     """
     n = ids.shape[0]
-    dest = jnp.where(ids >= sentinel, sentinel, ids // rows_per_shard)
-    order = jnp.argsort(dest)  # stable: preserves batch order within a dest
-    sd = jnp.take(dest, order)
-    sids = jnp.take(ids, order)
+    invalid = (ids >= sentinel) | (ids < 0)
+    dest = jnp.where(invalid, sentinel, ids // rows_per_shard)
+    if ids_sorted:
+        order = jnp.arange(n)
+        sd, sids = dest, jnp.where(invalid, sentinel, ids)
+    else:
+        order = jnp.argsort(dest)  # stable: preserves batch order within a dest
+        sd = jnp.take(dest, order)
+        sids = jnp.take(jnp.where(invalid, sentinel, ids), order)
     first = jnp.searchsorted(sd, sd, side="left")
     rank = jnp.arange(n) - first
     real = sids < sentinel
@@ -92,7 +103,11 @@ def bucket_by_dest(
         .at[slot]
         .set(order.astype(jnp.int32), mode="drop")
     )
-    overflow = jnp.sum((~ok & real).astype(jnp.int32))
+    # Capacity drops of in-range ids + corrupt (negative) ids, both loud;
+    # sentinel padding (>= sentinel) is legitimate and never counted.
+    overflow = jnp.sum((~ok & real).astype(jnp.int32)) + jnp.sum(
+        (ids < 0).astype(jnp.int32)
+    )
     return (
         send_ids.reshape(num_shards, capacity),
         send_pos.reshape(num_shards, capacity),
@@ -138,7 +153,7 @@ class RowShardedTable:
             # UNIQUE ids per destination, not raw batch ids.
             uids, inv = dedup_ids(lids, self.sentinel)
             send_ids, send_pos, overflow = bucket_by_dest(
-                uids, n_sh, rps, cap, self.sentinel
+                uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
             )
             recv_ids = jax.lax.all_to_all(
                 send_ids, axis, split_axis=0, concat_axis=0, tiled=True
@@ -199,7 +214,7 @@ class RowShardedTable:
             uids, inv = dedup_ids(lids, self.sentinel)
             combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
             send_ids, send_pos, overflow = bucket_by_dest(
-                uids, n_sh, rps, cap, self.sentinel
+                uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
             )
             flat_pos = send_pos.reshape(-1)
             send_g = jnp.where(
@@ -226,8 +241,7 @@ class RowShardedTable:
             ):
                 from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
 
-                uids, inv = dedup_ids(lrow, rps)
-                combined = jax.ops.segment_sum(flat_g, inv, num_segments=flat_g.shape[0])
+                uids, combined = combine_duplicate_ids(lrow, flat_g, sentinel=rps)
                 new_tbl, new_acc = fused_rowwise_adagrad(
                     tbl, ostate["acc"], uids, combined, lr, eps=sparse_opt.eps
                 )
@@ -266,7 +280,9 @@ class ColShardedTable:
         Returns (activations [B, D] sharded P('data'), overflow=0)."""
 
         def local(tbl, lids):
-            rows = jnp.take(tbl, lids, axis=0)  # [b, D/T]
+            # mode='clip': sentinel bag-padding ids must come back maskable
+            # (jnp.take's default NaN fill poisons 0*NaN masking).
+            rows = jnp.take(tbl, lids, axis=0, mode="clip")  # [b, D/T]
             full = jax.lax.all_gather(rows, self.axis, axis=1, tiled=True)
             return full
 

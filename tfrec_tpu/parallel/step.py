@@ -63,8 +63,23 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     capacity_factor=self.mesh_cfg.a2a_capacity_factor,
                     kernels=kernels,
                 )
-            elif mode == "col" and spec.dim % mesh.shape["table"] == 0 and mesh.shape["table"] > 1:
-                self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
+            elif mode == "col":
+                t_axis = mesh.shape["table"]
+                if t_axis <= 1:
+                    raise ValueError(
+                        "table_sharding='col' requires mesh.table_axis_size > 1"
+                    )
+                if spec.dim % t_axis != 0:
+                    import warnings
+
+                    warnings.warn(
+                        f"table {spec.name!r}: dim {spec.dim} not divisible "
+                        f"by table axis {t_axis}; REPLICATING instead of "
+                        "column-sharding (memory cost!)", stacklevel=2,
+                    )
+                    self.plans[spec.name] = None
+                else:
+                    self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
             elif mode == "gspmd":
                 # Row-sharded layout but lookups/updates via plain gather/
                 # scatter — the XLA SPMD partitioner inserts the collectives.

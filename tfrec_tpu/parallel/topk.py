@@ -40,6 +40,8 @@ def sharded_topk_dot(
     if exclude_padded is None:
         exclude_padded = jnp.full((user_vecs.shape[0], 1), num_items, jnp.int32)
         exclude_counts = jnp.zeros((user_vecs.shape[0],), jnp.int32)
+    elif exclude_counts is None:
+        raise ValueError("exclude_padded requires exclude_counts")
 
     def local(u, items, bias, exc_p, exc_c):
         base = jax.lax.axis_index(axis) * rps
@@ -61,6 +63,10 @@ def sharded_topk_dot(
         all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
         mvals, midx = jax.lax.top_k(all_vals, k)
         mids = jnp.take_along_axis(all_ids, midx, axis=1)
+        # Fewer than k real candidates (tiny catalog / heavy exclusions):
+        # mark the empty slots with the documented sentinel num_items
+        # instead of leaking padded-row ids.
+        mids = jnp.where(mvals <= NEG_INF * 0.5, num_items, mids)
         return mvals, mids
 
     return jax.shard_map(
