@@ -74,3 +74,30 @@ def test_explicit_rating_mse_training():
     hist = t.train()
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+def test_quantized_serving_preserves_topk():
+    import jax.numpy as jnp
+
+    from tfrec_tpu.ops.quantize import dequantize_rows, quantize_table
+
+    t = _trained_trainer(epochs=6)
+    rec_fp = Recommender.from_trainer(t)
+    rec_q = Recommender(t.model, t.params, dataset=t.dataset, quantize=True)
+    users = np.arange(24, dtype=np.int32)
+    ids_fp, _ = rec_fp.recommend(users, k=10)
+    ids_q, _ = rec_q.recommend(users, k=10)
+    # rounding may permute near-ties; require strong top-10 overlap
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10.0
+        for a, b in zip(ids_fp, ids_q)
+    ])
+    assert overlap > 0.85, overlap
+
+    # quantization round-trip error bounded by the per-row step size
+    table = t.params["tables"]["item_emb"]
+    qt = quantize_table(table)
+    assert qt.values.dtype == jnp.int8
+    back = dequantize_rows(qt, jnp.arange(table.shape[0]))
+    err = np.abs(np.asarray(back) - np.asarray(table))
+    step = np.asarray(qt.scales)[:, None]
+    assert np.all(err <= step * 0.5 + 1e-6)

@@ -23,14 +23,32 @@ from tfrec_tpu.eval.retrieval import padded_positives, topk_scores
 
 
 class Recommender:
-    def __init__(self, model, params, dataset=None, mesh=None):
+    def __init__(self, model, params, dataset=None, mesh=None, quantize=False):
+        """``quantize=True`` stores dot-product item tables as rowwise-
+        scaled int8 (4x serving memory; top-k order exact up to rounding)
+        — applies to MF-style models with an 'item_emb' table."""
         self.model = model
         self.params = params
         self.dataset = dataset
         self.mesh = mesh
         self._train_padded = None
+        self._quant = None
+        if quantize and "item_emb" in params.get("tables", {}):
+            from tfrec_tpu.ops.quantize import quantize_table
+
+            self._quant = quantize_table(params["tables"]["item_emb"])
         self._predict_jit = jax.jit(self._predict_impl)
-        self._score_jit = jax.jit(lambda p, u: self.model.score_all(p, u))
+        self._score_jit = jax.jit(self._score_impl)
+
+    def _score_impl(self, params, user_ids):
+        if self._quant is not None:
+            from tfrec_tpu.ops.quantize import quantized_scores
+
+            t = params["tables"]
+            u = jnp.take(t["user_emb"], user_ids, axis=0)
+            bias = t["item_bias"][:, 0] if "item_bias" in t else None
+            return quantized_scores(u, self._quant, bias)
+        return self.model.score_all(params, user_ids)
 
     @classmethod
     def from_trainer(cls, trainer) -> "Recommender":
