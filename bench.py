@@ -69,16 +69,25 @@ def build_topk_bench(batch_size: int, embed_dim: int):
     import jax.numpy as jnp
     import numpy as np
 
-    from tfrec_tpu.eval.retrieval import topk_scores
+    from tfrec_tpu.eval.retrieval import chunked_topk
 
     v, d, k = 1_000_000, embed_dim, 100
-    rng = np.random.default_rng(0)
-    items = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    chunk = 131_072
+    v_pad = -(-v // chunk) * chunk  # dynamic_slice clamps at the edge —
+    rng = np.random.default_rng(0)  # pad so chunk starts never overhang
+    items = jnp.asarray(
+        np.pad(rng.normal(size=(v, d)).astype(np.float32), ((0, v_pad - v), (0, 0)))
+    )
 
     @jax.jit
     def query(users):
-        scores = jnp.dot(users, items.T, preferred_element_type=jnp.float32)
-        return topk_scores(scores, k)
+        # Running top-k merge over item chunks: never materializes [B, V]
+        # (4GB at B=1024, V=1M) — the serving-path design.
+        def score_chunk(u, start):
+            block = jax.lax.dynamic_slice_in_dim(items, start, chunk, axis=0)
+            return jnp.dot(u, block.T, preferred_element_type=jnp.float32)
+
+        return chunked_topk(score_chunk, users, v, k, chunk)
 
     batches = [
         jnp.asarray(rng.normal(size=(batch_size, d)).astype(np.float32))
