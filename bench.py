@@ -80,11 +80,13 @@ def build_topk_bench(batch_size: int, embed_dim: int):
     )
 
     @jax.jit
-    def query(users):
+    def query(item_table, users):
         # Running top-k merge over item chunks: never materializes [B, V]
-        # (4GB at B=1024, V=1M) — the serving-path design.
+        # (4GB at B=1024, V=1M) — the serving-path design. item_table is an
+        # ARGUMENT, not a closure: closed-over arrays are baked into the
+        # lowered program as constants (a 512MB compile payload).
         def score_chunk(u, start):
-            block = jax.lax.dynamic_slice_in_dim(items, start, chunk, axis=0)
+            block = jax.lax.dynamic_slice_in_dim(item_table, start, chunk, axis=0)
             return jnp.dot(u, block.T, preferred_element_type=jnp.float32)
 
         return chunked_topk(score_chunk, users, v, k, chunk)
@@ -95,7 +97,7 @@ def build_topk_bench(batch_size: int, embed_dim: int):
     ]
 
     def step(state, batch):
-        vals, ids = query(batch)
+        vals, ids = query(items, batch)
         return state, {"loss": vals[0, 0]}
 
     return step, {}, batches
