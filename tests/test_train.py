@@ -80,3 +80,28 @@ def test_resume_continues_from_checkpoint(tmp_path):
         jax.tree_util.tree_leaves(t1.state), jax.tree_util.tree_leaves(t3.state)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_dispatch_matches_single_step():
+    """steps_per_dispatch=3 (lax.scan on device) == 3 single steps.
+
+    This config yields 6 batches/epoch; K must divide it (the grouper
+    drops trailing partial groups), hence K=3."""
+    base = _mf_config(epochs=2, eval_every_epochs=2)
+    t1 = Trainer(base, quiet=True)
+    h1 = t1.train()
+    multi = base.replace(
+        train=dataclasses.replace(base.train, steps_per_dispatch=3)
+    )
+    t2 = Trainer(multi, quiet=True)
+    h2 = t2.train()
+    # identical data order + rng -> identical final tables
+    import jax as _jax
+
+    for a, b in zip(
+        _jax.tree_util.tree_leaves(t1.state["tables"]),
+        _jax.tree_util.tree_leaves(t2.state["tables"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    assert abs(h1[-1]["recall@20"] - h2[-1]["recall@20"]) < 0.05

@@ -123,6 +123,9 @@ class TrainConfig:
     batch_size: int = 1024  # global batch
     epochs: int = 10
     steps_per_epoch: int = -1  # -1: full pass
+    # K optimizer steps per host dispatch (lax.scan on device) — amortizes
+    # host->device dispatch latency; metrics/logging granularity becomes K.
+    steps_per_dispatch: int = 1
     eval_every_epochs: int = 1
     # BPR-style pairwise sampling: negatives drawn per positive, resampled
     # each epoch (TFRec-family convention, SURVEY.md §3a).

@@ -124,7 +124,16 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             "dense_opt": jax.tree_util.tree_map(lambda _: rep, state["dense_opt"]),
         }
 
-    def batch_shardings(self, batch: Dict[str, jnp.ndarray]):
+    def batch_shardings(self, batch: Dict[str, jnp.ndarray], stacked: bool = False):
+        """Per-leaf shardings: batch dim over 'data'; with ``stacked`` the
+        leading [K] scan axis (steps_per_dispatch) stays unsharded."""
+        if stacked:
+            return {
+                k: NamedSharding(
+                    self.mesh, P(None, "data", *([None] * (np.ndim(v) - 2)))
+                )
+                for k, v in batch.items()
+            }
         return {
             k: NamedSharding(self.mesh, P("data", *([None] * (np.ndim(v) - 1))))
             for k, v in batch.items()
@@ -181,12 +190,22 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     # ---- compiled step ----
 
-    def compile_step(self, state: State, example_batch: Dict[str, jnp.ndarray]):
-        """jit the step with explicit shardings; donates the input state."""
+    def compile_step(
+        self,
+        state: State,
+        example_batch: Dict[str, jnp.ndarray],
+        stacked: bool = False,
+    ):
+        """jit the (multi-)step with explicit shardings; donates the input
+        state. ``stacked`` selects multi_step over [K, B, ...] batches
+        (train.steps_per_dispatch)."""
         out_shardings = (self.state_shardings(state), None)
         return jax.jit(
-            self.step,
-            in_shardings=(self.state_shardings(state), self.batch_shardings(example_batch)),
+            self.multi_step if stacked else self.step,
+            in_shardings=(
+                self.state_shardings(state),
+                self.batch_shardings(example_batch, stacked=stacked),
+            ),
             out_shardings=out_shardings,
             donate_argnums=(0,),
         )

@@ -219,6 +219,22 @@ class TrainStepBuilder:
         }
         return new_state, {"loss": loss, **aux}
 
+    def multi_step(self, state: State, batches: Dict[str, jnp.ndarray]):
+        """K steps in ONE XLA program: ``batches`` leaves carry a leading
+        [K] axis and ``lax.scan`` drives the device-side loop — the
+        standard TPU "multiple steps per host dispatch" pattern, amortizing
+        host dispatch latency K-fold (train.steps_per_dispatch). Returns
+        the final state and the last step's metrics plus the mean loss.
+        """
+
+        def body(st, batch):
+            return self.step(st, batch)
+
+        state, stacked = jax.lax.scan(body, state, batches)
+        out = {k: v[-1] for k, v in stacked.items()}
+        out["loss_mean"] = jnp.mean(stacked["loss"])
+        return state, out
+
 
 def init_state(
     model: RecModel, optim_cfg: OptimConfig, rng: jax.Array, **kw

@@ -178,7 +178,7 @@ class Trainer:
                 self.model, loss, c.optim,
                 l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
             )
-            self.jit_step = jax.jit(self.builder.step, donate_argnums=(0,))
+            self.jit_step = None  # compiled lazily (single- or multi-step)
         self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
         self.start_epoch = 0
         if c.train.resume and c.train.checkpoint_dir:
@@ -187,6 +187,8 @@ class Trainer:
                 self.state = restore_checkpoint(c.train.checkpoint_dir, self.state)
                 self.start_epoch = step
                 self.logger.log({"event": "resumed", "epoch": step})
+
+        self._jit_single = None
 
         # ---- sampler + profiler ----
         self.sampler = self._make_sampler()
@@ -265,7 +267,8 @@ class Trainer:
             self.dataset, local_bs, max(c.train.num_negatives, 1), seed
         )
 
-    def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    def _host_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Model-facing host batch (interaction -> CTR adapter applied)."""
         if self.is_ctr_model and self.ctr_arrays is None:
             # interaction pointwise sample -> multi-field categorical batch
             # [user, item, user-side fields..., item-side fields...]
@@ -279,8 +282,11 @@ class Trainer:
                 "cat": np.concatenate(cols, axis=1).astype(np.int32),
                 "label": batch["label"],
             }
+        return batch
+
+    def _device_put_batch(self, batch, stacked: bool = False):
         if self.mesh is not None:
-            shardings = self.builder.batch_shardings(batch)
+            shardings = self.builder.batch_shardings(batch, stacked=stacked)
             if jax.process_count() > 1:
                 return {
                     k: jax.make_array_from_process_local_data(
@@ -293,6 +299,16 @@ class Trainer:
                 for k, v in batch.items()
             }
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        return self._device_put_batch(self._host_batch(batch))
+
+    def _compile(self, dev_batch, stacked: bool = False):
+        """jit the (multi-)step appropriate for this batch shape."""
+        if self.mesh is not None:
+            return self.builder.compile_step(self.state, dev_batch, stacked=stacked)
+        fn = self.builder.multi_step if stacked else self.builder.step
+        return jax.jit(fn, donate_argnums=(0,))
 
     @property
     def params(self):
@@ -413,16 +429,38 @@ class Trainer:
         for epoch in range(self.start_epoch, c.train.epochs):
             t0 = time.monotonic()
             n_examples = 0
-            batch_stream = prefetch(self.sampler.epoch(epoch), self._to_device_batch)
+            k_steps = max(c.train.steps_per_dispatch, 1)
+
+            def grouped(stream):
+                """Stack K host batches into one [K, B, ...] dispatch."""
+                group = []
+                for b in stream:
+                    group.append(self._host_batch(b))
+                    if len(group) == k_steps:
+                        yield {
+                            key: np.stack([g[key] for g in group])
+                            for key in group[0]
+                        }
+                        group = []
+
+            if k_steps > 1:
+                batch_stream = prefetch(
+                    grouped(self.sampler.epoch(epoch)),
+                    lambda b: self._device_put_batch(b, stacked=True),
+                )
+            else:
+                batch_stream = prefetch(
+                    self.sampler.epoch(epoch), self._to_device_batch
+                )
             for i, dev_batch in enumerate(batch_stream):
-                if steps_cap > 0 and i >= steps_cap:
+                if steps_cap > 0 and i * k_steps >= steps_cap:
                     break
                 if self.jit_step is None:
-                    self.jit_step = self.builder.compile_step(self.state, dev_batch)
+                    self.jit_step = self._compile(dev_batch, stacked=k_steps > 1)
                 self.profiler.step(self.global_step)
                 self.state, metrics = self.jit_step(self.state, dev_batch)
-                self.global_step += 1
-                n_examples += c.train.batch_size
+                self.global_step += k_steps
+                n_examples += c.train.batch_size * k_steps
             # Block on the last step for honest timing.
             jax.block_until_ready(self.state["step"])
             dt = time.monotonic() - t0
