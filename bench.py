@@ -59,7 +59,7 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
             "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.float32)),
         })
     step = jax.jit(builder.step, donate_argnums=(0,))
-    return step, state, batches
+    return step, state, batches, builder
 
 
 def build_topk_bench(batch_size: int, embed_dim: int):
@@ -100,7 +100,7 @@ def build_topk_bench(batch_size: int, embed_dim: int):
         vals, ids = query(items, batch)
         return state, {"loss": vals[0, 0]}
 
-    return step, {}, batches
+    return step, {}, batches, None
 
 
 def build_mf_bench(batch_size: int, kernels: str):
@@ -128,7 +128,7 @@ def build_mf_bench(batch_size: int, kernels: str):
             "neg": jnp.asarray(rng.integers(0, 1_000_000, batch_size).astype(np.int32)),
         })
     step = jax.jit(builder.step, donate_argnums=(0,))
-    return step, state, batches
+    return step, state, batches, builder
 
 
 def main(argv=None) -> int:
@@ -139,6 +139,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--embed_dim", type=int, default=128)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="K steps per host round-trip (lax.scan)")
+    parser.add_argument("--fetch", action="store_true",
+                        help="fetch the loss to host every dispatch "
+                             "(honest lower bound; defeats dispatch elision)")
     parser.add_argument("--precision", default="default",
                         choices=["default", "bfloat16", "float32", "highest"])
     parser.add_argument(
@@ -187,7 +192,26 @@ def main(argv=None) -> int:
     if args.model == "topk":
         def build(_):
             return build_topk_bench(min(args.batch, 1024), args.embed_dim)
-    step, state, batches = build(args.kernels)
+    step, state, batches, builder = build(args.kernels)
+    k_disp = max(args.steps_per_dispatch, 1)
+    if k_disp > 1:
+        assert builder is not None, "--steps_per_dispatch needs dcn/mf"
+        import jax.numpy as jnp  # noqa: F811
+
+        stacked = []
+        for i in range(0, len(batches) - k_disp + 1, k_disp):
+            group = batches[i : i + k_disp]
+            stacked.append({
+                key: jnp.stack([g[key] for g in group]) for key in group[0]
+            })
+        if not stacked:
+            stacked = [{
+                key: jnp.stack([batches[i % len(batches)][key]
+                                for i in range(k_disp)])
+                for key in batches[0]
+            }]
+        batches = stacked
+        step = jax.jit(builder.multi_step, donate_argnums=(0,))
     # Warmup (compile + cache); if the fused-kernel path fails to compile
     # on this hardware, fall back to the XLA path rather than dying.
     try:
@@ -209,10 +233,12 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, batches[i % len(batches)])
+        if args.fetch:
+            float(metrics["loss"])
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    examples_per_s = args.steps * args.batch / dt
+    examples_per_s = args.steps * k_disp * args.batch / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -245,7 +271,9 @@ def main(argv=None) -> int:
     }[args.model]
     print(json.dumps({
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
-                  f"batch={args.batch}, kernels={args.kernels}, prec={args.precision})",
+                  f"batch={args.batch}, kernels={args.kernels}, "
+                  f"prec={args.precision}, k_disp={k_disp}"
+                  + (", fetch" if args.fetch else "") + ")",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),

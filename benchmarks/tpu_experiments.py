@@ -51,6 +51,11 @@ EXPERIMENTS = {
     "roofline": ["python", "benchmarks/exp_roofline.py"],
     "honest": ["python", "benchmarks/exp_honest.py"],
     "ab": ["python", "benchmarks/exp_ab.py"],
+    "honest_k1": ["python", "bench.py", "--batch", "8192", "--steps", "20",
+                   "--devices", "tpu", "--fetch"],
+    "honest_k16": ["python", "bench.py", "--batch", "8192", "--steps", "4",
+                    "--devices", "tpu", "--fetch", "--steps_per_dispatch", "16",
+                    "--warmup", "2"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
 }
 
