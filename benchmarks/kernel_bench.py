@@ -1,5 +1,12 @@
 """Kernel microbenchmarks + roofline context (SURVEY.md §7 step 7).
 
+MEASUREMENT CAVEAT: this uses repeat-dispatch timing, which the tunnel
+terminal in this environment can elide/cache (physically impossible
+rates observed — docs/PERF.md). Use benchmarks/exp_honest.py /
+exp_ab.py patterns (fresh work + value fetches, interleaved blocks) for
+trustworthy numbers; this script remains useful for relative smoke
+comparisons on hardware that executes every dispatch.
+
 Compares the Pallas kernels against their XLA reference paths on the
 current backend, and reports achieved vs speed-of-light HBM bandwidth for
 the bandwidth-bound ops (gather, cross stack). v5e reference numbers:
