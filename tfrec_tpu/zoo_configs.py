@@ -117,7 +117,9 @@ def dcn_criteo(path: str | None = None, max_examples: int = 2_000_000) -> Config
             sparse_learning_rate=0.02,
         ),
         train=TrainConfig(batch_size=8192, epochs=2, loss="logloss",
-                          eval_every_epochs=1),
+                          eval_every_epochs=1,
+                          # amortize host dispatch (docs/PERF.md)
+                          steps_per_dispatch=8),
         mesh=MeshConfig(table_sharding="row"),
     )
 
