@@ -71,10 +71,6 @@ class ModelConfig:
     gmf_dim: int = 32
     mlp_embed_dim: int = 32
     dropout: float = 0.0
-    # Parameter dtype for dense towers; embeddings stay f32 for optimizer
-    # parity. For MXU speed use train.matmul_precision="bfloat16" (params
-    # stay f32; multiplies run single-pass bf16) rather than bf16 params.
-    dtype: str = "float32"
     l2_reg: float = 0.0
 
 
@@ -110,9 +106,11 @@ class MeshConfig:
     # (feature-dim over the table axis) | "gspmd" (row layout, XLA-
     # partitioner-generated collectives — the A/B reference) | "replicated".
     table_sharding: str = "row"
-    # Static per-destination-shard capacity for the all-to-all ID exchange,
-    # as a multiple of the even share (cap = ceil(ids/T) * factor). Overflow
-    # falls back to replicated-gather for the spilled ids; never silent.
+    # Static per-destination capacity multiplier for the all-to-all ID
+    # exchange (cap = (mean + 4*sqrt(mean) + 8) * factor/2 unique ids per
+    # destination — parallel/embedding.capacity_for). Overflowing ids are
+    # dropped FOR THAT STEP and counted in the lookup_overflow metric —
+    # loud, never silent.
     a2a_capacity_factor: float = 2.0
 
 

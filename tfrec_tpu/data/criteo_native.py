@@ -112,6 +112,10 @@ def iter_criteo_batches_native(
             limit = None if max_examples is None else max_examples - seen
             if limit is not None and limit <= 0:
                 break
+            if not chunk and buf and not buf.endswith(b"\n"):
+                # Final line without a trailing newline: terminate it so it
+                # parses (the Python fallback parses it — parity).
+                buf += b"\n"
             dense, cat, label, consumed = parse_buffer(
                 buf, vocab_sizes, max_rows=limit, num_threads=num_threads
             )

@@ -61,19 +61,12 @@ class Dataset:
         return self._test_csr
 
     def train_items_padded(self, pad_to: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-user train-item lists padded to a static width.
+        """Per-user train-item lists padded to a static width — delegates
+        to eval.retrieval.padded_positives (single source of the
+        sentinel-padding contract)."""
+        from tfrec_tpu.eval.retrieval import padded_positives
 
-        Returns (padded_items [U, W] int32, lengths [U] int32); the pad value
-        is ``num_items`` (an out-of-range sentinel safe for device masking).
-        """
-        csr = self.train_csr
-        lengths = np.diff(csr.indptr).astype(np.int32)
-        width = int(pad_to if pad_to is not None else max(1, lengths.max(initial=1)))
-        padded = np.full((self.num_users, width), self.num_items, dtype=np.int32)
-        for u in range(self.num_users):
-            row = csr.indices[csr.indptr[u] : csr.indptr[u + 1]][:width]
-            padded[u, : len(row)] = row
-        return padded, np.minimum(lengths, width)
+        return padded_positives(self.train_csr, pad_to=pad_to)
 
 
 def _to_csr(inter: Interactions, num_users: int, num_items: int) -> sp.csr_matrix:

@@ -41,6 +41,8 @@ class Pop(RecModel):
                 return jnp.concatenate(
                     [b[:bsz, None], b[bsz:].reshape(bsz, k)], axis=1
                 )
+            if "neg" not in batch:  # in-batch negatives: [B, B] bias rows
+                return jnp.broadcast_to(b[None, :], (bsz, bsz))
             return b[:bsz] - b[bsz:]
         return b
 

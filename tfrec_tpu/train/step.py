@@ -38,6 +38,12 @@ def make_schedule(cfg: OptimConfig, base_lr: float):
     """Step -> lr. Shared by the dense (optax) and sparse (rowwise) paths."""
     if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
         return lambda step: base_lr
+    if cfg.lr_schedule in ("cosine", "linear") and cfg.decay_steps <= 0:
+        raise ValueError(
+            f"lr_schedule={cfg.lr_schedule!r} requires decay_steps > 0 "
+            "(with decay_steps=0 the LR would collapse to the floor after "
+            "one step)"
+        )
     end = base_lr * cfg.end_lr_factor
     decay_steps = max(cfg.decay_steps, 1)
 

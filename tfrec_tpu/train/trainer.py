@@ -188,8 +188,6 @@ class Trainer:
                 self.start_epoch = step
                 self.logger.log({"event": "resumed", "epoch": step})
 
-        self._jit_single = None
-
         # ---- sampler + profiler ----
         self.sampler = self._make_sampler()
         from tfrec_tpu.utils.profile import StepProfiler
@@ -384,13 +382,21 @@ class Trainer:
         bs = min(8192, n)
         logits_out = []
         fwd = self._forward_fn()
-        for s in range(0, n - bs + 1, bs):
+        for s in range(0, n, bs):
+            take = min(bs, n - s)
+            if take < bs:  # pad the tail batch to the static shape
+                pad = bs - take
+                d = np.concatenate([dense[s:n], np.zeros((pad,) + dense.shape[1:], dense.dtype)])
+                ca = np.concatenate([cat[s:n], np.zeros((pad,) + cat.shape[1:], cat.dtype)])
+                la = np.zeros(bs, label.dtype)
+            else:
+                d, ca, la = dense[s : s + bs], cat[s : s + bs], label[s : s + bs]
             batch = {
-                "dense": jnp.asarray(dense[s : s + bs]),
-                "cat": jnp.asarray(cat[s : s + bs]),
-                "label": jnp.asarray(label[s : s + bs]),
+                "dense": jnp.asarray(d),
+                "cat": jnp.asarray(ca),
+                "label": jnp.asarray(la),
             }
-            logits_out.append(np.asarray(fwd(self.state, batch)))
+            logits_out.append(np.asarray(fwd(self.state, batch))[:take])
         logits = np.concatenate(logits_out)
         labels = label[: len(logits)]
         a = float(auc_metric(jnp.asarray(logits), jnp.asarray(labels)))
@@ -452,15 +458,30 @@ class Trainer:
                 batch_stream = prefetch(
                     self.sampler.epoch(epoch), self._to_device_batch
                 )
+            # With K>1, the cap rounds DOWN to whole dispatches (min 1):
+            # an epoch never exceeds steps_per_epoch optimizer steps.
+            cap_dispatch = (
+                max(steps_cap // k_steps, 1) if steps_cap > 0 else -1
+            )
             for i, dev_batch in enumerate(batch_stream):
-                if steps_cap > 0 and i * k_steps >= steps_cap:
+                if cap_dispatch > 0 and i >= cap_dispatch:
                     break
                 if self.jit_step is None:
                     self.jit_step = self._compile(dev_batch, stacked=k_steps > 1)
                 self.profiler.step(self.global_step)
                 self.state, metrics = self.jit_step(self.state, dev_batch)
+                prev_step = self.global_step
                 self.global_step += k_steps
                 n_examples += c.train.batch_size * k_steps
+                log_n = c.train.log_every_steps
+                # Intra-epoch loss logging every ~log_every_steps optimizer
+                # steps (costs one device sync per log line).
+                if log_n > 0 and prev_step // log_n != self.global_step // log_n:
+                    self.logger.log({
+                        "step": self.global_step,
+                        "epoch": epoch,
+                        "loss": float(metrics["loss"]),
+                    })
             # Block on the last step for honest timing.
             jax.block_until_ready(self.state["step"])
             dt = time.monotonic() - t0

@@ -77,8 +77,14 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_{step}")
-    if proc == 0 or not os.path.exists(out):
-        try:
+    if proc == 0:
+        # Overwrite semantics: os.replace fails on a non-empty existing
+        # directory (ENOTEMPTY) — remove the stale checkpoint first.
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
+    elif not os.path.exists(out):
+        try:  # multi-process race: another process may replace first
             os.replace(tmp, out)
         except OSError:
             pass

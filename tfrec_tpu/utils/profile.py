@@ -28,7 +28,9 @@ class StepProfiler:
         if self.window is None:
             return
         start, stop = self.window
-        if not self._active and step_idx == start:
+        # >= not ==: callers may advance the counter by steps_per_dispatch,
+        # skipping the exact start step.
+        if not self._active and start <= step_idx < stop:
             jax.profiler.start_trace(self.out_dir)
             self._active = True
         elif self._active and step_idx >= stop:
