@@ -105,3 +105,20 @@ def test_multi_step_dispatch_matches_single_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
     assert abs(h1[-1]["recall@20"] - h2[-1]["recall@20"]) < 0.05
+
+
+def test_checkpoint_overwrite_same_step(tmp_path):
+    """Saving the same step twice must replace, not silently keep stale."""
+    trainer = Trainer(_mf_config(epochs=1, eval_every_epochs=0), quiet=True)
+    trainer.train()
+    save_checkpoint(str(tmp_path), 7, trainer.state)
+    # mutate and save again at the SAME step
+    trainer.state["tables"]["user_emb"] = trainer.state["tables"]["user_emb"] + 1.0
+    save_checkpoint(str(tmp_path), 7, trainer.state)
+    restored = restore_checkpoint(str(tmp_path), trainer.state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["tables"]["user_emb"]),
+        np.asarray(trainer.state["tables"]["user_emb"]),
+    )
+    # no stranded .tmp dirs
+    assert not [d for d in os.listdir(tmp_path) if d.endswith(".tmp")]
