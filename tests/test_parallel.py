@@ -323,3 +323,33 @@ def test_sharded_topk_small_catalog_sentinel(mesh8):
     with _pytest.raises(ValueError, match="exclude_counts"):
         sharded_topk_dot(mesh8, users, ts, 5, 24,
                          exclude_padded=jnp.zeros((4, 1), jnp.int32))
+
+
+def test_bf16_wire_format_close_to_f32(mesh8):
+    """a2a_dtype=bfloat16 halves ICI volume; activations/updates stay
+    within bf16 tolerance of the f32 wire path."""
+    opt = make_sparse_optimizer("rowwise_adagrad")
+    rt32 = RowShardedTable(mesh8, V, D)
+    rt16 = RowShardedTable(mesh8, V, D, wire_dtype=jnp.bfloat16)
+    table = _rand(40, (rt32.vocab_padded, D))
+    ids = _ids(41)
+    grads = _rand(42, (B, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh8, P("data")))
+    gs = jax.device_put(grads, NamedSharding(mesh8, P("data", None)))
+    out32, _ = jax.jit(rt32.lookup)(ts, ids_s)
+    out16, _ = jax.jit(rt16.lookup)(ts, ids_s)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=1e-2, atol=1e-2)
+    state = opt.init(table)
+    ss = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh8, P("data", *([None] * (x.ndim - 1))))
+        ), state,
+    )
+    t32, _, _ = jax.jit(lambda t, s, i, g: rt32.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs)
+    t16, _, _ = jax.jit(lambda t, s, i, g: rt16.update(t, s, i, g, opt, 0.1))(
+        ts, ss, ids_s, gs)
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
+                               rtol=1e-2, atol=1e-2)

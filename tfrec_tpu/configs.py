@@ -112,6 +112,10 @@ class MeshConfig:
     # dropped FOR THAT STEP and counted in the lookup_overflow metric —
     # loud, never silent.
     a2a_capacity_factor: float = 2.0
+    # Wire dtype for the activation/gradient all-to-alls: "bfloat16" halves
+    # ICI volume (the multi-chip bottleneck — docs/PERF.md scaling model);
+    # tables and optimizer math stay f32.
+    a2a_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,6 +127,7 @@ class RowShardedTable:
         axis: str = "data",
         capacity_factor: float = 2.0,
         kernels: str = "xla",
+        wire_dtype=None,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -137,6 +138,9 @@ class RowShardedTable:
         self.dim = dim
         self.capacity_factor = capacity_factor
         self.kernels = kernels  # "pallas": fused local gather/update inside shard_map
+        # Optional reduced-precision wire format for the activation/grad
+        # all-to-alls (bf16 halves ICI volume; ids always stay int32).
+        self.wire_dtype = wire_dtype
         self.sentinel = self.vocab_padded  # one past the padded end
 
     # ---- forward ----
@@ -172,9 +176,13 @@ class RowShardedTable:
                     n_sh, cap, -1
                 )
             rows = jnp.where(valid[:, :, None], rows, 0.0)
+            if self.wire_dtype is not None:
+                rows = rows.astype(self.wire_dtype)
             back = jax.lax.all_to_all(
                 rows, axis, split_axis=0, concat_axis=0, tiled=True
             )  # [N, C, D]: row j = activations from owner j for my requests
+            if self.wire_dtype is not None:
+                back = back.astype(tbl.dtype)
             unique_rows = (
                 jnp.zeros((b, tbl.shape[1]), tbl.dtype)
                 .at[send_pos.reshape(-1)]
@@ -225,9 +233,13 @@ class RowShardedTable:
             recv_ids = jax.lax.all_to_all(
                 send_ids, axis, split_axis=0, concat_axis=0, tiled=True
             )
+            if self.wire_dtype is not None:
+                send_g = send_g.astype(self.wire_dtype)
             recv_g = jax.lax.all_to_all(
                 send_g, axis, split_axis=0, concat_axis=0, tiled=True
             )
+            if self.wire_dtype is not None:
+                recv_g = recv_g.astype(tbl.dtype)
             base = jax.lax.axis_index(axis) * rps
             # Local row index; sentinel/foreign ids -> rps (dropped by the
             # optimizer's mode='drop' scatters).

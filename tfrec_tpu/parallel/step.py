@@ -56,12 +56,18 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         self._gspmd_row = mode == "gspmd"
         for spec in model.table_specs():
             if mode == "row":
+                wire = (
+                    jnp.bfloat16
+                    if self.mesh_cfg.a2a_dtype == "bfloat16"
+                    else None
+                )
                 self.plans[spec.name] = RowShardedTable(
                     mesh,
                     spec.vocab,
                     spec.dim,
                     capacity_factor=self.mesh_cfg.a2a_capacity_factor,
                     kernels=kernels,
+                    wire_dtype=wire,
                 )
             elif mode == "col":
                 t_axis = mesh.shape["table"]
