@@ -77,17 +77,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_{step}")
+    # Process 0 is the SOLE mover (every process's shard files are already
+    # in tmp thanks to the barrier above; two movers race and one hits
+    # FileNotFoundError on the vanished tmp). Overwrite semantics: remove a
+    # stale same-step checkpoint first (os.replace onto a non-empty dir
+    # raises ENOTEMPTY).
     if proc == 0:
-        # Overwrite semantics: os.replace fails on a non-empty existing
-        # directory (ENOTEMPTY) — remove the stale checkpoint first.
         if os.path.exists(out):
             shutil.rmtree(out)
         os.replace(tmp, out)
-    elif not os.path.exists(out):
-        try:  # multi-process race: another process may replace first
-            os.replace(tmp, out)
-        except OSError:
-            pass
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_moved_{step}")
     # Retention: keep the newest `keep` checkpoints (process 0 only).
     if proc == 0 and keep > 0:
         steps = sorted(
