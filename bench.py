@@ -182,36 +182,40 @@ def main(argv=None) -> int:
         jax.config.update("jax_default_matmul_precision", args.precision)
     platform = jax.default_backend()
     # MF ignores --embed_dim (fixed d=64); keep its baseline key stable.
-    key_dim = args.embed_dim if args.model == "dcn" else 64
+    key_dim = 64 if args.model == "mf" else args.embed_dim
+    # topk scores a (clamped) user batch against the catalog.
+    eff_batch = min(args.batch, 1024) if args.model == "topk" else args.batch
+    k_disp = max(args.steps_per_dispatch, 1)
 
     def build(kernels):
         if args.model == "dcn":
-            return build_dcn_bench(args.batch, kernels, args.embed_dim)
-        return build_mf_bench(args.batch, kernels)
+            out = build_dcn_bench(args.batch, kernels, args.embed_dim)
+        elif args.model == "topk":
+            out = build_topk_bench(eff_batch, args.embed_dim)
+        else:
+            out = build_mf_bench(args.batch, kernels)
+        step, state, batches, builder = out
+        if k_disp > 1:
+            assert builder is not None, "--steps_per_dispatch needs dcn/mf"
+            import jax.numpy as jnp  # noqa: F811
 
-    if args.model == "topk":
-        def build(_):
-            return build_topk_bench(min(args.batch, 1024), args.embed_dim)
-    step, state, batches, builder = build(args.kernels)
-    k_disp = max(args.steps_per_dispatch, 1)
-    if k_disp > 1:
-        assert builder is not None, "--steps_per_dispatch needs dcn/mf"
-        import jax.numpy as jnp  # noqa: F811
+            stacked = []
+            for i in range(0, len(batches) - k_disp + 1, k_disp):
+                group = batches[i : i + k_disp]
+                stacked.append({
+                    key: jnp.stack([g[key] for g in group]) for key in group[0]
+                })
+            if not stacked:
+                stacked = [{
+                    key: jnp.stack([batches[i % len(batches)][key]
+                                    for i in range(k_disp)])
+                    for key in batches[0]
+                }]
+            batches = stacked
+            step = jax.jit(builder.multi_step, donate_argnums=(0,))
+        return step, state, batches
 
-        stacked = []
-        for i in range(0, len(batches) - k_disp + 1, k_disp):
-            group = batches[i : i + k_disp]
-            stacked.append({
-                key: jnp.stack([g[key] for g in group]) for key in group[0]
-            })
-        if not stacked:
-            stacked = [{
-                key: jnp.stack([batches[i % len(batches)][key]
-                                for i in range(k_disp)])
-                for key in batches[0]
-            }]
-        batches = stacked
-        step = jax.jit(builder.multi_step, donate_argnums=(0,))
+    step, state, batches = build(args.kernels)
     # Warmup (compile + cache); if the fused-kernel path fails to compile
     # on this hardware, fall back to the XLA path rather than dying.
     try:
@@ -238,7 +242,7 @@ def main(argv=None) -> int:
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    examples_per_s = args.steps * k_disp * args.batch / dt
+    examples_per_s = args.steps * k_disp * eff_batch / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -248,7 +252,7 @@ def main(argv=None) -> int:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}-b{args.batch}-d{key_dim}-{args.kernels}-{args.precision}"
+            key = f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-{args.precision}"
             if key in base:
                 vs_baseline = examples_per_s / base[key]
             else:
@@ -256,7 +260,7 @@ def main(argv=None) -> int:
         except Exception:
             pass
     else:
-        base, record = {}, f"{args.model}-{platform}-b{args.batch}-d{key_dim}-{args.kernels}-{args.precision}"
+        base, record = {}, f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-{args.precision}"
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:
@@ -271,7 +275,7 @@ def main(argv=None) -> int:
     }[args.model]
     print(json.dumps({
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
-                  f"batch={args.batch}, kernels={args.kernels}, "
+                  f"batch={eff_batch}, kernels={args.kernels}, "
                   f"prec={args.precision}, k_disp={k_disp}"
                   + (", fetch" if args.fetch else "") + ")",
         "value": round(examples_per_s, 1),
