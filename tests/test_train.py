@@ -122,3 +122,16 @@ def test_checkpoint_overwrite_same_step(tmp_path):
     )
     # no stranded .tmp dirs
     assert not [d for d in os.listdir(tmp_path) if d.endswith(".tmp")]
+
+
+def test_device_negative_sampling_learns():
+    """device_negatives=True: host pipeline ships (user, pos) only; the
+    jitted step draws negatives — learning must still be well above random."""
+    cfg = _mf_config(epochs=8, eval_every_epochs=8)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, device_negatives=True))
+    trainer = Trainer(cfg, quiet=True)
+    hist = trainer.train()
+    assert hist[-1]["recall@20"] > 0.18, hist[-1]
+    # the host sampler really did skip negative generation
+    batch = next(iter(trainer.sampler.epoch(0)))
+    assert "neg" not in batch and "negs" not in batch

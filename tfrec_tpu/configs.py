@@ -132,6 +132,11 @@ class TrainConfig:
     # BPR-style pairwise sampling: negatives drawn per positive, resampled
     # each epoch (TFRec-family convention, SURVEY.md §3a).
     num_negatives: int = 1
+    # Draw negatives ON DEVICE inside the jitted step (uniform over the
+    # catalog, no train-positive exclusion — the standard large-catalog
+    # approximation; false-negative rate ~ interactions/user / num_items).
+    # Removes host-side sampling from the input pipeline entirely.
+    device_negatives: bool = False
     loss: str = "bpr"  # bpr | logloss | hinge | sampled_softmax
     seed: int = 42
     eval_topk: Sequence[int] = (10, 20, 50)

@@ -45,9 +45,12 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         l2_reg: float = 0.0,
         kernels: str = "xla",
         seed: int = 0,
+        device_negatives: bool = False,
+        num_items: int = 0,
     ):
         super().__init__(
-            model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels, seed=seed
+            model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels,
+            seed=seed, device_negatives=device_negatives, num_items=num_items,
         )
         self.mesh = mesh
         self.mesh_cfg = mesh_cfg or MeshConfig()

@@ -111,8 +111,21 @@ class TrainStepBuilder:
         lookup_fn: LookupFn | None = None,
         kernels: str = "xla",
         seed: int = 0,
+        device_negatives: bool = False,
+        num_items: int = 0,
     ):
         self.base_rng = jax.random.PRNGKey(seed)
+        if device_negatives and loss_name not in ("bpr", "hinge"):
+            raise ValueError(
+                "device_negatives supports single-negative pairwise losses "
+                f"(bpr/hinge), not {loss_name!r}"
+            )
+        # Device-side negative sampling: (user, pos)-only batches get their
+        # "neg" column drawn uniformly on device per step (no host sampler
+        # in the pipeline; no train-positive exclusion — the standard
+        # large-catalog approximation).
+        self.device_negatives = device_negatives
+        self.num_items = num_items
         self.model = model
         self.loss_fn = make_loss(loss_name)
         self.optim_cfg = optim_cfg
@@ -177,12 +190,23 @@ class TrainStepBuilder:
 
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
         model, loss_fn = self.model, self.loss_fn
+        # Per-step rng (dropout + device negatives), identical on every
+        # host/device (SPMD).
+        step_rng = jax.random.fold_in(self.base_rng, state["step"])
+        if (
+            self.device_negatives
+            and "pos" in batch
+            and "neg" not in batch
+            and "negs" not in batch
+        ):
+            neg_rng, step_rng = jax.random.split(step_rng)
+            batch = dict(batch)
+            batch["neg"] = jax.random.randint(
+                neg_rng, batch["pos"].shape, 0, self.num_items, dtype=jnp.int32
+            )
         with jax.named_scope("embedding_lookup"):
             ids = model.lookup_ids(batch)
             gathered, aux = self.lookup(state["tables"], ids)
-
-        # Per-step dropout rng, identical on every host/device (SPMD).
-        step_rng = jax.random.fold_in(self.base_rng, state["step"])
 
         def objective(dense_params, g):
             logits = model.forward(dense_params, g, batch, rng=step_rng)

@@ -171,12 +171,16 @@ class Trainer:
             self.builder = ShardedTrainStepBuilder(
                 self.model, loss, c.optim, self.mesh, c.mesh,
                 l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
+                device_negatives=self._use_device_negs(loss),
+                num_items=getattr(self.dataset, "num_items", 0),
             )
             self.jit_step = None  # compiled lazily against the first batch
         else:
             self.builder = TrainStepBuilder(
                 self.model, loss, c.optim,
                 l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
+                device_negatives=self._use_device_negs(loss),
+                num_items=getattr(self.dataset, "num_items", 0),
             )
             self.jit_step = None  # compiled lazily (single- or multi-step)
         self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
@@ -197,6 +201,13 @@ class Trainer:
         # Compile-once eval caches.
         self._retrieval_eval = None
         self._fwd_jit = None
+
+    def _use_device_negs(self, loss: str) -> bool:
+        return (
+            self.config.train.device_negatives
+            and self.dataset is not None
+            and loss in ("bpr", "hinge")
+        )
 
     def _load_side_features(self, nu: int, ni: int):
         """Per-user/per-item categorical side features for multi-field CTR
@@ -259,7 +270,10 @@ class Trainer:
             return PairwiseSampler(
                 self.dataset, local_bs, c.train.num_negatives, seed,
                 multi_neg=self.loss_name in MULTI_NEG_LOSSES,
-                no_negatives=self.loss_name in IN_BATCH_LOSSES,
+                no_negatives=(
+                    self.loss_name in IN_BATCH_LOSSES
+                    or self._use_device_negs(self.loss_name)
+                ),
             )
         return PointwiseSampler(
             self.dataset, local_bs, max(c.train.num_negatives, 1), seed
