@@ -10,6 +10,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from tfrec_tpu.configs import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
 from tfrec_tpu.train.trainer import Trainer, run
@@ -135,3 +136,20 @@ def test_device_negative_sampling_learns():
     # the host sampler really did skip negative generation
     batch = next(iter(trainer.sampler.epoch(0)))
     assert "neg" not in batch and "negs" not in batch
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from tfrec_tpu.utils.checkpoint import (
+        restore_checkpoint_orbax, save_checkpoint_orbax,
+    )
+
+    trainer = Trainer(_mf_config(epochs=1, eval_every_epochs=0), quiet=True)
+    trainer.train()
+    save_checkpoint_orbax(str(tmp_path), 3, trainer.state)
+    restored = restore_checkpoint_orbax(str(tmp_path), trainer.state, 3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -117,6 +117,36 @@ def latest_step(ckpt_dir: str) -> int | None:
     return max(steps) if steps else None
 
 
+def save_checkpoint_orbax(ckpt_dir: str, step: int, state) -> str:
+    """Alternative backend: orbax StandardCheckpointer (async-capable,
+    battle-tested multi-host atomicity). Same directory convention
+    (step_<N>); pairs with restore_checkpoint_orbax."""
+    import orbax.checkpoint as ocp
+
+    out = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:010d}.orbax")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(out, state, force=True)
+    return out
+
+
+def restore_checkpoint_orbax(ckpt_dir: str, template, step: int):
+    """Restore an orbax checkpoint into the template's structure and
+    shardings."""
+    import orbax.checkpoint as ocp
+
+    src = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:010d}.orbax")
+    abstract = jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(
+            np.shape(leaf),
+            getattr(leaf, "dtype", np.asarray(leaf).dtype),
+            sharding=getattr(leaf, "sharding", None),
+        ),
+        template,
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(src, abstract)
+
+
 def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
     """Load the checkpoint at ``step`` (default: latest) into the structure
     and shardings of ``template``."""
