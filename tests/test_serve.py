@@ -101,3 +101,33 @@ def test_quantized_serving_preserves_topk():
     err = np.abs(np.asarray(back) - np.asarray(table))
     step = np.asarray(qt.scales)[:, None]
     assert np.all(err <= step * 0.5 + 1e-6)
+
+
+def test_predict_ctr_matches_training_forward():
+    from tfrec_tpu.configs import DataConfig
+    from tfrec_tpu.train.trainer import run as _run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                        num_dense_features=3, categorical_vocab_sizes=(40, 30),
+                        test_fraction=0.25, seed=5),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                          mlp_dims=(16,)),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=256, epochs=1, eval_every_epochs=0,
+                          loss="logloss"),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t, _ = _run(cfg, quiet=True)
+    rec = Recommender.from_trainer(t)
+    dense, cat, label = t.ctr_arrays["test"]
+    got = rec.predict_ctr(dense[:64], cat[:64])
+    assert got.shape == (64,)
+    # agrees with the trainer's own forward path
+    want = np.asarray(
+        t._forward_fn()(t.state, {
+            "dense": dense[:64], "cat": cat[:64],
+            "label": np.zeros(64, np.float32),
+        })
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -62,3 +62,19 @@ def test_cli_overrides_parse():
                    "train.eval_topk": (5, 10), "data.path": "/x/y.tsv"}
     with pytest.raises(SystemExit):
         parse_overrides(["noequals"])
+
+def test_step_profiler_window_with_strides(tmp_path, monkeypatch):
+    from tfrec_tpu.utils import profile as prof
+
+    calls = []
+    monkeypatch.setattr(prof.jax.profiler, "start_trace",
+                        lambda d: calls.append(("start", d)))
+    monkeypatch.setattr(prof.jax.profiler, "stop_trace",
+                        lambda: calls.append(("stop", None)))
+    p = prof.StepProfiler((100, 120), out_dir=str(tmp_path))
+    # strides of 8 skip the exact start step — window must still fire
+    for step in range(0, 200, 8):
+        p.step(step)
+    p.close()
+    kinds = [k for k, _ in calls]
+    assert kinds == ["start", "stop"]

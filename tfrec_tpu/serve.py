@@ -39,6 +39,7 @@ class Recommender:
             self._quant = quantize_table(params["tables"]["item_emb"])
         self._predict_jit = jax.jit(self._predict_impl)
         self._score_jit = jax.jit(self._score_impl)
+        self._predict_ctr_jit = None
 
     def _score_impl(self, params, user_ids):
         if self._quant is not None:
@@ -77,6 +78,33 @@ class Recommender:
         u = jnp.asarray(np.asarray(user_ids, np.int32))
         i = jnp.asarray(np.asarray(item_ids, np.int32))
         return np.asarray(self._predict_jit(self.params, u, i))
+
+    def predict_ctr(self, dense, cat) -> np.ndarray:
+        """CTR logits for feature-interaction models: dense [N, Dd] f32
+        (may have 0 columns), cat [N, sum(widths)] int32."""
+        if self._predict_ctr_jit is None:
+
+            def impl(params, dense_f, cat_f):
+                batch = {
+                    "dense": dense_f,
+                    "cat": cat_f,
+                    "label": jnp.zeros(cat_f.shape[0], jnp.float32),
+                }
+                ids = self.model.lookup_ids(batch)
+                gathered = {
+                    k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+                    for k, v in ids.items()
+                }
+                return self.model.forward(params["dense"], gathered, batch)
+
+            self._predict_ctr_jit = jax.jit(impl)
+        return np.asarray(
+            self._predict_ctr_jit(
+                self.params,
+                jnp.asarray(np.asarray(dense, np.float32)),
+                jnp.asarray(np.asarray(cat, np.int32)),
+            )
+        )
 
     # ---- catalog scoring / top-k ----
 
