@@ -218,8 +218,9 @@ def main(argv=None) -> int:
     step, state, batches = build(args.kernels)
     # Warmup (compile + cache); if the fused-kernel path fails to compile
     # on this hardware, fall back to the XLA path rather than dying.
+    warmup = max(args.warmup, 1)  # at least one: compile must happen here
     try:
-        for i in range(args.warmup):
+        for i in range(warmup):
             state, metrics = step(state, batches[i % len(batches)])
         jax.block_until_ready(metrics["loss"])
     except Exception as e:
@@ -228,7 +229,7 @@ def main(argv=None) -> int:
                   "falling back to xla kernels", file=sys.stderr)
             args.kernels = "xla"
             step, state, batches = build("xla")
-            for i in range(args.warmup):
+            for i in range(warmup):
                 state, metrics = step(state, batches[i % len(batches)])
             jax.block_until_ready(metrics["loss"])
         else:

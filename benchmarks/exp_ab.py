@@ -23,7 +23,7 @@ def main() -> int:
         batch, d = 8192, 128
         variants = {}
         for name in ("xla", "pallas"):
-            step, state, batches = build_dcn_bench(batch, name, d)
+            step, state, batches, _ = build_dcn_bench(batch, name, d)
             # warmup/compile
             for i in range(3):
                 state, m = step(state, batches[i % len(batches)])

@@ -65,7 +65,7 @@ def main() -> int:
         sys.path.insert(0, ".")
         from bench import build_dcn_bench
 
-        step, state, batches = build_dcn_bench(8192, "pallas", 128)
+        step, state, batches, _ = build_dcn_bench(8192, "pallas", 128)
         for i in range(3):
             state, m = step(state, batches[i % len(batches)])
         jax.block_until_ready(m["loss"])

@@ -46,7 +46,7 @@ def measure(n_devices: int, batch: int, model_name: str, steps: int, warmup: int
     batches = []
     for _ in range(4):
         b = {
-            "dense": np.random.default_rng(1).normal(size=(batch, num_dense)).astype(np.float32),
+            "dense": rng.normal(size=(batch, num_dense)).astype(np.float32),
             "cat": np.stack([rng.integers(0, v, batch) for v in vocabs], 1).astype(np.int32),
             "label": rng.integers(0, 2, batch).astype(np.float32),
         }

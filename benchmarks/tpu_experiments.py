@@ -73,6 +73,11 @@ def main(argv=None) -> int:
         print("\n".join(EXPERIMENTS))
         return 0
     names = [n for n in args.only.split(",") if n] or list(EXPERIMENTS)
+    unknown = [n for n in names if n not in EXPERIMENTS]
+    if unknown:
+        # Fail BEFORE the probe: a typo must not burn tunnel sessions.
+        print(f"unknown experiment(s) {unknown}; options: {sorted(EXPERIMENTS)}")
+        return 2
 
     log = open(args.log, "a", buffering=1)
 

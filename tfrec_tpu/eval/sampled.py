@@ -80,6 +80,9 @@ class SampledEvaluator:
         num_candidates: int = 100,
         seed: int = 0,
         user_batch: int = 512,
+        # Cap on evaluated test interactions (cost control at ML-20M
+        # scale); the returned "eval_cases" metric reports the actual
+        # coverage so capped runs are never mistaken for full-protocol.
         max_users: int | None = 20_000,
     ):
         self.model = model
@@ -136,7 +139,7 @@ class SampledEvaluator:
                 )
             ranks.append(r)
         rank = np.concatenate(ranks).astype(np.float64)
-        out: Dict[str, float] = {}
+        out: Dict[str, float] = {"eval_cases": float(len(rank))}
         for k in self.ks:
             hit = rank < k
             out[f"hr@{k}"] = float(hit.mean())

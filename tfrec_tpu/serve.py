@@ -7,8 +7,10 @@ recommendation (SURVEY.md §1a "Public interface").
 - ``score_catalog(user_ids)``      -> [B, num_items] full-catalog scores
 - ``recommend(user_ids, k, exclude_train=True)`` -> (ids [B,k], scores [B,k])
 
-All paths are jit-compiled once per shape; on a mesh, the sharded top-k
-pipeline (parallel/topk.py) is used for dot-product scorers.
+All paths are jit-compiled once per shape. With sharded params the
+scoring runs under GSPMD (the collectives come from the input shardings);
+the explicit sharded top-k pipeline (parallel/topk.py) is available
+directly for dot-product serving at pod scale.
 """
 
 from __future__ import annotations
@@ -24,32 +26,48 @@ from tfrec_tpu.eval.retrieval import padded_positives, topk_scores
 
 class Recommender:
     def __init__(self, model, params, dataset=None, mesh=None, quantize=False):
-        """``quantize=True`` stores dot-product item tables as rowwise-
-        scaled int8 (4x serving memory; top-k order exact up to rounding)
-        — applies to MF-style models with an 'item_emb' table."""
+        """``quantize=True`` stores the MF item table as rowwise-scaled
+        int8 (top-k order exact up to rounding). MF only — other scorers
+        (GMF's h-weighting, MLP towers) are not plain dot products, so a
+        quantized matmul would silently change their scores. The int8
+        table is passed to the jitted scorer as an ARGUMENT (closure
+        constants get baked into the compile payload); the 4x memory win
+        applies when the caller drops the f32 params after export.
+        """
         self.model = model
         self.params = params
         self.dataset = dataset
         self.mesh = mesh
         self._train_padded = None
         self._quant = None
-        if quantize and "item_emb" in params.get("tables", {}):
+        if quantize:
+            from tfrec_tpu.models.mf import MF as _MF
+
+            if not type(model) is _MF:
+                raise ValueError(
+                    "quantize=True supports the MF dot-product scorer only; "
+                    f"got {type(model).__name__}"
+                )
             from tfrec_tpu.ops.quantize import quantize_table
 
             self._quant = quantize_table(params["tables"]["item_emb"])
         self._predict_jit = jax.jit(self._predict_impl)
-        self._score_jit = jax.jit(self._score_impl)
-        self._predict_ctr_jit = None
-
-    def _score_impl(self, params, user_ids):
         if self._quant is not None:
             from tfrec_tpu.ops.quantize import quantized_scores
 
-            t = params["tables"]
-            u = jnp.take(t["user_emb"], user_ids, axis=0)
-            bias = t["item_bias"][:, 0] if "item_bias" in t else None
-            return quantized_scores(u, self._quant, bias)
-        return self.model.score_all(params, user_ids)
+            def scorer(params, qt, user_ids):
+                u = jnp.take(params["tables"]["user_emb"], user_ids, axis=0)
+                t = params["tables"]
+                bias = t["item_bias"][:, 0] if "item_bias" in t else None
+                return quantized_scores(u, qt, bias)
+
+            quant_jit = jax.jit(scorer)
+            self._score_jit = lambda p, u: quant_jit(p, self._quant, u)
+        else:
+            self._score_jit = jax.jit(
+                lambda p, u: self.model.score_all(p, u)
+            )
+        self._predict_ctr_jit = None
 
     @classmethod
     def from_trainer(cls, trainer) -> "Recommender":
