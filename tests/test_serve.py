@@ -131,3 +131,11 @@ def test_predict_ctr_matches_training_forward():
         })
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_quantize_rejects_non_mf_models():
+    import pytest
+
+    t = _trained_trainer(ModelConfig(name="gmf", gmf_dim=8), loss="bpr", epochs=1)
+    with pytest.raises(ValueError, match="MF dot-product"):
+        Recommender(t.model, t.params, dataset=t.dataset, quantize=True)

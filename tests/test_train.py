@@ -153,3 +153,13 @@ def test_orbax_checkpoint_backend(tmp_path):
         jax.tree_util.tree_leaves(restored),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_final_epoch_always_evaluated():
+    """epochs=3 with eval_every_epochs=2: the last epoch still gets eval
+    metrics (a final state without metrics surprised users)."""
+    cfg = _mf_config(epochs=3, eval_every_epochs=2)
+    _, hist = run(cfg)
+    assert "recall@20" in hist[-1], hist[-1]
+    assert "recall@20" in hist[1]      # the regular cadence point
+    assert "recall@20" not in hist[0]  # off-cadence epoch stays cheap

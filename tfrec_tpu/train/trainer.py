@@ -511,7 +511,10 @@ class Trainer:
                 "loss": float(metrics["loss"]),
                 "examples_per_s": n_examples / max(dt, 1e-9),
             }
-            if c.train.eval_every_epochs and (epoch + 1) % c.train.eval_every_epochs == 0:
+            is_last = epoch + 1 == c.train.epochs
+            if c.train.eval_every_epochs and (
+                (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
+            ):
                 rec.update(self.evaluate())
             self.logger.log(rec)
             history.append(rec)
