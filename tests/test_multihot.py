@@ -99,3 +99,46 @@ def test_multihot_sharded_path():
     trainer, hist = run(cfg, quiet=True)
     assert trainer.mesh is not None  # 8 virtual devices -> sharded
     assert np.isfinite(hist[-1]["loss"])
+
+def test_mixed_field_dims_dcn_trains_and_fm_rejects():
+    """Per-field embedding dims: concat towers accept them; stacked
+    interactions reject with a clear error."""
+    import pytest
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=6000,
+                        num_dense_features=3, categorical_vocab_sizes=(100, 40, 10),
+                        test_fraction=0.2, seed=6),
+        model=ModelConfig(name="dcn", embed_dim=8, field_dims=(16, 8, 4),
+                          num_cross_layers=2, mlp_dims=(16,)),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=256, epochs=2, eval_every_epochs=2,
+                          loss="logloss"),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    trainer, hist = run(cfg, quiet=True)
+    assert np.isfinite(hist[-1]["loss"])
+    # tables really have per-field dims
+    shapes = {k: v.shape for k, v in trainer.state["tables"].items()}
+    assert shapes["field_0"][1] == 16 and shapes["field_2"][1] == 4
+
+    with pytest.raises(ValueError, match="equal field dims"):
+        run(cfg.replace(model=ModelConfig(name="fm", embed_dim=8,
+                                          field_dims=(16, 8, 4))), quiet=True)
+
+
+def test_mixed_dims_sharded_path():
+    """Mixed per-field dims ride the row-sharded a2a path (per-table plans)."""
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                        num_dense_features=2, categorical_vocab_sizes=(64, 16),
+                        test_fraction=0.25, seed=7),
+        model=ModelConfig(name="widedeep", embed_dim=8, field_dims=(16, 4),
+                          mlp_dims=(16,)),
+        optim=OptimConfig(learning_rate=0.02),
+        train=TrainConfig(batch_size=256, epochs=2, eval_every_epochs=2,
+                          loss="logloss"),
+    )
+    trainer, hist = run(cfg, quiet=True)
+    assert trainer.mesh is not None
+    assert np.isfinite(hist[-1]["loss"])

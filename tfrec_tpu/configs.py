@@ -61,6 +61,12 @@ class ModelConfig:
 
     name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm
     embed_dim: int = 64
+    # Per-field embedding dims for CTR models (empty = embed_dim for all).
+    # Mixed dims (small vocab -> small dim, the production memory/ICI
+    # saver — docs/PERF.md scaling model) work with concat-based towers
+    # (dcn/dcnv2/widedeep); stacked/paired interactions (fm/deepfm/dlrm)
+    # require equal dims.
+    field_dims: Sequence[int] = ()
     # Dense-tower widths (MLP/NeuMF deep tower, DCN deep tower).
     mlp_dims: Sequence[int] = (256, 128, 64)
     # DCN: number of cross layers.

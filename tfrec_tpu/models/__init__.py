@@ -51,7 +51,7 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             dropout=cfg.dropout,
         )
     if name == "fm":
-        return FM(data_spec, cfg.embed_dim)
+        return FM(data_spec, cfg.embed_dim, field_dims=cfg.field_dims or None)
     if name in ("dcn", "dcnv2"):
         return DCN(
             data_spec,
@@ -62,11 +62,13 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             cross_rank=cfg.cross_rank,
             backend=backend,
             dropout=cfg.dropout,
+            field_dims=cfg.field_dims or None,
         )
     if name == "deepfm":
         return DeepFM(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
     if name == "widedeep":
-        return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
+        return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims,
+                        dropout=cfg.dropout, field_dims=cfg.field_dims or None)
     if name == "dlrm":
         return DLRM(
             data_spec, cfg.embed_dim, top_dims=cfg.mlp_dims, dropout=cfg.dropout

@@ -22,12 +22,29 @@ from tfrec_tpu.ops.embedding import TableSpec
 
 class CTRBase(RecModel):
     use_linear_tables = False
+    # Models whose interaction needs EQUAL field dims (FM second-order,
+    # DLRM dot-interactions, stacked [B, F, D]) set this False; concat-
+    # based towers (DCN, Wide&Deep deep part) accept mixed dims.
+    supports_mixed_dims = False
 
-    def __init__(self, data_spec: DataSpec, embed_dim: int):
+    def __init__(self, data_spec: DataSpec, embed_dim: int, field_dims=None):
         assert data_spec.kind == "ctr"
         self.data_spec = data_spec
         self.embed_dim = embed_dim
-        self.widths = data_spec.field_widths or (1,) * len(data_spec.field_vocabs)
+        nf = len(data_spec.field_vocabs)
+        if field_dims:
+            field_dims = tuple(field_dims)
+            assert len(field_dims) == nf, (field_dims, nf)
+            if not self.supports_mixed_dims and len(set(field_dims)) > 1:
+                raise ValueError(
+                    f"{type(self).__name__} needs equal field dims "
+                    "(its interaction stacks/pairs field vectors); "
+                    "mixed field_dims work with dcn/dcnv2/widedeep"
+                )
+            self.field_dims = field_dims
+        else:
+            self.field_dims = (embed_dim,) * nf
+        self.widths = data_spec.field_widths or (1,) * nf
         self._offsets = []
         off = 0
         for w in self.widths:
@@ -45,7 +62,7 @@ class CTRBase(RecModel):
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         specs = [
-            TableSpec(f"field_{f}", v, self.embed_dim)
+            TableSpec(f"field_{f}", v, self.field_dims[f])
             for f, v in enumerate(self.data_spec.field_vocabs)
         ]
         if self.use_linear_tables:
@@ -88,15 +105,16 @@ class CTRBase(RecModel):
             out = out / denom[:, None]
         return out
 
+    def field_list(self, gathered, batch) -> list:
+        """Per-field combined embeddings: list of [B, d_f] (mixed dims ok)."""
+        return [
+            self._combine(gathered[f"field_{f}"], batch, f, mean=True)
+            for f in range(self.num_fields)
+        ]
+
     def field_stack(self, gathered, batch) -> jnp.ndarray:
-        """[B, F, D] combined field embeddings."""
-        return jnp.stack(
-            [
-                self._combine(gathered[f"field_{f}"], batch, f, mean=True)
-                for f in range(self.num_fields)
-            ],
-            axis=1,
-        )
+        """[B, F, D] combined field embeddings (equal dims required)."""
+        return jnp.stack(self.field_list(gathered, batch), axis=1)
 
     def linear_sum(self, gathered, batch) -> jnp.ndarray:
         """[B] masked sum of per-field linear weights."""
@@ -106,11 +124,12 @@ class CTRBase(RecModel):
         return total
 
     def flat_input(self, gathered, batch) -> jnp.ndarray:
-        """[B, F*D + Dd]: concatenated field embeddings + dense features."""
-        flat = self.field_stack(gathered, batch).reshape(batch["cat"].shape[0], -1)
+        """[B, sum(d_f) + Dd]: concatenated field embeddings + dense
+        features (supports mixed per-field dims)."""
+        parts = self.field_list(gathered, batch)
         if self.data_spec.num_dense > 0:
-            flat = jnp.concatenate([flat, batch["dense"]], axis=-1)
-        return flat
+            parts = parts + [batch["dense"]]
+        return jnp.concatenate(parts, axis=-1)
 
 
 def fm_second_order(field_vecs: jnp.ndarray) -> jnp.ndarray:

@@ -22,6 +22,8 @@ from tfrec_tpu.models.layers import apply_mlp, glorot, init_mlp
 
 
 class DCN(CTRBase):
+    supports_mixed_dims = True  # cross/deep towers work on the concat
+
     def __init__(
         self,
         data_spec: DataSpec,
@@ -33,8 +35,9 @@ class DCN(CTRBase):
         cross_rank: int = 0,
         backend: str = "xla",
         dropout: float = 0.0,
+        field_dims=None,
     ):
-        super().__init__(data_spec, embed_dim)
+        super().__init__(data_spec, embed_dim, field_dims)
         self.num_cross_layers = num_cross_layers
         self.mlp_dims = tuple(mlp_dims)
         self.v2 = v2
@@ -44,7 +47,7 @@ class DCN(CTRBase):
 
     @property
     def input_dim(self) -> int:
-        return self.num_fields * self.embed_dim + self.data_spec.num_dense
+        return sum(self.field_dims) + self.data_spec.num_dense
 
     def init_dense(self, rng: jax.Array):
         d0, nl = self.input_dim, self.num_cross_layers

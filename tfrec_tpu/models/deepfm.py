@@ -22,7 +22,7 @@ class DeepFM(CTRBase):
         self.dropout = dropout
 
     def init_dense(self, rng: jax.Array):
-        in_dim = self.num_fields * self.embed_dim + self.data_spec.num_dense
+        in_dim = sum(self.field_dims) + self.data_spec.num_dense
         d = {
             "w0": jnp.zeros(()),
             "mlp": init_mlp(rng, in_dim, self.mlp_dims, out_dim=1),

@@ -14,15 +14,16 @@ from tfrec_tpu.models.layers import apply_mlp, init_mlp
 
 class WideDeep(CTRBase):
     use_linear_tables = True
+    supports_mixed_dims = True  # deep tower works on the concat
 
     def __init__(self, data_spec: DataSpec, embed_dim: int, mlp_dims,
-                 dropout: float = 0.0):
-        super().__init__(data_spec, embed_dim)
+                 dropout: float = 0.0, field_dims=None):
+        super().__init__(data_spec, embed_dim, field_dims)
         self.mlp_dims = tuple(mlp_dims)
         self.dropout = dropout
 
     def init_dense(self, rng: jax.Array):
-        in_dim = self.num_fields * self.embed_dim + self.data_spec.num_dense
+        in_dim = sum(self.field_dims) + self.data_spec.num_dense
         d = {
             "b": jnp.zeros(()),
             "mlp": init_mlp(rng, in_dim, self.mlp_dims, out_dim=1),
