@@ -168,6 +168,14 @@ class Trainer:
             from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
 
             self.mesh = make_mesh(c.mesh.data_axis_size, c.mesh.table_axis_size)
+            n_data = self.mesh.shape["data"]
+            if c.train.batch_size % n_data != 0:
+                raise ValueError(
+                    f"train.batch_size={c.train.batch_size} must be divisible "
+                    f"by the data mesh axis ({n_data} devices); use e.g. "
+                    f"{(c.train.batch_size // n_data + 1) * n_data}, or force "
+                    "the single-device path with mesh.data_axis_size=0"
+                )
             self.builder = ShardedTrainStepBuilder(
                 self.model, loss, c.optim, self.mesh, c.mesh,
                 l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
