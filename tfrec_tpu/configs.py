@@ -143,7 +143,7 @@ class TrainConfig:
     # approximation; false-negative rate ~ interactions/user / num_items).
     # Removes host-side sampling from the input pipeline entirely.
     device_negatives: bool = False
-    loss: str = "bpr"  # bpr | logloss | hinge | sampled_softmax
+    loss: str = "bpr"  # bpr | hinge | logloss | mse | sampled_softmax | in_batch_softmax
     seed: int = 42
     eval_topk: Sequence[int] = (10, 20, 50)
     eval_user_batch: int = 256
