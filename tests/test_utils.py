@@ -78,3 +78,27 @@ def test_step_profiler_window_with_strides(tmp_path, monkeypatch):
     p.close()
     kinds = [k for k, _ in calls]
     assert kinds == ["start", "stop"]
+
+
+def test_cli_as_real_process():
+    """python -m tfrec_tpu.cli in a real subprocess (argv + exit codes)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "tfrec_tpu.cli", "--list_configs"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0
+    assert "mf_bpr_ml100k" in out.stdout and "dcn_criteo" in out.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "tfrec_tpu.cli", "--config", "nope"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert bad.returncode != 0
+    assert "unknown config" in bad.stderr + bad.stdout
