@@ -7,6 +7,11 @@ medians — the only comparison design that controls for window drift.
 Catches everything; exits 0.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import statistics
 import sys
 import time

@@ -1,6 +1,11 @@
 """On-chip correctness + timing for the fused rowwise-Adagrad kernel
 (D=128 lane-aligned path) vs the XLA apply. Catches everything; exits 0."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import traceback
 

@@ -14,6 +14,11 @@ identical dispatches. This probe forces real work three ways:
 Catches everything; exits 0.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import traceback
 

@@ -2,6 +2,11 @@
 and HBM copy bandwidth. Grounds the examples/s numbers in measured
 hardware ceilings rather than nominal specs. Catches everything; exit 0."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import traceback
 

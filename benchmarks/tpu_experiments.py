@@ -18,6 +18,11 @@ Usage: python benchmarks/tpu_experiments.py --log /tmp/tpu_exp.log
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import subprocess
