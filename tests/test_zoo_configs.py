@@ -27,3 +27,43 @@ def test_zoo_configs_have_synthetic_fallbacks():
         assert cfg.data.source in (
             "synthetic_implicit", "synthetic_ctr",
         ), (name, cfg.data.source)
+
+
+SMALL = {
+    "mf_bpr_ml100k": {"data.num_users": 64, "data.num_items": 128,
+                      "data.interactions_per_user": 8},
+    "fm_ctr_ml1m": {"data.num_users": 64, "data.num_items": 128,
+                    "data.interactions_per_user": 8},
+    "neumf_ml20m": {"data.num_users": 64, "data.num_items": 128,
+                    "data.interactions_per_user": 8,
+                    "model.mlp_dims": (16, 8)},
+    "dcn_criteo": {"data.num_examples": 4000,
+                   "data.categorical_vocab_sizes": (100, 50),
+                   "data.test_fraction": 0.2,
+                   "model.embed_dim": 8, "model.mlp_dims": (16,),
+                   "train.steps_per_dispatch": 1},
+    "dcn_multihost": {"data.num_examples": 4000,
+                      "data.categorical_vocab_sizes": (100, 50),
+                      "data.test_fraction": 0.2,
+                      "model.embed_dim": 8, "model.mlp_dims": (16,),
+                      "train.steps_per_dispatch": 1},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SMALL))
+def test_every_milestone_config_runs_end_to_end(name):
+    """BASELINE.json configs 1-5 (synthetic stand-ins, shrunk): every
+    milestone trains one epoch and evaluates — the capstone CI gate."""
+    import numpy as np
+
+    from tfrec_tpu.train.trainer import run
+
+    cfg = with_overrides(ZOO[name](), {
+        **SMALL[name],
+        "train.epochs": 1, "train.batch_size": 128,
+        "train.eval_every_epochs": 1, "train.eval_topk": (10,),
+    })
+    _, hist = run(cfg, quiet=True)
+    final = hist[-1]
+    assert np.isfinite(final["loss"]), (name, final)
+    assert any(k.startswith(("recall@", "hr@", "auc")) for k in final), (name, final)
