@@ -72,3 +72,35 @@ def test_streaming_criteo_trainer(tmp_path):
     _, hist = run(cfg, quiet=True)
     assert "auc" in hist[-1]
     assert np.isfinite(hist[-1]["loss"])
+
+def test_criteo_stream_sharding_disjoint_and_equal(tmp_path):
+    """Round-robin striping: shards yield equal counts of disjoint batches
+    that interleave back into the unsharded stream (minus incomplete
+    stripes)."""
+    path = str(tmp_path / "criteo.tsv")
+    _write_criteo(path, 1000)  # 200 eval + 800 train = 16 batches of 50
+    full = list(
+        CriteoStreamBatcher(path, 50, vocab_sizes=1000, eval_examples=200)
+        .epoch(0)
+    )
+    assert len(full) == 16
+    shards = [
+        list(
+            CriteoStreamBatcher(
+                path, 50, vocab_sizes=1000, eval_examples=200,
+                num_shards=3, shard_index=p,
+            ).epoch(0)
+        )
+        for p in range(3)
+    ]
+    # 16 batches -> 5 complete stripes of 3; the trailing one is dropped
+    # on EVERY shard (equal step counts are collective-safe).
+    assert [len(s) for s in shards] == [5, 5, 5]
+    for stripe in range(5):
+        for p in range(3):
+            np.testing.assert_array_equal(
+                shards[p][stripe]["cat"], full[stripe * 3 + p]["cat"]
+            )
+            np.testing.assert_array_equal(
+                shards[p][stripe]["label"], full[stripe * 3 + p]["label"]
+            )

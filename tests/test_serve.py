@@ -128,7 +128,7 @@ def test_predict_ctr_matches_training_forward():
         t._forward_fn()(t.state, {
             "dense": dense[:64], "cat": cat[:64],
             "label": np.zeros(64, np.float32),
-        })
+        })[0]
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 

@@ -1,0 +1,188 @@
+"""Sharded (mesh-native) retrieval eval + serving: the distributed top-k
+pipeline on live row-sharded tables must reproduce the single-device
+full-catalog evaluator exactly, and its compiled program must never
+all-gather a full table (VERDICT r1 items 2 and 7)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfrec_tpu.configs import (
+    Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+)
+from tfrec_tpu.eval.retrieval import RetrievalEvaluator, padded_positives, topk_scores
+from tfrec_tpu.parallel.eval import ShardedRetrievalEvaluator, sharded_row_gather
+from tfrec_tpu.parallel.mesh import make_mesh
+from tfrec_tpu.train.trainer import Trainer
+
+
+def _mesh_trainer(model: ModelConfig, loss: str = "bpr", epochs: int = 2,
+                  num_items: int = 2048) -> Trainer:
+    cfg = Config(
+        data=DataConfig(
+            source="synthetic_implicit", num_users=96, num_items=num_items,
+            interactions_per_user=16, seed=3,
+        ),
+        model=model,
+        optim=OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(
+            batch_size=256, epochs=epochs, eval_every_epochs=0,
+            eval_topk=(10, 20), eval_user_batch=32, loss=loss,
+            matmul_precision="highest",
+        ),
+        mesh=MeshConfig(table_sharding="row"),
+    )
+    t = Trainer(cfg, quiet=True)
+    t.train()
+    return t
+
+
+def test_sharded_row_gather_matches_take():
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 64, size=23).astype(np.int32))
+    got = sharded_row_gather(mesh, table, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(table)[np.asarray(ids)],
+                               rtol=1e-6)
+
+
+def test_sharded_retrieval_eval_matches_single_device():
+    t = _mesh_trainer(ModelConfig(name="mf", embed_dim=32))
+    assert t.mesh is not None
+    sharded = ShardedRetrievalEvaluator(
+        t.builder, t.model, t.dataset, ks=(10, 20), user_batch=32
+    )
+    got = sharded(t.state)
+    ref = RetrievalEvaluator(
+        lambda p, u: t.model.score_all(p, u), t.dataset, ks=(10, 20),
+        user_batch=32,
+    )(t.params)
+    assert set(got) == set(ref)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], atol=1e-6, err_msg=key)
+
+
+def test_trainer_evaluate_uses_sharded_path_on_mesh():
+    t = _mesh_trainer(ModelConfig(name="mf", embed_dim=16), num_items=512)
+    out = t.evaluate()
+    assert "recall@20" in out
+    # The cached evaluator must be the sharded one (not RetrievalEvaluator).
+    assert callable(t._retrieval_eval)
+    ref = RetrievalEvaluator(
+        lambda p, u: t.model.score_all(p, u), t.dataset, ks=(10, 20),
+        user_batch=32,
+    )(t.params)
+    np.testing.assert_allclose(out["recall@20"], ref["recall@20"], atol=1e-6)
+
+
+def test_gmf_sharded_eval_matches():
+    t = _mesh_trainer(ModelConfig(name="gmf", gmf_dim=16), num_items=512)
+    sharded = ShardedRetrievalEvaluator(
+        t.builder, t.model, t.dataset, ks=(10,), user_batch=32
+    )
+    got = sharded(t.state)
+    ref = RetrievalEvaluator(
+        lambda p, u: t.model.score_all(p, u), t.dataset, ks=(10,),
+        user_batch=32,
+    )(t.params)
+    np.testing.assert_allclose(got["ndcg@10"], ref["ndcg@10"], atol=1e-6)
+
+
+def test_sharded_recommend_matches_unsharded():
+    from tfrec_tpu.serve import Recommender
+
+    t = _mesh_trainer(ModelConfig(name="mf", embed_dim=32))
+    rec = Recommender.from_trainer(t)
+    assert rec._state is not None  # serving from live shards
+    users = np.arange(17, dtype=np.int32)
+    ids, vals = rec.recommend(users, k=15, exclude_train=True)
+    assert ids.shape == (17, 15)
+    # Reference: materialized params + dense top-k.
+    params = t.params
+    scores = t.model.score_all(params, jnp.asarray(users))
+    exc_p, exc_c = padded_positives(t.dataset.train_csr)
+    ref_vals, ref_ids = topk_scores(
+        scores, 15, jnp.asarray(exc_p[users]), jnp.asarray(exc_c[users])
+    )
+    np.testing.assert_array_equal(ids, np.asarray(ref_ids))
+    np.testing.assert_allclose(vals, np.asarray(ref_vals), atol=1e-5)
+
+
+def test_sharded_eval_compiles_without_full_table_allgather():
+    """Scale-proofness: the compiled eval program must not contain an
+    all-gather whose output is as large as a full table (the whole point
+    of the sharded path is that only [B, D] queries and [B, N*k] merge
+    candidates cross devices)."""
+    t = _mesh_trainer(ModelConfig(name="mf", embed_dim=32), epochs=1)
+    ev = ShardedRetrievalEvaluator(
+        t.builder, t.model, t.dataset, ks=(10, 20), user_batch=32
+    )
+    jitted = ev._build(t.state)
+    users = jnp.zeros((32,), jnp.int32)
+    trn_p = jnp.zeros((32, 4), jnp.int32)
+    trn_c = jnp.zeros((32,), jnp.int32)
+    compiled = jitted.lower(t.state, users, trn_p, trn_c, trn_p, trn_c).compile()
+    hlo = compiled.as_text()
+    # The only legitimate all-gather is the [B, n_shards * k_local] top-k
+    # merge; anything table-sized means a shard got re-replicated. The user
+    # table moves via psum of [B, D] (also not an all-gather).
+    item_elems = int(np.prod(t.state["tables"]["item_emb"].shape))
+    merge_elems = 32 * 8 * 20  # user_batch * n_shards * max_k
+    assert merge_elems * 4 < item_elems  # test must be able to discriminate
+    pat = re.compile(r"=\s+\w+\[([\d,]*)\][^=]*\ball-gather")
+    found = 0
+    for m in pat.finditer(hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        found += 1
+        assert elems <= merge_elems * 2, (
+            f"all-gather of {elems} elems (table is {item_elems}) — "
+            "a shard is being re-replicated"
+        )
+    assert found >= 1  # the merge all-gather must exist
+
+
+def test_mesh_ctr_eval_uses_a2a_lookup():
+    """CTR eval on a mesh goes through the builder's all-to-all lookup seam
+    and matches the labels-based AUC computed from materialized params."""
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=6000,
+                        num_dense_features=4,
+                        categorical_vocab_sizes=(64, 48, 32),
+                        test_fraction=0.2, seed=9),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                          mlp_dims=(16,)),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=256, epochs=1, eval_every_epochs=0,
+                          loss="logloss", matmul_precision="highest"),
+        mesh=MeshConfig(table_sharding="row"),
+    )
+    t = Trainer(cfg, quiet=True)
+    t.train()
+    assert t.mesh is not None
+    out = t.evaluate()
+    assert 0.0 <= out["auc"] <= 1.0
+    assert "eval_lookup_overflow" not in out  # capacity never silently drops
+    # Cross-check the forward pass against a replicated-params forward.
+    dense, cat, label = t.ctr_arrays["test"]
+    params = t.params
+    ids = t.model.lookup_ids({"dense": dense[:64], "cat": jnp.asarray(cat[:64]),
+                              "label": jnp.asarray(label[:64])})
+    gathered = {k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+                for k, v in ids.items()}
+    want = t.model.forward(params["dense"],
+                           gathered,
+                           {"dense": jnp.asarray(dense[:64]),
+                            "cat": jnp.asarray(cat[:64]),
+                            "label": jnp.asarray(label[:64])})
+    got, _ = t._forward_fn()(
+        t.state,
+        {"dense": jnp.asarray(dense[:64]), "cat": jnp.asarray(cat[:64]),
+         "label": jnp.asarray(label[:64])},
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -100,6 +100,14 @@ class CriteoStreamBatcher:
     Matches the CTRBatcher epoch(i) protocol the Trainer consumes. Batches
     arrive in file order (no global shuffle — Criteo logs are already
     time-shuffled at day granularity, the standard streaming treatment).
+
+    Multi-process (SURVEY.md §3b "per-process file shard"): with
+    ``num_shards=N, shard_index=p``, ``batch_size`` is the PER-PROCESS batch
+    size and the post-eval train stream is striped round-robin: batch i
+    belongs to process i mod N, and only COMPLETE stripes of N batches are
+    consumed, so every process yields exactly floor(total/N) batches —
+    collective-safe (all processes take the same number of steps) and
+    example-disjoint across processes.
     """
 
     def __init__(
@@ -109,12 +117,17 @@ class CriteoStreamBatcher:
         vocab_sizes: Sequence[int] | int = 100_000,
         eval_examples: int = 100_000,
         max_examples: int | None = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
         self.path = path
         self.batch_size = batch_size
         self.vocab_sizes = vocab_sizes
         self.eval_examples = eval_examples
         self.max_examples = max_examples
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._eval = None
 
     def eval_arrays(self):
@@ -125,11 +138,28 @@ class CriteoStreamBatcher:
         return self._eval
 
     def num_batches(self) -> int:
+        """TOTAL per-process-sized batches in the train region (across all
+        shards) — the Trainer divides by process count for its step cap."""
         if self.max_examples is None:
             return -1  # unknown without a full pass
         return (self.max_examples - self.eval_examples) // self.batch_size
 
     def epoch(self, epoch: int):
+        if self.num_shards == 1:
+            yield from self._epoch_all(epoch)
+            return
+        # Round-robin stripe ownership over complete stripes only.
+        mine = None
+        pos = 0
+        for batch in self._epoch_all(epoch):
+            if pos == self.shard_index:
+                mine = batch
+            pos += 1
+            if pos == self.num_shards:
+                yield mine
+                mine, pos = None, 0
+
+    def _epoch_all(self, epoch: int):
         skipped = 0
         pend = None  # partial batch carried across the eval/train boundary
         for dense, cat, label in best_batch_iter(

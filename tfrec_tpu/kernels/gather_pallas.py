@@ -58,7 +58,7 @@ def gather_pallas(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // _ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table stays in HBM
         out_specs=pl.BlockSpec(
             (_ROWS, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -104,9 +104,9 @@ def scaled_scatter_sub(
         in_specs=[
             pl.BlockSpec((_ROWS, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_ROWS, 1), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to out 0)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((_ROWS, d), table.dtype),
             pltpu.SemaphoreType.DMA((_ROWS,)),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,26 @@ class DataSpec:
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class DotRetrieval:
+    """Dot-product decomposition of a retrieval scorer, for the sharded
+    top-k path (parallel/topk.py): score_all(params, u) equals
+    ``transform(dense, take(tables[user_table], u)) @ tables[item_table].T
+    (+ tables[bias_table][:, 0])`` up to a rank-invariant constant.
+
+    ``transform`` (optional) maps gathered user rows to query vectors using
+    dense params (e.g. GMF's elementwise ``h`` weighting); identity if None.
+    """
+
+    user_table: str
+    item_table: str
+    bias_table: str | None = None
+    transform: "Callable | None" = None
+
+    def user_vecs(self, dense, user_rows: jnp.ndarray) -> jnp.ndarray:
+        return user_rows if self.transform is None else self.transform(dense, user_rows)
+
+
 class RecModel(abc.ABC):
     """Base class; subclasses are stateless describers of one architecture."""
 
@@ -105,6 +125,12 @@ class RecModel(abc.ABC):
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         """[B, num_items] scores of the full catalog for a user batch."""
         raise NotImplementedError(f"{type(self).__name__} is not a retrieval model")
+
+    def dot_decomposition(self) -> "DotRetrieval | None":
+        """Non-None when score_all is a plain dot product against one item
+        table — enables the distributed top-k eval/serving path on sharded
+        tables without materializing them (BASELINE.json R7)."""
+        return None
 
     # ---- helpers shared by pairwise-capable models ----
 

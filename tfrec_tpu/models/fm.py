@@ -33,6 +33,15 @@ class FM(CTRBase):
             logit = logit + batch["dense"] @ dense["w_dense"]
         return logit + fm_second_order(self.field_stack(gathered, batch))
 
+    def dot_decomposition(self):
+        # 2-field (u, i) form only: scores differ from score_all by the
+        # rank-invariant per-user constant u_lin + w0.
+        if self.num_fields != 2 or self.data_spec.num_dense != 0:
+            return None
+        from tfrec_tpu.models.base import DotRetrieval
+
+        return DotRetrieval("field_0", "field_1", "lin_1")
+
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         """Full-catalog scores for the (user, item) 2-field case: the only
         cross-field second-order term is <v_u, v_i>."""

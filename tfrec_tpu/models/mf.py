@@ -75,6 +75,13 @@ class MF(RecModel):
             return s_pos - s_neg
         return self._score(u, i, b)
 
+    def dot_decomposition(self):
+        from tfrec_tpu.models.base import DotRetrieval
+
+        return DotRetrieval(
+            "user_emb", "item_emb", "item_bias" if self.use_bias else None
+        )
+
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         t = params["tables"]
         u = jnp.take(t["user_emb"], user_ids, axis=0)  # [B, D]

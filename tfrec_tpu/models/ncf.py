@@ -133,6 +133,15 @@ class GMF(_NCFBase):
             jnp.dot(u, t["item_emb"].T, preferred_element_type=jnp.float32) + d["b"]
         )
 
+    def dot_decomposition(self):
+        # Scores on the sharded path omit the rank-invariant scalar b.
+        from tfrec_tpu.models.base import DotRetrieval
+
+        return DotRetrieval(
+            "user_emb", "item_emb", None,
+            transform=lambda dense, u: u * dense["h"][None, :],
+        )
+
 
 class MLP(_NCFBase):
     """NCF-MLP: logit = MLP([p_u ; q_i])."""

@@ -79,13 +79,18 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                         "table_sharding='col' requires mesh.table_axis_size > 1"
                     )
                 if spec.dim % t_axis != 0:
-                    import warnings
+                    # Scalar/bias tables (dim 1, e.g. item_bias) replicate by
+                    # design — V floats is negligible next to V x D and a
+                    # feature split of one column is meaningless. Only warn
+                    # about real feature tables losing their memory scaling.
+                    if spec.dim > 1:
+                        import warnings
 
-                    warnings.warn(
-                        f"table {spec.name!r}: dim {spec.dim} not divisible "
-                        f"by table axis {t_axis}; REPLICATING instead of "
-                        "column-sharding (memory cost!)", stacklevel=2,
-                    )
+                        warnings.warn(
+                            f"table {spec.name!r}: dim {spec.dim} not divisible "
+                            f"by table axis {t_axis}; REPLICATING instead of "
+                            "column-sharding (memory cost!)", stacklevel=2,
+                        )
                     self.plans[spec.name] = None
                 else:
                     self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)

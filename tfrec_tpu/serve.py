@@ -25,7 +25,8 @@ from tfrec_tpu.eval.retrieval import padded_positives, topk_scores
 
 
 class Recommender:
-    def __init__(self, model, params, dataset=None, mesh=None, quantize=False):
+    def __init__(self, model, params, dataset=None, mesh=None, quantize=False,
+                 state=None):
         """``quantize=True`` stores the MF item table as rowwise-scaled
         int8 (top-k order exact up to rounding). MF only — other scorers
         (GMF's h-weighting, MLP towers) are not plain dot products, so a
@@ -38,6 +39,12 @@ class Recommender:
         self.params = params
         self.dataset = dataset
         self.mesh = mesh
+        # Live sharded training state (padded row-sharded tables): when set
+        # together with a mesh and a dot-product scorer, recommend() runs
+        # the distributed top-k (parallel/topk.py) on the shards directly —
+        # tables are never replicated for serving (BASELINE.json R7).
+        self._state = state
+        self._sharded_jit = {}
         self._train_padded = None
         self._quant = None
         if quantize:
@@ -71,10 +78,16 @@ class Recommender:
 
     @classmethod
     def from_trainer(cls, trainer) -> "Recommender":
-        return cls(
-            trainer.model, trainer.params, dataset=trainer.dataset,
-            mesh=trainer.mesh,
-        )
+        if trainer.mesh is not None:
+            # Serve from the live sharded state: params view keeps the
+            # PADDED tables (real ids never touch pad rows; catalog scores
+            # are sliced to num_items) so nothing is re-replicated.
+            return cls(
+                trainer.model,
+                {"tables": trainer.state["tables"], "dense": trainer.state["dense"]},
+                dataset=trainer.dataset, mesh=trainer.mesh, state=trainer.state,
+            )
+        return cls(trainer.model, trainer.params, dataset=trainer.dataset)
 
     # ---- pointwise scoring ----
 
@@ -126,9 +139,16 @@ class Recommender:
 
     # ---- catalog scoring / top-k ----
 
+    def _num_items(self) -> int:
+        if self.dataset is not None:
+            return self.dataset.num_items
+        return self.model.data_spec.num_items
+
     def score_catalog(self, user_ids) -> np.ndarray:
         u = jnp.asarray(np.asarray(user_ids, np.int32))
-        return np.asarray(self._score_jit(self.params, u))
+        # Slice off vocab-padding columns (sharded tables pad V up to the
+        # mesh size; pad rows are zero-init and must never surface).
+        return np.asarray(self._score_jit(self.params, u))[:, : self._num_items()]
 
     def _train_exclusions(self, user_ids):
         if self.dataset is None:
@@ -142,15 +162,58 @@ class Recommender:
         self, user_ids, k: int, exclude_train: bool = True
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k item ids + scores per user, optionally excluding each
-        user's train items (requires a dataset)."""
+        user's train items (requires a dataset). On a mesh with a
+        dot-product scorer this runs the distributed per-shard-topk +
+        all_gather merge on the live shards."""
         u_np = np.asarray(user_ids, np.int32)
-        scores = self._score_jit(self.params, jnp.asarray(u_np))
         exc_p = exc_c = None
         if exclude_train:
             exc_p, exc_c = self._train_exclusions(u_np)
+        if (
+            self._state is not None
+            and self.mesh is not None
+            and self._quant is None
+            and self.model.dot_decomposition() is not None
+        ):
+            return self._recommend_sharded(u_np, k, exc_p, exc_c)
+        scores = self._score_jit(self.params, jnp.asarray(u_np))
+        scores = scores[:, : self._num_items()]
         vals, ids = topk_scores(
             scores, k,
             None if exc_p is None else jnp.asarray(exc_p),
             None if exc_c is None else jnp.asarray(exc_c),
+        )
+        return np.asarray(ids), np.asarray(vals)
+
+    def _recommend_sharded(self, u_np, k: int, exc_p, exc_c):
+        from tfrec_tpu.parallel.eval import sharded_row_gather
+        from tfrec_tpu.parallel.topk import sharded_topk_dot
+
+        spec = self.model.dot_decomposition()
+        num_items = self._num_items()
+        mesh = self.mesh
+        if k not in self._sharded_jit:
+
+            def fn(state, users, ep, ec):
+                tables = state["tables"]
+                u = sharded_row_gather(mesh, tables[spec.user_table], users)
+                q = spec.user_vecs(state["dense"], u)
+                bias = (
+                    tables[spec.bias_table][:, 0]
+                    if spec.bias_table is not None else None
+                )
+                return sharded_topk_dot(
+                    mesh, q, tables[spec.item_table], k, num_items,
+                    item_bias=bias, exclude_padded=ep, exclude_counts=ec,
+                )
+
+            self._sharded_jit[k] = jax.jit(fn, static_argnums=())
+        no_exc = exc_p is None
+        if no_exc:  # sentinel row: exclude nothing
+            exc_p = np.full((len(u_np), 1), num_items, np.int32)
+            exc_c = np.zeros((len(u_np),), np.int32)
+        vals, ids = self._sharded_jit[k](
+            self._state, jnp.asarray(u_np),
+            jnp.asarray(exc_p), jnp.asarray(np.asarray(exc_c, np.int32)),
         )
         return np.asarray(ids), np.asarray(vals)

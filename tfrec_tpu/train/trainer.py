@@ -94,10 +94,21 @@ class Trainer:
                 from tfrec_tpu.data.criteo import NUM_CATEGORICAL, CriteoStreamBatcher
 
                 vocabs = _criteo_vocabs(c.data.categorical_vocab_sizes)
+                # Multi-process: each process streams its own round-robin
+                # stripe of per-process-sized batches (disjoint examples,
+                # equal step counts — collective-safe).
+                n_proc = jax.process_count()
+                if c.train.batch_size % max(n_proc, 1) != 0:
+                    raise ValueError(
+                        f"batch_size={c.train.batch_size} must divide by "
+                        f"process count {n_proc} for streaming"
+                    )
                 self.stream = CriteoStreamBatcher(
-                    c.data.path, c.train.batch_size, vocabs,
+                    c.data.path, c.train.batch_size // max(n_proc, 1), vocabs,
                     eval_examples=c.data.eval_examples,
                     max_examples=c.data.num_examples or None,
+                    num_shards=max(n_proc, 1),
+                    shard_index=jax.process_index(),
                 )
                 dense, cat, label = self.stream.eval_arrays()
                 self.ctr_arrays = {"train": None, "test": (dense, cat, label)}
@@ -269,8 +280,7 @@ class Trainer:
         )
         seed = c.train.seed * max(n_proc, 1) + jax.process_index()
         if self.stream is not None:
-            assert n_proc == 1, "criteo streaming is single-process for now"
-            return self.stream
+            return self.stream  # already constructed per-process sharded
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
             return CTRBatcher(dense, cat, label, local_bs, seed=seed)
@@ -355,32 +365,49 @@ class Trainer:
             if self._retrieval_eval is None:
                 from tfrec_tpu.eval.sampled import SampledEvaluator
 
-                self._retrieval_eval = SampledEvaluator(
+                sampled_eval = SampledEvaluator(
                     self.model, self.dataset, ks=tuple(c.train.eval_topk),
                     num_candidates=c.train.eval_num_candidates,
                     seed=c.train.seed + 13,
                     user_batch=c.train.eval_user_batch,
                 )
-            out.update(self._retrieval_eval(self.params))
+                self._retrieval_eval = lambda: sampled_eval(self.params)
+            out.update(self._retrieval_eval())
             if self.loss_name == "logloss" or self.is_ctr_model:
                 out.update(self._eval_interaction_auc())
             return out
         # Interaction data: full-catalog ranking eval (compiled once).
+        # On a mesh with a dot-product scorer, run the distributed top-k
+        # directly on the live sharded tables (parallel/eval.py) — tables
+        # are never re-replicated for eval.
         if self._retrieval_eval is None:
-            try:
-                from tfrec_tpu.eval.retrieval import RetrievalEvaluator
+            if self.mesh is not None and self.model.dot_decomposition() is not None:
+                from tfrec_tpu.parallel.eval import ShardedRetrievalEvaluator
 
-                self._retrieval_eval = RetrievalEvaluator(
-                    lambda p, u: self.model.score_all(p, u),
-                    self.dataset,
+                sharded = ShardedRetrievalEvaluator(
+                    self.builder, self.model, self.dataset,
                     ks=tuple(c.train.eval_topk),
                     user_batch=c.train.eval_user_batch,
                 )
-            except NotImplementedError:
-                self._retrieval_eval = False
+                # Takes the live state — self.params would materialize
+                # unpadded replicated tables, defeating the sharded path.
+                self._retrieval_eval = lambda: sharded(self.state)
+            else:
+                try:
+                    from tfrec_tpu.eval.retrieval import RetrievalEvaluator
+
+                    full_eval = RetrievalEvaluator(
+                        lambda p, u: self.model.score_all(p, u),
+                        self.dataset,
+                        ks=tuple(c.train.eval_topk),
+                        user_batch=c.train.eval_user_batch,
+                    )
+                    self._retrieval_eval = lambda: full_eval(self.params)
+                except NotImplementedError:
+                    self._retrieval_eval = False
         if self._retrieval_eval:
             try:
-                out.update(self._retrieval_eval(self.params))
+                out.update(self._retrieval_eval())
             except NotImplementedError:
                 self._retrieval_eval = False
         if self.loss_name == "logloss" or self.is_ctr_model:
@@ -388,22 +415,46 @@ class Trainer:
         return out
 
     def _forward_fn(self):
+        """Eval forward pass. On a mesh: jit with explicit shardings and the
+        builder's sharded lookup seam (all-to-all on the live row shards) —
+        tables are never re-replicated for eval."""
         if self._fwd_jit is None:
 
-            @jax.jit
             def fwd(state, batch):
                 ids = self.model.lookup_ids(batch)
-                g = self.builder.lookup_fn(state["tables"], ids)
-                return self.model.forward(state["dense"], g, batch)
+                # The builder's lookup seam: on a mesh this is the explicit
+                # all-to-all on the live row shards (state shardings are
+                # carried by the arrays; GSPMD reshards the batch to the
+                # shard_map's P('data') in_specs).
+                gathered, aux = self.builder.lookup(state["tables"], ids)
+                logits = self.model.forward(state["dense"], gathered, batch)
+                return logits, aux.get("lookup_overflow", jnp.zeros((), jnp.int32))
 
-            self._fwd_jit = fwd
+            self._fwd_jit = jax.jit(fwd)
         return self._fwd_jit
+
+    def _eval_rows(self) -> int:
+        """Eval batches must split evenly over the data mesh axis."""
+        return self.mesh.shape["data"] if self.mesh is not None else 1
 
     def _eval_ctr(self, dense, cat, label, max_n: int = 200_000) -> Dict[str, float]:
         n = min(len(label), max_n)
-        bs = min(8192, n)
+        mult = self._eval_rows()
+        bs = min(8192, -(-n // mult) * mult)
+        bs = -(-bs // mult) * mult
         logits_out = []
+        overflow = 0
         fwd = self._forward_fn()
+        n_proc = jax.process_count()
+        replicate = None
+        if self.mesh is not None and n_proc > 1:
+            # Sharded logits are not host-addressable across processes;
+            # an on-device replication makes np.asarray legal everywhere.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicate = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(self.mesh, P())
+            )
         for s in range(0, n, bs):
             take = min(bs, n - s)
             if take < bs:  # pad the tail batch to the static shape
@@ -413,33 +464,61 @@ class Trainer:
                 la = np.zeros(bs, label.dtype)
             else:
                 d, ca, la = dense[s : s + bs], cat[s : s + bs], label[s : s + bs]
-            batch = {
-                "dense": jnp.asarray(d),
-                "cat": jnp.asarray(ca),
-                "label": jnp.asarray(la),
-            }
-            logits_out.append(np.asarray(fwd(self.state, batch))[:take])
+            host_b = {"dense": np.asarray(d), "cat": np.asarray(ca),
+                      "label": np.asarray(la)}
+            if n_proc > 1 and self.mesh is not None:
+                # Every process holds the same eval arrays; contribute
+                # this process's contiguous row block of the global batch.
+                rows = bs // n_proc
+                lo = jax.process_index() * rows
+                host_b = {k: v[lo : lo + rows] for k, v in host_b.items()}
+                batch = self._device_put_batch(host_b)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in host_b.items()}
+            logits, ovf = fwd(self.state, batch)
+            if replicate is not None:
+                logits = replicate(logits)
+            logits_out.append(np.asarray(logits)[:take])
+            overflow += int(ovf)
         logits = np.concatenate(logits_out)
         labels = label[: len(logits)]
         a = float(auc_metric(jnp.asarray(logits), jnp.asarray(labels)))
         ll = float(logloss_metric(jnp.asarray(logits), jnp.asarray(labels)))
-        return {"auc": a, "logloss": ll}
+        out = {"auc": a, "logloss": ll}
+        if overflow:  # a2a capacity drops during eval — loud, never silent
+            out["eval_lookup_overflow"] = float(overflow)
+        return out
 
     def _eval_interaction_auc(self, num_neg: int = 50) -> Dict[str, float]:
-        """AUC over held-out positives vs sampled negatives (CTR-style view
-        of implicit data)."""
+        """AUC over held-out positives vs ``num_neg`` sampled negatives per
+        positive (CTR-style view of implicit data)."""
         rng = np.random.default_rng(self.config.train.seed + 7)
         test = self.dataset.test
-        n = min(len(test), 20_000)
-        users = np.repeat(test.users[:n], 2)
+        # ~20k scored examples total: each positive fans out to 1 + num_neg
+        # rows, so the positive budget shrinks with num_neg.
+        n = min(len(test), max(20_000 // (1 + num_neg), 1))
+        users = np.repeat(test.users[:n], 1 + num_neg)
         pos_items = test.items[:n]
-        neg_items = rng.integers(0, self.dataset.num_items, size=n).astype(np.int32)
-        items = np.stack([pos_items, neg_items], 1).reshape(-1)
-        labels = np.tile(np.array([1.0, 0.0], np.float32), n)
+        neg_items = rng.integers(
+            0, self.dataset.num_items, size=(n, num_neg)
+        ).astype(np.int32)
+        items = np.concatenate([pos_items[:, None], neg_items], axis=1).reshape(-1)
+        labels = np.tile(
+            np.concatenate([[1.0], np.zeros(num_neg)]).astype(np.float32), n
+        )
+        # Pad rows so the batch splits evenly over the data mesh axis; the
+        # padded rows repeat row 0 and are trimmed before the AUC.
+        real = len(users)
+        mult = self._eval_rows()
+        pad = (-real) % mult
+        if pad:
+            users = np.concatenate([users, users[:pad]])
+            items = np.concatenate([items, items[:pad]])
+            labels = np.concatenate([labels, labels[:pad]])
         batch = {"user": users.astype(np.int32), "item": items, "label": labels}
         dev_batch = self._to_device_batch(batch)
-        logits = self._forward_fn()(self.state, dev_batch)
-        return {"auc": float(auc_metric(logits, dev_batch["label"]))}
+        logits, _ovf = self._forward_fn()(self.state, dev_batch)
+        return {"auc": float(auc_metric(logits[:real], jnp.asarray(labels[:real])))}
 
     # ---- training ----
 
