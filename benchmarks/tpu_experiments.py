@@ -62,6 +62,8 @@ EXPERIMENTS = {
                     "--devices", "tpu", "--fetch", "--steps_per_dispatch", "16",
                     "--warmup", "2"],
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
+    "packed_check": ["python", "benchmarks/exp_packed_check.py"],
+    "collectives": ["python", "benchmarks/exp_collectives.py"],
 }
 
 

@@ -86,10 +86,18 @@ def test_fused_adagrad_lowers_for_tpu(monkeypatch):
         table, acc, uids, grads,
     )
 
-    # Misaligned D raises a clear error instead of failing at Mosaic.
+    # D=32 with a 4-aligned vocab routes through the PACKED group-row
+    # kernel (the flagship embed_dim, zoo config 4/5) and must lower.
+    _lowers_for_tpu(
+        lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
+        jnp.zeros((100_000, 32)), jnp.zeros((100_000,)),
+        jnp.zeros((8192,), jnp.int32), jnp.zeros((8192, 32)),
+    )
+
+    # Unpackable shapes raise a clear error instead of failing at Mosaic.
     with pytest.raises(ValueError, match="128"):
         _lowers_for_tpu(
             lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
-            jnp.zeros((100, 32)), jnp.zeros((100,)),
+            jnp.zeros((130, 32)), jnp.zeros((130,)),  # 130 % 4 != 0
             jnp.zeros((8,), jnp.int32), jnp.zeros((8, 32)),
         )

@@ -40,17 +40,52 @@ def _gather_kernel(ids_ref, table_ref, out_ref, scratch, sems):
     out_ref[:] = scratch[:]
 
 
+_PACK_MIN_D = 32  # below this the 128/D group-read amplification dominates
+
+
+def _packing(v: int, d: int) -> int:
+    """Rows per 128-lane group for the packed sub-128 path, or 0 if the
+    (vocab, dim) pair is ineligible."""
+    if d >= 128 or 128 % d != 0 or d < _PACK_MIN_D:
+        return 0
+    p = 128 // d
+    return p if v % p == 0 else 0
+
+
+def _gather_packed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Fused gather for D in {32, 64}: per-row DMA slices must be 128-lane
+    aligned (docs/PERF.md hardware finding 1), so rows are fetched as
+    [1, 128] GROUP lines of P = 128/D consecutive rows from a reshaped
+    [V/P, 128] view (row-major — the reshape is layout-free) and the D
+    target lanes are selected on the VPU. Read amplification is P-fold on
+    scattered ids; the A/B against the XLA gather decides the default."""
+    v, d = table.shape
+    p = 128 // d
+    packed = table.reshape(v // p, p * d)
+    gids = jnp.clip(ids, 0, v - 1).astype(jnp.int32)
+    rows = gather_pallas(packed, gids // p)  # direct D=128 kernel
+    lanes = (gids % p)[:, None] * d + jnp.arange(d, dtype=jnp.int32)[None, :]
+    return jax.lax.stop_gradient(jnp.take_along_axis(rows, lanes, axis=1))
+
+
 def gather_pallas(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """table [V, D], ids [N] int32 -> rows [N, D].
 
     Hardware constraint (verified on v5e): per-row DMA slices must be
-    128-lane aligned, so D % 128 != 0 falls back to the XLA gather. Pad
-    embedding dims to multiples of 128 to stay on the fused path.
+    128-lane aligned. D % 128 == 0 uses the direct row kernel; D in
+    {32, 64} (with V a multiple of 128/D) uses the packed group-row path;
+    anything else falls back to the XLA gather. The routing is identical
+    in interpret mode so CPU tests exercise what hardware runs.
     """
     n = ids.shape[0]
     v, d = table.shape
-    if d % 128 != 0 and not _interpret():
-        return jax.lax.stop_gradient(jnp.take(table, ids, axis=0, mode="clip"))
+    if d % 128 != 0:
+        if _packing(v, d):
+            return _gather_packed(table, ids)
+        if not _interpret():
+            return jax.lax.stop_gradient(
+                jnp.take(table, ids, axis=0, mode="clip")
+            )
     n_pad = -(-n // _ROWS) * _ROWS
     ids_padded = jnp.clip(
         jnp.pad(ids, (0, n_pad - n)), 0, v - 1

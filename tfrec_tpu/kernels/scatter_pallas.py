@@ -82,6 +82,47 @@ def _kernel(uids_ref, g_ref, scale_ref, table_in, table_out,
             ).wait()
 
 
+def fused_scatter_supported(vocab: int, dim: int) -> bool:
+    """Can scaled_scatter_sub run fused for this table shape on the current
+    backend? Direct kernel at D % 128 == 0; packed group-row kernel at
+    D in {32, 64} with vocab % (128/D) == 0; interpret mode accepts all."""
+    from tfrec_tpu.kernels.gather_pallas import _packing
+
+    return dim % 128 == 0 or bool(_packing(vocab, dim)) or _interpret()
+
+
+def _scaled_scatter_sub_packed(
+    table: jnp.ndarray, uids: jnp.ndarray, grads: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """Sub-128-lane variant: scaled updates are packed into [N, 128] GROUP
+    lines (P = 128/D rows per line, disjoint lane blocks since uids are
+    distinct), group-duplicates combined by sum, and the direct kernel
+    RMWs the [V/P, 128] view of the table. The scalar-side math (scale,
+    packing, combine) stays in XLA — only the HBM-heavy RMW is fused."""
+    from tfrec_tpu.ops.embedding import combine_duplicate_ids
+
+    v, d = table.shape
+    p = 128 // d
+    n = uids.shape[0]
+    invalid = (uids < 0) | (uids >= v)
+    safe = jnp.clip(uids, 0, v - 1)
+    gid = jnp.where(invalid, v // p, safe // p).astype(jnp.int32)
+    off = (safe % p).astype(jnp.int32)
+    scaled = jnp.where(invalid[:, None], 0.0, scale[:, None] * grads)  # [N, d]
+    lanes = off[:, None] * d + jnp.arange(d, dtype=jnp.int32)[None, :]
+    packed = (
+        jnp.zeros((n, p * d), grads.dtype)
+        .at[jnp.arange(n)[:, None], lanes]
+        .set(scaled)
+    )
+    ugids, packed_c = combine_duplicate_ids(gid, packed, sentinel=v // p)
+    out = scaled_scatter_sub(
+        table.reshape(v // p, p * d), ugids, packed_c,
+        jnp.ones((n,), scale.dtype),
+    )
+    return out.reshape(v, d)
+
+
 def scaled_scatter_sub(
     table: jnp.ndarray,
     uids: jnp.ndarray,
@@ -90,9 +131,17 @@ def scaled_scatter_sub(
 ) -> jnp.ndarray:
     """In-place-style ``table[uids] -= scale[:, None] * grads`` over
     distinct real ids (sentinel >= vocab skipped)."""
+    from tfrec_tpu.kernels.gather_pallas import _packing
+
     v, d = table.shape
-    if d % 128 != 0 and not _interpret():
-        raise ValueError(f"scaled_scatter_sub requires D % 128 == 0, got {d}")
+    if d % 128 != 0:
+        if _packing(v, d):
+            return _scaled_scatter_sub_packed(table, uids, grads, scale)
+        if not _interpret():
+            raise ValueError(
+                f"scaled_scatter_sub requires D % 128 == 0 or a packable "
+                f"(V, D), got ({v}, {d})"
+            )
     n = uids.shape[0]
     n_pad = -(-n // _ROWS) * _ROWS
     uids_p = jnp.pad(uids, (0, n_pad - n), constant_values=v).astype(jnp.int32)

@@ -45,10 +45,15 @@ from tfrec_tpu.ops.embedding import combine_duplicate_ids, dedup_ids
 from tfrec_tpu.ops.sparse_optim import SparseOptimizer
 
 
-def pad_vocab(vocab: int, num_shards: int) -> int:
+def pad_vocab(vocab: int, num_shards: int, row_align: int = 8) -> int:
     """Round vocab up so every shard gets an equal row block (shard_map
-    requires even shards)."""
-    return math.ceil(vocab / num_shards) * num_shards
+    requires even shards). Shard blocks are additionally aligned to
+    ``row_align`` rows so the packed sub-128-lane Pallas kernels (which
+    view a [V, D<128] shard as [V*D/128, 128] group rows) always see a
+    whole number of groups — 8 covers every dim >= 16 and costs at most
+    8*N-1 pad rows."""
+    chunk = num_shards * row_align
+    return math.ceil(vocab / chunk) * chunk
 
 
 def capacity_for(batch_per_device: int, num_shards: int, factor: float) -> int:
@@ -246,11 +251,12 @@ class RowShardedTable:
             lrow = recv_ids.reshape(-1) - base
             lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
             flat_g = recv_g.reshape(n_sh * cap, -1)
-            if (
-                self.kernels == "pallas"
-                and sparse_opt.name == "rowwise_adagrad"
-                and tbl.shape[1] % 128 == 0
-            ):
+            fused_ok = False
+            if self.kernels == "pallas" and sparse_opt.name == "rowwise_adagrad":
+                from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+                fused_ok = fused_scatter_supported(tbl.shape[0], tbl.shape[1])
+            if fused_ok:
                 from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
 
                 uids, combined = combine_duplicate_ids(lrow, flat_g, sentinel=rps)

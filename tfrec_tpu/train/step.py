@@ -171,11 +171,13 @@ class TrainStepBuilder:
 
     def sparse_update(self, name: str, table, opt_state, ids, grads, lr):
         """One table's sparse-optimizer application. Returns (table, state)."""
-        if (
-            self.kernels == "pallas"
-            and self.sparse_opt.name == "rowwise_adagrad"
-            and (table.shape[1] % 128 == 0 or jax.default_backend() != "tpu")
-        ):
+        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
+            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+            fused_ok = fused_scatter_supported(table.shape[0], table.shape[1])
+        else:
+            fused_ok = False
+        if fused_ok:
             # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
             # duplicate combine stays in XLA (sort + segment-sum).
             from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
