@@ -1,17 +1,28 @@
 """Headline benchmark: examples/s/chip on Criteo-shaped DCN CTR training
-(BASELINE.json metric). Defaults: embed_dim 128 (128-lane-aligned rows),
-XLA kernels (at least as fast as the fused path in controlled interleaved
-A/B runs; docs/PERF.md discusses the measurement-environment variance). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(BASELINE.json metric). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-vs_baseline: the reference published no numbers (BASELINE.json:13 -> {};
-SURVEY.md §6), so the denominator is our own recorded first TPU measurement
-stored in BENCH_BASELINE.json — i.e. the line tracks regressions/speedups
-against round-1 performance. Until that file exists, vs_baseline = 1.0 and
-the current value is recorded as the baseline.
+Measurement protocol (docs/PERF.md): this environment's TPU tunnel can
+elide or pipeline repeated dispatches, so free-running loops overstate
+throughput (round-1 recorded windows above the chip's dense roofline).
+The DEFAULT protocol is therefore elision-proof ("slope"): every timed
+dispatch fetches its loss to the host (forcing materialization), and the
+steady-state per-step time is the SLOPE between interleaved K-small and
+K-big multi-step dispatches (lax.scan of K real optimizer steps inside
+one XLA program) — the constant host round-trip cancels in the
+subtraction, and interleaving controls for window drift. Reported:
+  value          — slope estimate (steady-state chip rate, the headline)
+  value_fetch    — end-to-end rate at K-big incl. per-dispatch RTT
+  value_freerun  — the legacy free-running loop (upper bound; can be
+                   inflated by the tunnel — recorded for comparison only)
+vs_baseline compares slope-vs-slope against BENCH_BASELINE.json (seeded
+with round 1's controlled interleaved A/B medians; the reference itself
+published no numbers — BASELINE.json:13 -> {}).
 
-Flags: --model dcn|dlrm|mf  --steps N  --batch N  --kernels xla|pallas
-       --devices auto|cpu
+Flags: --model dcn|dlrm|mf|topk  --batch N  --kernels xla|pallas
+       --embed_dim N  --protocol slope|fetch|freerun  --devices auto|cpu|tpu
+Legacy flags --steps/--fetch/--steps_per_dispatch drive the fetch/freerun
+protocols (kept for the experiment matrix in benchmarks/).
 """
 
 from __future__ import annotations
@@ -19,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,34 +74,58 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
     return step, state, batches, builder
 
 
-def build_topk_bench(batch_size: int, embed_dim: int):
+def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False):
     """Retrieval scoring throughput (R7): full-catalog top-k for a user
-    batch against a 1M-item table — users/s is the reported rate."""
+    batch against a 1M-item table — users/s is the reported rate.
+    ``sharded=True`` runs the distributed per-shard-topk + all_gather merge
+    (parallel/topk.py) over all visible devices instead of the single-
+    device chunked merge."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tfrec_tpu.eval.retrieval import chunked_topk
-
     v, d, k = 1_000_000, embed_dim, 100
-    chunk = 131_072
-    v_pad = -(-v // chunk) * chunk  # dynamic_slice clamps at the edge —
-    rng = np.random.default_rng(0)  # pad so chunk starts never overhang
-    items = jnp.asarray(
-        np.pad(rng.normal(size=(v, d)).astype(np.float32), ((0, v_pad - v), (0, 0)))
-    )
+    rng = np.random.default_rng(0)
 
-    @jax.jit
-    def query(item_table, users):
-        # Running top-k merge over item chunks: never materializes [B, V]
-        # (4GB at B=1024, V=1M) — the serving-path design. item_table is an
-        # ARGUMENT, not a closure: closed-over arrays are baked into the
-        # lowered program as constants (a 512MB compile payload).
-        def score_chunk(u, start):
-            block = jax.lax.dynamic_slice_in_dim(item_table, start, chunk, axis=0)
-            return jnp.dot(u, block.T, preferred_element_type=jnp.float32)
+    if sharded:
+        from tfrec_tpu.parallel.mesh import make_mesh
+        from tfrec_tpu.parallel.topk import sharded_topk_dot
 
-        return chunked_topk(score_chunk, users, v, k, chunk)
+        mesh = make_mesh()
+        n_sh = mesh.shape["data"]
+        v_pad = -(-v // n_sh) * n_sh
+        items_np = np.pad(
+            rng.normal(size=(v, d)).astype(np.float32), ((0, v_pad - v), (0, 0))
+        )
+        items = jax.device_put(
+            jnp.asarray(items_np),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None)),
+        )
+
+        @jax.jit
+        def query(item_table, users):
+            return sharded_topk_dot(mesh, users, item_table, k, v)
+
+    else:
+        chunk = 131_072
+        v_pad = -(-v // chunk) * chunk  # dynamic_slice clamps at the edge —
+        items = jnp.asarray(  # pad so chunk starts never overhang
+            np.pad(rng.normal(size=(v, d)).astype(np.float32),
+                   ((0, v_pad - v), (0, 0)))
+        )
+
+        from tfrec_tpu.eval.retrieval import chunked_topk
+
+        @jax.jit
+        def query(item_table, users):
+            # Running top-k merge over item chunks: never materializes
+            # [B, V] (4GB at B=1024, V=1M). item_table is an ARGUMENT, not
+            # a closure (closed-over arrays bake into the compile payload).
+            def score_chunk(u, start):
+                block = jax.lax.dynamic_slice_in_dim(item_table, start, chunk, axis=0)
+                return jnp.dot(u, block.T, preferred_element_type=jnp.float32)
+
+            return chunked_topk(score_chunk, users, v, k, chunk)
 
     batches = [
         jnp.asarray(rng.normal(size=(batch_size, d)).astype(np.float32))
@@ -100,7 +136,18 @@ def build_topk_bench(batch_size: int, embed_dim: int):
         vals, ids = query(items, batch)
         return state, {"loss": vals[0, 0]}
 
-    return step, {}, batches, None
+    def multi_query(state, stacked_users):
+        # K chained queries in ONE dispatch: each query's result feeds a
+        # (numerically negligible) perturbation of the next query so the
+        # scan cannot be elided or reordered.
+        def body(carry, users):
+            vals, _ids = query(items, users + carry * 1e-20)
+            return vals[0, 0], None
+
+        last, _ = jax.lax.scan(body, jnp.zeros(()), stacked_users)
+        return state, {"loss": last}
+
+    return step, {}, batches, None, multi_query
 
 
 def build_mf_bench(batch_size: int, kernels: str):
@@ -131,19 +178,83 @@ def build_mf_bench(batch_size: int, kernels: str):
     return step, state, batches, builder
 
 
+def _stack(batches, k):
+    import jax.numpy as jnp
+
+    if isinstance(batches[0], dict):
+        return {
+            key: jnp.stack([batches[i % len(batches)][key] for i in range(k)])
+            for key in batches[0]
+        }
+    return jnp.stack([batches[i % len(batches)] for i in range(k)])
+
+
+def _timed_block(fn, state, batch, reps):
+    """reps dispatches, EVERY one fenced by a host value fetch (elision-
+    proof). Returns (state, seconds)."""
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = fn(state, batch)
+        float(metrics["loss"])
+    return state, time.perf_counter() - t0
+
+
+def run_slope_protocol(make_k, batch_size, k_small, k_big, reps, rounds):
+    """Steady-state per-step time from interleaved K-small/K-big fetched
+    multi-step dispatches: the host round-trip is the same constant in
+    both, so it cancels in the slope. Returns a result dict."""
+    import jax
+
+    variants = {}
+    for k in (k_small, k_big):
+        fn, state, batch = make_k(k)
+        state, _ = _timed_block(fn, state, batch, 1)  # compile + warm
+        variants[k] = [fn, state, batch, []]
+    for _ in range(rounds):
+        for k, slot in variants.items():
+            fn, state, batch, times = slot
+            state, dt = _timed_block(fn, state, batch, reps)
+            slot[1] = state
+            times.append(dt)
+    del variants[k_big][1], variants[k_small][1]  # allow donation cleanup
+    t_small = statistics.median(variants[k_small][-1])
+    t_big = statistics.median(variants[k_big][-1])
+    t_step = max(t_big - t_small, 1e-12) / (reps * (k_big - k_small))
+    rtt = max(t_small / reps - k_small * t_step, 0.0)
+    return {
+        "value": batch_size / t_step,
+        "value_fetch": reps * k_big * batch_size / t_big,
+        "rtt_s": rtt,
+        "blocks_small_s": variants[k_small][-1],
+        "blocks_big_s": variants[k_big][-1],
+    }
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="dcn", choices=["dcn", "mf", "topk"])
-    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--protocol", default="slope",
+                        choices=["slope", "fetch", "freerun"])
+    parser.add_argument("--steps", type=int, default=30,
+                        help="freerun/fetch protocols: timed dispatches")
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--embed_dim", type=int, default=128)
+    parser.add_argument("--sharded", action="store_true",
+                        help="topk: distributed per-shard-topk over all devices")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
-                        help="K steps per host round-trip (lax.scan)")
+                        help="fetch/freerun: K steps per dispatch (lax.scan)")
+    parser.add_argument("--k_small", type=int, default=0,
+                        help="slope: small K (0 = auto per platform)")
+    parser.add_argument("--k_big", type=int, default=0,
+                        help="slope: big K (0 = auto per platform)")
+    parser.add_argument("--rounds", type=int, default=3,
+                        help="slope: interleaved rounds per K")
+    parser.add_argument("--reps", type=int, default=3,
+                        help="slope: fetched dispatches per timed block")
     parser.add_argument("--fetch", action="store_true",
-                        help="fetch the loss to host every dispatch "
-                             "(honest lower bound; defeats dispatch elision)")
+                        help="legacy alias for --protocol fetch")
     parser.add_argument("--precision", default="default",
                         choices=["default", "bfloat16", "float32", "highest"])
     parser.add_argument(
@@ -151,12 +262,13 @@ def main(argv=None) -> int:
         help="auto probes the TPU with a deadline; tpu skips the probe",
     )
     args = parser.parse_args(argv)
+    if args.fetch:
+        args.protocol = "fetch"
 
     if args.devices == "auto":
         # The TPU tunnel in this environment can wedge (stateful PJRT
         # session hangs while control stays up). Probe it in a subprocess
-        # with a hard deadline; fall back to CPU rather than hanging the
-        # benchmark run forever.
+        # with a hard deadline; fall back to CPU rather than hanging.
         import subprocess
 
         try:
@@ -185,83 +297,124 @@ def main(argv=None) -> int:
     key_dim = 64 if args.model == "mf" else args.embed_dim
     # topk scores a (clamped) user batch against the catalog.
     eff_batch = min(args.batch, 1024) if args.model == "topk" else args.batch
-    k_disp = max(args.steps_per_dispatch, 1)
 
     def build(kernels):
         if args.model == "dcn":
-            out = build_dcn_bench(args.batch, kernels, args.embed_dim)
+            step, state, batches, builder = build_dcn_bench(
+                args.batch, kernels, args.embed_dim)
+            multi = None
         elif args.model == "topk":
-            out = build_topk_bench(eff_batch, args.embed_dim)
+            step, state, batches, builder, multi = build_topk_bench(
+                eff_batch, args.embed_dim, sharded=args.sharded)
         else:
-            out = build_mf_bench(args.batch, kernels)
-        step, state, batches, builder = out
+            step, state, batches, builder = build_mf_bench(args.batch, kernels)
+            multi = None
+        return step, state, batches, builder, multi
+
+    extra = {}
+    if args.protocol == "slope":
+        if platform == "tpu":
+            # Big enough that (k_big - k_small) steps of real chip work
+            # dominate dispatch noise; small enough to fit HBM.
+            k_small = args.k_small or (8 if args.model != "topk" else 2)
+            k_big = args.k_big or (256 if args.model != "topk" else 32)
+        else:  # CPU smoke: keep the driver run fast
+            k_small, k_big = args.k_small or 1, args.k_big or 4
+
+        def make_k(k):
+            step, state, batches, builder, multi = build(args.kernels)
+            if args.model == "topk":
+                fn = jax.jit(multi)
+                return fn, state, _stack(batches, k)
+            fn = jax.jit(builder.multi_step, donate_argnums=(0,))
+            return fn, state, _stack(batches, k)
+
+        try:
+            res = run_slope_protocol(
+                make_k, eff_batch, k_small, k_big, args.reps, args.rounds
+            )
+        except Exception as e:
+            if args.kernels == "pallas":
+                print(f"bench: pallas path failed ({type(e).__name__}); "
+                      "falling back to xla kernels", file=sys.stderr)
+                args.kernels = "xla"
+                res = run_slope_protocol(
+                    make_k, eff_batch, k_small, k_big, args.reps, args.rounds
+                )
+            else:
+                raise
+        examples_per_s = res.pop("value")
+        extra = {k: v for k, v in res.items() if not k.startswith("blocks")}
+        extra["k_pair"] = [k_small, k_big]
+        # One short free-run window for the legacy upper bound.
+        step, state, batches, _, _ = build(args.kernels)
+        for i in range(2):
+            state, m = step(state, batches[i % len(batches)])
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        n_free = 10
+        for i in range(n_free):
+            state, m = step(state, batches[i % len(batches)])
+        jax.block_until_ready(m["loss"])
+        extra["value_freerun"] = round(
+            n_free * eff_batch / (time.perf_counter() - t0), 1
+        )
+    else:
+        step, state, batches, builder, multi = build(args.kernels)
+        k_disp = max(args.steps_per_dispatch, 1)
         if k_disp > 1:
-            assert builder is not None, "--steps_per_dispatch needs dcn/mf"
-            import jax.numpy as jnp  # noqa: F811
-
-            stacked = []
-            for i in range(0, len(batches) - k_disp + 1, k_disp):
-                group = batches[i : i + k_disp]
-                stacked.append({
-                    key: jnp.stack([g[key] for g in group]) for key in group[0]
-                })
-            if not stacked:
-                stacked = [{
-                    key: jnp.stack([batches[i % len(batches)][key]
-                                    for i in range(k_disp)])
-                    for key in batches[0]
-                }]
-            batches = stacked
-            step = jax.jit(builder.multi_step, donate_argnums=(0,))
-        return step, state, batches
-
-    step, state, batches = build(args.kernels)
-    # Warmup (compile + cache); if the fused-kernel path fails to compile
-    # on this hardware, fall back to the XLA path rather than dying.
-    warmup = max(args.warmup, 1)  # at least one: compile must happen here
-    try:
-        for i in range(warmup):
-            state, metrics = step(state, batches[i % len(batches)])
-        jax.block_until_ready(metrics["loss"])
-    except Exception as e:
-        if args.kernels == "pallas":
-            print(f"bench: pallas path failed ({type(e).__name__}); "
-                  "falling back to xla kernels", file=sys.stderr)
-            args.kernels = "xla"
-            step, state, batches = build("xla")
+            if args.model == "topk":
+                step = jax.jit(multi)
+            else:
+                assert builder is not None
+                step = jax.jit(builder.multi_step, donate_argnums=(0,))
+            batches = [_stack(batches, k_disp)]
+        warmup = max(args.warmup, 1)
+        try:
             for i in range(warmup):
                 state, metrics = step(state, batches[i % len(batches)])
             jax.block_until_ready(metrics["loss"])
-        else:
-            raise
-
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = step(state, batches[i % len(batches)])
-        if args.fetch:
-            float(metrics["loss"])
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    examples_per_s = args.steps * k_disp * eff_batch / dt
+        except Exception as e:
+            if args.kernels == "pallas":
+                print(f"bench: pallas path failed ({type(e).__name__}); "
+                      "falling back to xla kernels", file=sys.stderr)
+                args.kernels = "xla"
+                step, state, batches, builder, multi = build("xla")
+                if k_disp > 1 and args.model != "topk":
+                    step = jax.jit(builder.multi_step, donate_argnums=(0,))
+                    batches = [_stack(batches, k_disp)]
+                for i in range(warmup):
+                    state, metrics = step(state, batches[i % len(batches)])
+                jax.block_until_ready(metrics["loss"])
+            else:
+                raise
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step(state, batches[i % len(batches)])
+            if args.protocol == "fetch":
+                float(metrics["loss"])
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        examples_per_s = args.steps * k_disp * eff_batch / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
+    key = (f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
+           f"{args.precision}-{args.protocol}"
+           + ("-sharded" if args.sharded else ""))
     vs_baseline = 1.0
     record = None
+    base = {}
     if os.path.exists(baseline_path):
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            key = f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-{args.precision}"
-            if key in base:
-                vs_baseline = examples_per_s / base[key]
-            else:
-                record = key
         except Exception:
-            pass
+            base = {}
+    if key in base:
+        vs_baseline = examples_per_s / base[key]
     else:
-        base, record = {}, f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-{args.precision}"
+        record = key
     if record and platform == "tpu":
         base[record] = examples_per_s
         try:
@@ -277,11 +430,13 @@ def main(argv=None) -> int:
     print(json.dumps({
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
                   f"batch={eff_batch}, kernels={args.kernels}, "
-                  f"prec={args.precision}, k_disp={k_disp}"
-                  + (", fetch" if args.fetch else "") + ")",
+                  f"prec={args.precision}, protocol={args.protocol}"
+                  + (", sharded" if args.sharded else "") + ")",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),
+        **{k: (round(v, 6) if isinstance(v, float) else v)
+           for k, v in extra.items()},
     }))
     return 0
 

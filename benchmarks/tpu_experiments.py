@@ -34,21 +34,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = "import jax, jax.numpy as jnp; print('PROBE_OK', float(jnp.ones(4).sum()))"
 
 EXPERIMENTS = {
-    "bench_xla": ["python", "bench.py", "--batch", "8192", "--steps", "30",
-                   "--devices", "tpu"],
-    "bench_xla_d128": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+    # bench.py defaults to the elision-proof slope protocol now.
+    "bench_xla_d128": ["python", "bench.py", "--batch", "8192",
                         "--devices", "tpu", "--embed_dim", "128"],
-    "bench_pallas_d128": ["python", "bench.py", "--batch", "8192", "--steps", "30",
+    "bench_xla_d32": ["python", "bench.py", "--batch", "8192",
+                       "--devices", "tpu", "--embed_dim", "32"],
+    "bench_pallas_d128": ["python", "bench.py", "--batch", "8192",
                            "--kernels", "pallas", "--devices", "tpu",
                            "--embed_dim", "128"],
+    "bench_pallas_d32": ["python", "bench.py", "--batch", "8192",
+                          "--kernels", "pallas", "--devices", "tpu",
+                          "--embed_dim", "32"],
     "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
-                  "--steps", "30", "--devices", "tpu"],
+                  "--devices", "tpu"],
     "bench_topk": ["python", "bench.py", "--model", "topk", "--batch", "1024",
-                    "--steps", "20", "--devices", "tpu", "--embed_dim", "128"],
-    "bench_xla_bf16": ["python", "bench.py", "--batch", "8192", "--steps", "30",
-                        "--devices", "tpu", "--precision", "bfloat16"],
+                    "--devices", "tpu", "--embed_dim", "128"],
+    "bench_topk_sharded": ["python", "bench.py", "--model", "topk", "--batch",
+                            "1024", "--devices", "tpu", "--embed_dim", "128",
+                            "--sharded"],
+    "bench_xla_bf16": ["python", "bench.py", "--batch", "8192",
+                        "--devices", "tpu", "--precision", "bfloat16",
+                        "--embed_dim", "128"],
     "bench_pallas_d128_bf16": ["python", "bench.py", "--batch", "8192",
-                                "--steps", "30", "--kernels", "pallas",
+                                "--kernels", "pallas",
                                 "--devices", "tpu", "--embed_dim", "128",
                                 "--precision", "bfloat16"],
     "kernel_bench": ["python", "benchmarks/kernel_bench.py", "--sizes", "full"],
