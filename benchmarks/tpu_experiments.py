@@ -72,6 +72,11 @@ EXPERIMENTS = {
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
     "packed_check": ["python", "benchmarks/exp_packed_check.py"],
     "collectives": ["python", "benchmarks/exp_collectives.py"],
+    # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
+    # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
+    "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",
+                     "dcn_criteo,dcn_multihost", "--seeds", "3",
+                     "--device", "default"],
 }
 
 

@@ -30,13 +30,17 @@ def mf_bpr_ml100k(path: str | None = None) -> Config:
             binarize_threshold=1.0 if path else 0.0,
             num_users=943, num_items=1682, interactions_per_user=64,
         ),
-        model=ModelConfig(name="mf", embed_dim=64),
+        # Hyperparameters tuned on the synthetic stand-in (benchmarks/
+        # quality_bands.py sweeps): l2 0.03 is load-bearing — without it MF
+        # overfits below the popularity baseline (0.116 here); these
+        # settings reach recall@20 ~0.127 vs the generator oracle's 0.160.
+        model=ModelConfig(name="mf", embed_dim=64, l2_reg=0.03),
         optim=OptimConfig(
-            learning_rate=0.05, dense_optimizer="adagrad",
+            learning_rate=0.1, dense_optimizer="adagrad",
             sparse_optimizer="rowwise_adagrad",
         ),
         train=TrainConfig(
-            batch_size=2048, epochs=30, loss="bpr", eval_every_epochs=5,
+            batch_size=2048, epochs=60, loss="bpr", eval_every_epochs=10,
             eval_topk=(10, 20, 50),
         ),
     )
