@@ -1,0 +1,84 @@
+"""Effective HBM bandwidth of the embedding row gather at d in {32, 128}
+(the flagship config-4 shape is d=32 — VERDICT r1 weak-3 follow-up).
+
+The streaming-peak HBM number (819 GB/s) overestimates what scattered
+row reads can reach: a random d=32 row is a 128 B read against a much
+larger HBM transaction granule, so the EFFECTIVE gather bandwidth — not
+the MXU — is the binding bound for the d=32 train step. This experiment
+measures it directly: chained fetched gathers (elision-proof slope
+design: K-small vs K-big `lax.scan` where each gather's result perturbs
+the next iteration's ids, so no two gathers are identical and the chain
+cannot be elided), reporting effective GB/s counting only useful bytes
+(N x D x 4).
+
+Run via: python benchmarks/tpu_experiments.py --only gatherbw
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import statistics
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _slope_gather(v: int, d: int, n: int, k_small=4, k_big=64, reps=3, rounds=3):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids0 = jnp.asarray(rng.integers(0, v, n).astype(np.int32))
+
+    def multi(table, ids0, k):
+        def body(ids, _):
+            rows = jnp.take(table, ids, axis=0, mode="clip")
+            # Data-dependent next ids: the sum of each row perturbs the id
+            # (mod v), chaining the gathers so none can be elided.
+            nxt = (ids + (rows.sum(axis=1).astype(jnp.int32) & 0x7) + 1) % v
+            return nxt, rows[0, 0]
+
+        ids, last = jax.lax.scan(body, ids0, None, length=k)
+        return last.sum()
+
+    fns = {
+        k: jax.jit(lambda t, i, k=k: multi(t, i, k)) for k in (k_small, k_big)
+    }
+    times = {k: [] for k in fns}
+    for k, fn in fns.items():  # compile+warm
+        float(fn(table, ids0))
+    for _ in range(rounds):
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(fn(table, ids0))
+            times[k].append(time.perf_counter() - t0)
+    t_step = (statistics.median(times[k_big]) - statistics.median(times[k_small])) / (
+        reps * (k_big - k_small)
+    )
+    useful = n * d * 4
+    return t_step, useful / max(t_step, 1e-12)
+
+
+def main() -> int:
+    print(f"gatherbw: backend={jax.default_backend()}", flush=True)
+    for v, d, n in ((100_000, 32, 26 * 8192), (100_000, 128, 26 * 8192),
+                    (1_000_000, 32, 26 * 8192), (1_000_000, 128, 26 * 8192)):
+        try:
+            t, bw = _slope_gather(v, d, n)
+            print(
+                f"gather v={v} d={d} n={n}: {t*1e6:.0f} us/gather, "
+                f"effective {bw/1e9:.1f} GB/s (useful bytes only)",
+                flush=True,
+            )
+        except Exception:
+            print(f"gather v={v} d={d}: EXCEPTION", flush=True)
+            traceback.print_exc()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13,6 +13,9 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# This experiment MEASURES the packed path, so force it on regardless of
+# the policy default (which is off on hardware — it lost this very A/B).
+_os.environ["TFREC_PACK_SUBDIM"] = "1"
 
 import statistics
 import sys

@@ -63,6 +63,12 @@ def main(argv=None) -> int:
     mxu_bound = peak / flops
     hbm_bound = V5E_HBM_BPS / hbm
     roofline = min(mxu_bound, hbm_bound)
+    # Two ceilings bracket reality: SERIAL assumes zero overlap between
+    # MXU compute and embedding HBM traffic (times add); OVERLAPPED
+    # assumes perfect overlap (max of the two times — the classic
+    # roofline). A measured rate above serial_bound PROVES the compiler is
+    # overlapping gather/scatter DMA with dense compute.
+    serial_bound = 1.0 / (flops / peak + hbm / V5E_HBM_BPS)
     out = {
         "shape": f"DCN b={args.batch} d={args.embed_dim} 26x100k {args.precision}",
         "dense_flops_per_example": round(flops),
@@ -70,11 +76,13 @@ def main(argv=None) -> int:
         "mxu_bound_examples_per_s": round(mxu_bound),
         "hbm_bound_examples_per_s": round(hbm_bound),
         "binding": "mxu" if mxu_bound < hbm_bound else "hbm",
+        "serial_bound_examples_per_s": round(serial_bound),
         "roofline_examples_per_s": round(roofline),
     }
     if args.measured:
         out["measured_examples_per_s"] = args.measured
         out["roofline_fraction"] = round(args.measured / roofline, 3)
+        out["serial_bound_fraction"] = round(args.measured / serial_bound, 3)
     print(json.dumps(out, indent=1))
     return 0
 

@@ -72,11 +72,21 @@ EXPERIMENTS = {
     "adagrad_check": ["python", "benchmarks/exp_adagrad_check.py"],
     "packed_check": ["python", "benchmarks/exp_packed_check.py"],
     "collectives": ["python", "benchmarks/exp_collectives.py"],
+    # Run FIRST in any batch whose numbers may become baselines: fast
+    # elision-proof TFLOP/s slope -> HEALTHY/THROTTLED session verdict.
+    "health": ["python", "benchmarks/exp_health.py"],
+    # Effective random-row gather bandwidth at d in {32,128} (the d=32
+    # flagship is HBM-transaction bound, not MXU bound).
+    "gatherbw": ["python", "benchmarks/exp_gatherbw.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",
                      "dcn_criteo,dcn_multihost", "--seeds", "3",
                      "--device", "default"],
+    # Config 5 alone (config 4's band landed 2026-08-17; the dcn_multihost
+    # leg of that batch was cut off at seed 42).
+    "quality_dcn5": ["python", "benchmarks/quality_bands.py", "--configs",
+                      "dcn_multihost", "--seeds", "3", "--device", "default"],
 }
 
 

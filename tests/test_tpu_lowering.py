@@ -33,6 +33,16 @@ def test_gather_pallas_lowers_for_tpu(v, d, n):
     _lowers_for_tpu(gp_mod.gather_pallas, table, ids)
 
 
+@pytest.mark.parametrize("v,d", [(1000, 32), (1024, 64)])
+def test_gather_packed_lowers_for_tpu(v, d, monkeypatch):
+    """The opt-in packed group-row path (TFREC_PACK_SUBDIM=1) must lower
+    for TPU at the sub-128 dims it serves."""
+    monkeypatch.setenv("TFREC_PACK_SUBDIM", "1")
+    assert gp_mod._packing(v, d) == 128 // d
+    _lowers_for_tpu(gp_mod.gather_pallas, jnp.zeros((v, d), jnp.float32),
+                    jnp.zeros((64,), jnp.int32))
+
+
 @pytest.mark.parametrize("b,d,layers", [(512, 845, 3), (8192, 256, 2), (256, 77, 4)])
 def test_cross_pallas_fwd_bwd_lower_for_tpu(b, d, layers):
     x0 = jnp.zeros((b, d), jnp.float32)
@@ -87,7 +97,10 @@ def test_fused_adagrad_lowers_for_tpu(monkeypatch):
     )
 
     # D=32 with a 4-aligned vocab routes through the PACKED group-row
-    # kernel (the flagship embed_dim, zoo config 4/5) and must lower.
+    # kernel when opted in (TFREC_PACK_SUBDIM=1 — off by default on
+    # hardware since XLA's gather won the measured A/B, docs/PERF.md)
+    # and must still lower for TPU.
+    monkeypatch.setenv("TFREC_PACK_SUBDIM", "1")
     _lowers_for_tpu(
         lambda t, a, u, g: sp_mod.fused_rowwise_adagrad(t, a, u, g, 0.1),
         jnp.zeros((100_000, 32)), jnp.zeros((100_000,)),

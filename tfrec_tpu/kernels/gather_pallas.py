@@ -17,6 +17,7 @@ against accidental differentiation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +44,26 @@ def _gather_kernel(ids_ref, table_ref, out_ref, scratch, sems):
 _PACK_MIN_D = 32  # below this the 128/D group-read amplification dominates
 
 
+def pack_subdim_enabled() -> bool:
+    """Policy knob for the packed sub-128 path. Measured on-chip A/B
+    (docs/PERF.md "Packed sub-128-lane kernels"): XLA's native gather wins
+    ~1.5x at the kernel level and ~4x at the full-step level for d=32 —
+    the P-fold group-read amplification is real — so HARDWARE defaults to
+    the XLA gather. TFREC_PACK_SUBDIM=1 forces the packed kernels (for
+    re-measurement), =0 disables them everywhere; interpret mode (CPU
+    tests) keeps them on so correctness stays covered."""
+    env = os.environ.get("TFREC_PACK_SUBDIM", "").strip().lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return _interpret()
+
+
 def _packing(v: int, d: int) -> int:
     """Rows per 128-lane group for the packed sub-128 path, or 0 if the
-    (vocab, dim) pair is ineligible."""
+    (vocab, dim) pair is ineligible. Pure eligibility — the policy gate is
+    ``pack_subdim_enabled()`` at the routing sites."""
     if d >= 128 or 128 % d != 0 or d < _PACK_MIN_D:
         return 0
     p = 128 // d
@@ -80,7 +98,7 @@ def gather_pallas(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     n = ids.shape[0]
     v, d = table.shape
     if d % 128 != 0:
-        if _packing(v, d):
+        if _packing(v, d) and pack_subdim_enabled():
             return _gather_packed(table, ids)
         if not _interpret():
             return jax.lax.stop_gradient(

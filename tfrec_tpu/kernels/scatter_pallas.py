@@ -85,10 +85,16 @@ def _kernel(uids_ref, g_ref, scale_ref, table_in, table_out,
 def fused_scatter_supported(vocab: int, dim: int) -> bool:
     """Can scaled_scatter_sub run fused for this table shape on the current
     backend? Direct kernel at D % 128 == 0; packed group-row kernel at
-    D in {32, 64} with vocab % (128/D) == 0; interpret mode accepts all."""
-    from tfrec_tpu.kernels.gather_pallas import _packing
+    D in {32, 64} with vocab % (128/D) == 0 when the packed policy is on
+    (opt-in on hardware — it lost the measured A/B, docs/PERF.md);
+    interpret mode accepts all."""
+    from tfrec_tpu.kernels.gather_pallas import _packing, pack_subdim_enabled
 
-    return dim % 128 == 0 or bool(_packing(vocab, dim)) or _interpret()
+    return (
+        dim % 128 == 0
+        or (bool(_packing(vocab, dim)) and pack_subdim_enabled())
+        or _interpret()
+    )
 
 
 def _scaled_scatter_sub_packed(
@@ -131,11 +137,11 @@ def scaled_scatter_sub(
 ) -> jnp.ndarray:
     """In-place-style ``table[uids] -= scale[:, None] * grads`` over
     distinct real ids (sentinel >= vocab skipped)."""
-    from tfrec_tpu.kernels.gather_pallas import _packing
+    from tfrec_tpu.kernels.gather_pallas import _packing, pack_subdim_enabled
 
     v, d = table.shape
     if d % 128 != 0:
-        if _packing(v, d):
+        if _packing(v, d) and pack_subdim_enabled():
             return _scaled_scatter_sub_packed(table, uids, grads, scale)
         if not _interpret():
             raise ValueError(
