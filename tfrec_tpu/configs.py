@@ -78,6 +78,12 @@ class ModelConfig:
     mlp_embed_dim: int = 32
     dropout: float = 0.0
     l2_reg: float = 0.0
+    # CTR models: fuse all per-field tables into ONE [sum(V_f), D] table —
+    # 1 gather + 1 sparse update (+ 1 all-to-all set on a mesh) instead of
+    # F of each (production DLRM "table batching"). Requires equal field
+    # dims; math-equivalent to per-field tables (rowwise optimizers are
+    # row-local; id spaces disjoint after offsetting).
+    stack_tables: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

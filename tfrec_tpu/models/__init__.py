@@ -4,6 +4,8 @@ NeuMF, DCN; BASELINE.json configs 1-5) plus the standard CTR extensions
 
 from __future__ import annotations
 
+import dataclasses
+
 from tfrec_tpu.configs import ModelConfig
 from tfrec_tpu.models.base import DataSpec, RecModel
 from tfrec_tpu.models.dcn import DCN
@@ -34,6 +36,18 @@ __all__ = [
 
 def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") -> RecModel:
     name = cfg.name.lower()
+    if cfg.stack_tables:
+        from tfrec_tpu.models.ctr_base import CTRBase
+
+        model = build_model(
+            dataclasses.replace(cfg, stack_tables=False), data_spec,
+            backend=backend,
+        )
+        if not isinstance(model, CTRBase):
+            raise ValueError(
+                f"model.stack_tables applies to CTR models, not {cfg.name!r}"
+            )
+        return model.enable_stacked_tables()
     if name == "pop":
         return Pop(data_spec)
     if name == "mf":

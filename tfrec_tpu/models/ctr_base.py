@@ -51,6 +51,32 @@ class CTRBase(RecModel):
             self._offsets.append(off)
             off += w
         self.cat_columns = off
+        # Vocab offsets for the stacked-table mode (one [sum V_f, D] table
+        # for all fields — model.stack_tables): field f's row r lives at
+        # global row _voffsets[f] + r; the global sentinel is total_vocab.
+        self.stack_tables = False
+        self._voffsets = []
+        voff = 0
+        for v in data_spec.field_vocabs:
+            self._voffsets.append(voff)
+            voff += v
+        self.total_vocab = voff
+
+    def enable_stacked_tables(self) -> "CTRBase":
+        """Fuse all per-field tables into ONE [sum(V_f), D] table so the
+        step performs 1 gather + 1 duplicate-combine + 1 sparse update
+        (and, on a mesh, 1 all-to-all set) instead of F of each — the
+        table-batching optimization of production DLRM systems, here as a
+        layout change invisible to the math (per-row optimizers are
+        row-local; field id spaces are disjoint after offsetting).
+        Requires equal per-field dims."""
+        if len(set(self.field_dims)) > 1:
+            raise ValueError(
+                "model.stack_tables requires equal per-field embedding "
+                f"dims, got {self.field_dims}"
+            )
+        self.stack_tables = True
+        return self
 
     @property
     def num_fields(self) -> int:
@@ -61,6 +87,13 @@ class CTRBase(RecModel):
         return any(w > 1 for w in self.widths)
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
+        if self.stack_tables:
+            specs = [TableSpec("fields", self.total_vocab, self.field_dims[0])]
+            if self.use_linear_tables:
+                specs.append(
+                    TableSpec("lin", self.total_vocab, 1, initializer="zeros")
+                )
+            return tuple(specs)
         specs = [
             TableSpec(f"field_{f}", v, self.field_dims[f])
             for f, v in enumerate(self.data_spec.field_vocabs)
@@ -78,7 +111,28 @@ class CTRBase(RecModel):
         cols = batch["cat"][:, off : off + w]
         return cols.reshape(-1)
 
+    def _global_ids(self, batch) -> jnp.ndarray:
+        """[B * sum(W_f)] ids into the stacked table: field-local id +
+        vocab offset; per-field sentinels (>= V_f) map to the GLOBAL
+        sentinel (total_vocab) so clamp-gather and drop-scatter semantics
+        carry over unchanged."""
+        parts = []
+        for f in range(self.num_fields):
+            off, w = self._offsets[f], self.widths[f]
+            cols = batch["cat"][:, off : off + w]
+            v = self.data_spec.field_vocabs[f]
+            parts.append(
+                jnp.where(cols < v, cols + self._voffsets[f], self.total_vocab)
+            )
+        return jnp.concatenate(parts, axis=1).reshape(-1)
+
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
+        if self.stack_tables:
+            gids = self._global_ids(batch)
+            ids = {"fields": gids}
+            if self.use_linear_tables:
+                ids["lin"] = gids
+            return ids
         ids = {f"field_{f}": self._field_ids(batch, f) for f in range(self.num_fields)}
         if self.use_linear_tables:
             ids.update(
@@ -105,10 +159,20 @@ class CTRBase(RecModel):
             out = out / denom[:, None]
         return out
 
+    def _field_rows(self, gathered, batch, f: int, prefix: str = "field"):
+        """[B*W_f, d] gathered rows for field f in either table layout."""
+        if self.stack_tables:
+            key = "fields" if prefix == "field" else "lin"
+            b = batch["cat"].shape[0]
+            rows = gathered[key].reshape(b, self.cat_columns, -1)
+            off, w = self._offsets[f], self.widths[f]
+            return rows[:, off : off + w, :].reshape(b * w, -1)
+        return gathered[f"{prefix}_{f}"]
+
     def field_list(self, gathered, batch) -> list:
         """Per-field combined embeddings: list of [B, d_f] (mixed dims ok)."""
         return [
-            self._combine(gathered[f"field_{f}"], batch, f, mean=True)
+            self._combine(self._field_rows(gathered, batch, f), batch, f, mean=True)
             for f in range(self.num_fields)
         ]
 
@@ -120,7 +184,8 @@ class CTRBase(RecModel):
         """[B] masked sum of per-field linear weights."""
         total = 0.0
         for f in range(self.num_fields):
-            total = total + self._combine(gathered[f"lin_{f}"], batch, f, mean=False)[:, 0]
+            rows = self._field_rows(gathered, batch, f, prefix="lin")
+            total = total + self._combine(rows, batch, f, mean=False)[:, 0]
         return total
 
     def flat_input(self, gathered, batch) -> jnp.ndarray:

@@ -35,12 +35,23 @@ class FM(CTRBase):
 
     def dot_decomposition(self):
         # 2-field (u, i) form only: scores differ from score_all by the
-        # rank-invariant per-user constant u_lin + w0.
-        if self.num_fields != 2 or self.data_spec.num_dense != 0:
+        # rank-invariant per-user constant u_lin + w0. The stacked-table
+        # layout has no per-field table names for the sharded-topk path
+        # to address (stacking targets the many-field CTR configs).
+        if self.num_fields != 2 or self.data_spec.num_dense != 0 or self.stack_tables:
             return None
         from tfrec_tpu.models.base import DotRetrieval
 
         return DotRetrieval("field_0", "field_1", "lin_1")
+
+    def _table_view(self, tables, f: int, prefix: str = "field"):
+        """Field f's [V_f, d] table in either layout (static row slice of
+        the stacked table — eval-path only)."""
+        if self.stack_tables:
+            key = "fields" if prefix == "field" else "lin"
+            off = self._voffsets[f]
+            return tables[key][off : off + self.data_spec.field_vocabs[f]]
+        return tables[f"{prefix}_{f}"]
 
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         """Full-catalog scores for the (user, item) 2-field case: the only
@@ -48,7 +59,9 @@ class FM(CTRBase):
         if self.num_fields != 2 or self.data_spec.num_dense != 0:
             raise NotImplementedError("score_all requires the 2-field (u,i) form")
         t, d = params["tables"], params["dense"]
-        u = jnp.take(t["field_0"], user_ids, axis=0)
-        u_lin = jnp.take(t["lin_0"], user_ids, axis=0)[:, 0]
-        scores = jnp.dot(u, t["field_1"].T, preferred_element_type=jnp.float32)
-        return scores + u_lin[:, None] + t["lin_1"][:, 0][None, :] + d["w0"]
+        u = jnp.take(self._table_view(t, 0), user_ids, axis=0)
+        u_lin = jnp.take(self._table_view(t, 0, "lin"), user_ids, axis=0)[:, 0]
+        items = self._table_view(t, 1)
+        scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        it_lin = self._table_view(t, 1, "lin")[:, 0]
+        return scores + u_lin[:, None] + it_lin[None, :] + d["w0"]
