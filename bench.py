@@ -74,12 +74,15 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
     return step, state, batches, builder
 
 
-def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False):
+def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False,
+                     method: str = "approx"):
     """Retrieval scoring throughput (R7): full-catalog top-k for a user
     batch against a 1M-item table — users/s is the reported rate.
     ``sharded=True`` runs the distributed per-shard-topk + all_gather merge
     (parallel/topk.py) over all visible devices instead of the single-
-    device chunked merge."""
+    device chunked merge. ``method`` picks the candidate-selection op
+    (eval/retrieval.candidate_topk): "approx" = lax.approx_max_k (the
+    serving default — TPU PartialReduce), "exact" = full-sort lax.top_k."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -104,7 +107,8 @@ def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False):
 
         @jax.jit
         def query(item_table, users):
-            return sharded_topk_dot(mesh, users, item_table, k, v)
+            return sharded_topk_dot(mesh, users, item_table, k, v,
+                                    method=method)
 
     else:
         chunk = 131_072
@@ -125,15 +129,20 @@ def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False):
                 block = jax.lax.dynamic_slice_in_dim(item_table, start, chunk, axis=0)
                 return jnp.dot(u, block.T, preferred_element_type=jnp.float32)
 
-            return chunked_topk(score_chunk, users, v, k, chunk)
+            return chunked_topk(score_chunk, users, v, k, chunk,
+                                method=method)
 
     batches = [
         jnp.asarray(rng.normal(size=(batch_size, d)).astype(np.float32))
         for _ in range(4)
     ]
 
+    # The item table is the benchmark STATE (threaded through as an
+    # argument, never closed over — a closure constant bakes the 512MB
+    # table into the compile payload; the remote-compile endpoint rejects
+    # it with HTTP 413 and on any backend it bloats the executable).
     def step(state, batch):
-        vals, ids = query(items, batch)
+        vals, ids = query(state, batch)
         return state, {"loss": vals[0, 0]}
 
     def multi_query(state, stacked_users):
@@ -141,13 +150,13 @@ def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False):
         # (numerically negligible) perturbation of the next query so the
         # scan cannot be elided or reordered.
         def body(carry, users):
-            vals, _ids = query(items, users + carry * 1e-20)
+            vals, _ids = query(state, users + carry * 1e-20)
             return vals[0, 0], None
 
         last, _ = jax.lax.scan(body, jnp.zeros(()), stacked_users)
         return state, {"loss": last}
 
-    return step, {}, batches, None, multi_query
+    return step, items, batches, None, multi_query
 
 
 def build_mf_bench(batch_size: int, kernels: str):
@@ -241,6 +250,10 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--embed_dim", type=int, default=128)
+    parser.add_argument("--topk_method", default="approx",
+                        choices=["approx", "exact"],
+                        help="topk candidate op: approx_max_k (serving "
+                             "default) or full-sort lax.top_k")
     parser.add_argument("--sharded", action="store_true",
                         help="topk: distributed per-shard-topk over all devices")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
@@ -260,6 +273,12 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--devices", default="auto", choices=["auto", "cpu", "tpu"],
         help="auto probes the TPU with a deadline; tpu skips the probe",
+    )
+    parser.add_argument(
+        "--record_baseline", action="store_true",
+        help="write this run's value into BENCH_BASELINE.json if its key "
+             "is missing (only do this from a session that passed the "
+             "throttle sanity check — docs/PERF.md)",
     )
     args = parser.parse_args(argv)
     if args.fetch:
@@ -305,7 +324,8 @@ def main(argv=None) -> int:
             multi = None
         elif args.model == "topk":
             step, state, batches, builder, multi = build_topk_bench(
-                eff_batch, args.embed_dim, sharded=args.sharded)
+                eff_batch, args.embed_dim, sharded=args.sharded,
+                method=args.topk_method)
         else:
             step, state, batches, builder = build_mf_bench(args.batch, kernels)
             multi = None
@@ -401,7 +421,8 @@ def main(argv=None) -> int:
                                  "BENCH_BASELINE.json")
     key = (f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
            f"{args.precision}-{args.protocol}"
-           + ("-sharded" if args.sharded else ""))
+           + ("-sharded" if args.sharded else "")
+           + (f"-{args.topk_method}" if args.model == "topk" else ""))
     vs_baseline = 1.0
     record = None
     base = {}
@@ -413,7 +434,10 @@ def main(argv=None) -> int:
             base = {}
     if key in base:
         vs_baseline = examples_per_s / base[key]
-    else:
+    elif args.record_baseline:
+        # Never auto-record: one 2026-08-17 session ran ~40x slow (flat
+        # ~24ms/dispatch throttle) and would have seeded garbage
+        # denominators. Recording is an explicit, human-checked act.
         record = key
     if record and platform == "tpu":
         base[record] = examples_per_s
@@ -431,7 +455,9 @@ def main(argv=None) -> int:
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
                   f"batch={eff_batch}, kernels={args.kernels}, "
                   f"prec={args.precision}, protocol={args.protocol}"
-                  + (", sharded" if args.sharded else "") + ")",
+                  + (", sharded" if args.sharded else "")
+                  + (f", topk={args.topk_method}" if args.model == "topk"
+                     else "") + ")",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),

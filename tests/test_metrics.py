@@ -115,6 +115,39 @@ def test_mask_items_and_topk():
     assert ids[1].tolist() == [1, 0]
 
 
+def test_candidate_topk_approx_matches_exact_on_cpu():
+    """Wiring test for the approx_max_k candidate path (serving default).
+    On the CPU backend approx_max_k lowers to an exact sort, so approx
+    must agree with exact bit-for-bit; on TPU the op is the hardware
+    PartialReduce with a per-row recall_target guarantee."""
+    import jax
+
+    from tfrec_tpu.eval.retrieval import candidate_topk, chunked_topk
+
+    rng = np.random.default_rng(7)
+    scores = jnp.asarray(rng.normal(size=(8, 500)).astype(np.float32))
+    ev, ei = candidate_topk(scores, 20, "exact")
+    av, ai = candidate_topk(scores, 20, "approx")
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(av))
+
+    # chunked merge: approx per-chunk candidates, exact cross-chunk merge.
+    items = jnp.asarray(rng.normal(size=(700, 16)).astype(np.float32))
+    users = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+
+    def score_chunk(u, start):
+        block = jax.lax.dynamic_slice_in_dim(items, start, 256, axis=0)
+        return jnp.dot(u, block.T)
+
+    # 700 items over 256-chunks exercises the overhang-sentinel path.
+    items = jnp.pad(items, ((0, 3 * 256 - 700), (0, 0)))
+    ev2, ei2 = chunked_topk(score_chunk, users, 700, 10, 256, method="exact")
+    av2, ai2 = chunked_topk(score_chunk, users, 700, 10, 256, method="approx")
+    np.testing.assert_array_equal(np.asarray(ei2), np.asarray(ai2))
+    want = np.argsort(-np.asarray(users) @ np.asarray(items)[:700].T, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ei2), want)
+
+
 def test_padded_positives():
     m = sp.csr_matrix(
         (np.ones(3), ([0, 0, 2], [1, 3, 2])), shape=(3, 5)

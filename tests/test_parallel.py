@@ -179,6 +179,24 @@ def test_sharded_topk_matches_full_sort(mesh8):
     assert np.asarray(ids).max() < V
 
 
+def test_sharded_topk_approx_matches_exact(mesh8):
+    """method='approx' (serving default — lax.approx_max_k per-shard
+    candidates, exact cross-shard merge) must equal the exact path on the
+    CPU backend, where approx_max_k lowers to a full sort."""
+    rt = RowShardedTable(mesh8, V, D)
+    table = _rand(21, (rt.vocab_padded, D))
+    users = _rand(22, (16, D))
+    ts = jax.device_put(table, NamedSharding(mesh8, P("data", None)))
+    ev, ei = jax.jit(
+        lambda u, t: sharded_topk_dot(mesh8, u, t, 10, V, method="exact")
+    )(users, ts)
+    av, ai = jax.jit(
+        lambda u, t: sharded_topk_dot(mesh8, u, t, 10, V, method="approx")
+    )(users, ts)
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(av))
+
+
 def test_sharded_topk_respects_exclusions(mesh8):
     rt = RowShardedTable(mesh8, V, D)
     table = _rand(11, (rt.vocab_padded, D))

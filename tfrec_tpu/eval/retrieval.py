@@ -24,6 +24,25 @@ from tfrec_tpu.eval.metrics import ranking_metrics_from_topk
 NEG_INF = -1e30
 
 
+def candidate_topk(
+    scores: jnp.ndarray, k: int, method: str = "exact",
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row top-k candidate selection over wide score rows.
+
+    ``exact`` = ``lax.top_k`` (full sort lowering — measured ~250x off the
+    MXU ceiling at 131k-wide rows on v5e, docs/PERF.md); ``approx`` =
+    ``lax.approx_max_k`` (the TPU PartialReduce op built for exactly this;
+    per-row recall guarantee ``recall_target``, falls back to exact
+    sorting on CPU). Production serving/bench default is approx; metric
+    parity bands use exact."""
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    if method != "exact":
+        raise ValueError(f"unknown topk method {method!r}")
+    return jax.lax.top_k(scores, k)
+
+
 def padded_positives(
     csr: sp.csr_matrix, pad_to: int | None = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -61,11 +80,13 @@ def topk_scores(
     k: int,
     exclude_padded: jnp.ndarray | None = None,
     exclude_counts: jnp.ndarray | None = None,
+    method: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k (values, item ids) over a dense [B, V] score matrix."""
     if exclude_padded is not None:
         scores = mask_items(scores, exclude_padded, exclude_counts)
-    return jax.lax.top_k(scores, k)
+    return candidate_topk(scores, k, method, recall_target)
 
 
 def chunked_topk(
@@ -76,12 +97,16 @@ def chunked_topk(
     chunk_size: int,
     exclude_padded: jnp.ndarray | None = None,
     exclude_counts: jnp.ndarray | None = None,
+    method: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Running top-k merge over item chunks — never materializes [B, V].
 
     ``score_chunk_fn(user_ids, chunk_start) -> [B, chunk_size]`` scores items
     [chunk_start, chunk_start+chunk_size). num_items is padded up to a
-    multiple of chunk_size; out-of-range items score -inf.
+    multiple of chunk_size; out-of-range items score -inf. ``method`` picks
+    the per-chunk candidate selection (candidate_topk); the cross-chunk
+    merge over [B, 2k] is always exact.
     """
     batch = user_ids.shape[0]
     num_chunks = -(-num_items // chunk_size)
@@ -106,8 +131,12 @@ def chunked_topk(
                 jnp.arange(batch)[:, None], cols.shape
             )
             scores = scores.at[rows, cols].set(NEG_INF, mode="drop")
-        merged_vals = jnp.concatenate([best_vals, scores], axis=1)
-        merged_ids = jnp.concatenate([best_ids, jnp.broadcast_to(ids, scores.shape)], axis=1)
+        c_vals, c_idx = candidate_topk(scores, min(k, chunk_size), method,
+                                       recall_target)
+        c_ids = start + c_idx.astype(jnp.int32)
+        c_ids = jnp.where(c_vals <= NEG_INF * 0.5, num_items, c_ids)
+        merged_vals = jnp.concatenate([best_vals, c_vals], axis=1)
+        merged_ids = jnp.concatenate([best_ids, c_ids], axis=1)
         vals, idx = jax.lax.top_k(merged_vals, k)
         new_ids = jnp.take_along_axis(merged_ids, idx, axis=1)
         return (vals, new_ids), None
@@ -135,6 +164,7 @@ class RetrievalEvaluator:
         dataset,
         ks: Sequence[int],
         user_batch: int = 256,
+        topk_method: str = "exact",
     ):
         self.ks = tuple(ks)
         self.user_batch = user_batch
@@ -149,7 +179,8 @@ class RetrievalEvaluator:
             with jax.named_scope("score_catalog"):
                 scores = score_all_fn(params, users)
             with jax.named_scope("mask_topk"):
-                _, topk_items = topk_scores(scores, max_k, trn_p, trn_c)
+                _, topk_items = topk_scores(scores, max_k, trn_p, trn_c,
+                                            method=topk_method)
             with jax.named_scope("ranking_metrics"):
                 m = ranking_metrics_from_topk(topk_items, tst_p, tst_c, ks_local)
             n_users = jnp.sum((tst_c > 0).astype(jnp.float32))

@@ -28,8 +28,15 @@ def sharded_topk_dot(
     exclude_padded: jnp.ndarray | None = None,  # [B, W] global ids, replicated
     exclude_counts: jnp.ndarray | None = None,  # [B], replicated
     axis: str = "data",
+    method: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k (values [B,k], global item ids [B,k]) for dot-product scorers."""
+    """Top-k (values [B,k], global item ids [B,k]) for dot-product scorers.
+
+    ``method="approx"`` uses the TPU-native ``lax.approx_max_k`` for the
+    per-shard candidate selection (eval/retrieval.candidate_topk — the
+    sort-based exact lowering is ~250x off the MXU ceiling at 131k-row
+    shards); the cross-shard merge stays exact."""
     n_sh = mesh.shape[axis]
     v_pad = item_table.shape[0]
     rps = v_pad // n_sh
@@ -56,7 +63,9 @@ def sharded_topk_dot(
         cols = jnp.where(hit, local_pos, rps)
         rows = jnp.broadcast_to(jnp.arange(b)[:, None], cols.shape)
         scores = scores.at[rows, cols].set(NEG_INF, mode="drop")
-        vals, idx = jax.lax.top_k(scores, k_local)  # [B, k_local]
+        from tfrec_tpu.eval.retrieval import candidate_topk
+
+        vals, idx = candidate_topk(scores, k_local, method, recall_target)
         gids = base + idx.astype(jnp.int32)
         # Merge across shards: [B, N*k_local] -> top-k (replicated compute).
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)

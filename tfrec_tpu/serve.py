@@ -26,7 +26,8 @@ from tfrec_tpu.eval.retrieval import padded_positives, topk_scores
 
 class Recommender:
     def __init__(self, model, params, dataset=None, mesh=None, quantize=False,
-                 state=None):
+                 state=None, topk_method: str = "approx",
+                 recall_target: float = 0.99):
         """``quantize=True`` stores the MF item table as rowwise-scaled
         int8 (top-k order exact up to rounding). MF only — other scorers
         (GMF's h-weighting, MLP towers) are not plain dot products, so a
@@ -34,7 +35,16 @@ class Recommender:
         table is passed to the jitted scorer as an ARGUMENT (closure
         constants get baked into the compile payload); the 4x memory win
         applies when the caller drops the f32 params after export.
+
+        ``topk_method``: "approx" (default — ``lax.approx_max_k``, the
+        TPU-native candidate op, per-user recall >= ``recall_target``;
+        exact on CPU where it lowers to a sort) or "exact" (full-sort
+        ``lax.top_k`` — measured ~250x off the scoring ceiling at 1M-item
+        catalogs on v5e, docs/PERF.md). Metric parity evaluation
+        (eval/retrieval.RetrievalEvaluator) always uses exact.
         """
+        self.topk_method = topk_method
+        self.recall_target = recall_target
         self.model = model
         self.params = params
         self.dataset = dataset
@@ -182,6 +192,7 @@ class Recommender:
             scores, k,
             None if exc_p is None else jnp.asarray(exc_p),
             None if exc_c is None else jnp.asarray(exc_c),
+            method=self.topk_method, recall_target=self.recall_target,
         )
         return np.asarray(ids), np.asarray(vals)
 
@@ -205,6 +216,8 @@ class Recommender:
                 return sharded_topk_dot(
                     mesh, q, tables[spec.item_table], k, num_items,
                     item_bias=bias, exclude_padded=ep, exclude_counts=ec,
+                    method=self.topk_method,
+                    recall_target=self.recall_target,
                 )
 
             self._sharded_jit[k] = jax.jit(fn, static_argnums=())
