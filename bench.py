@@ -35,7 +35,8 @@ import sys
 import time
 
 
-def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
+def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
+                    stack_tables: bool = False, vocab: int = 100_000):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,10 +46,10 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32):
     from tfrec_tpu.train.step import TrainStepBuilder
 
     num_dense = 13
-    vocabs = (100_000,) * 26  # Criteo-DAC shape
+    vocabs = (vocab,) * 26  # Criteo-DAC shape (default 100k per field)
     model = build_model(
         ModelConfig(name="dcn", embed_dim=embed_dim, num_cross_layers=3,
-                    mlp_dims=(512, 256, 128)),
+                    mlp_dims=(512, 256, 128), stack_tables=stack_tables),
         DataSpec.ctr(vocabs, num_dense),
         backend=kernels,
     )

@@ -28,14 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _slope_gather(v: int, d: int, n: int, k_small=4, k_big=64, reps=3, rounds=3):
+def _slope_gather(v: int, d: int, n: int, k_small=4, k_big=64, reps=3,
+                  rounds=3, gather=None):
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
     ids0 = jnp.asarray(rng.integers(0, v, n).astype(np.int32))
+    if gather is None:
+        gather = lambda t, i: jnp.take(t, i, axis=0, mode="clip")
 
     def multi(table, ids0, k):
         def body(ids, _):
-            rows = jnp.take(table, ids, axis=0, mode="clip")
+            rows = gather(table, ids)
             # Data-dependent next ids: the sum of each row perturbs the id
             # (mod v), chaining the gathers so none can be elided.
             nxt = (ids + (rows.sum(axis=1).astype(jnp.int32) & 0x7) + 1) % v
@@ -65,8 +68,12 @@ def _slope_gather(v: int, d: int, n: int, k_small=4, k_big=64, reps=3, rounds=3)
 
 def main() -> int:
     print(f"gatherbw: backend={jax.default_backend()}", flush=True)
-    for v, d, n in ((100_000, 32, 26 * 8192), (100_000, 128, 26 * 8192),
-                    (1_000_000, 32, 26 * 8192), (1_000_000, 128, 26 * 8192)):
+    smoke = bool(_os.environ.get("GATHERBW_SMOKE"))  # CPU CI smoke
+    shapes = ((100_000, 32, 26 * 8192), (100_000, 128, 26 * 8192),
+              (1_000_000, 32, 26 * 8192), (1_000_000, 128, 26 * 8192))
+    if smoke:
+        shapes = ((1000, 32, 256),)
+    for v, d, n in shapes:
         try:
             t, bw = _slope_gather(v, d, n)
             print(
@@ -76,6 +83,38 @@ def main() -> int:
             )
         except Exception:
             print(f"gather v={v} d={d}: EXCEPTION", flush=True)
+            traceback.print_exc()
+
+    # Strategy variants at the measured cliff point (v=1M, d=32 ran at
+    # 3.6 GB/s effective vs 44 GB/s at v=100k — 2026-08-17): can sorting
+    # the ids (locality) or the packed Pallas group-row gather recover the
+    # bandwidth? Interleaved per-variant slopes in this one session.
+    _os.environ["TFREC_PACK_SUBDIM"] = "1"
+    from tfrec_tpu.kernels.gather_pallas import gather_pallas
+
+    def take(t, i):
+        return jnp.take(t, i, axis=0, mode="clip")
+
+    def take_sorted(t, i):
+        # Full cost of the locality transform: sort, gather, un-permute.
+        order = jnp.argsort(i)
+        rows = jnp.take(t, i[order], axis=0, mode="clip")
+        inv = jnp.argsort(order)
+        return jnp.take(rows, inv, axis=0)
+
+    variants = {"take": take, "take_sorted": take_sorted,
+                "packed_pallas": gather_pallas}
+    v, d, n = (1000, 32, 256) if smoke else (1_000_000, 32, 26 * 8192)
+    for name, fn in variants.items():
+        try:
+            t, bw = _slope_gather(v, d, n, gather=fn)
+            print(
+                f"gather-variant {name} v={v} d={d}: {t*1e6:.0f} us, "
+                f"effective {bw/1e9:.1f} GB/s",
+                flush=True,
+            )
+        except Exception:
+            print(f"gather-variant {name}: EXCEPTION", flush=True)
             traceback.print_exc()
     return 0
 

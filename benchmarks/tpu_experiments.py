@@ -76,8 +76,14 @@ EXPERIMENTS = {
     # elision-proof TFLOP/s slope -> HEALTHY/THROTTLED session verdict.
     "health": ["python", "benchmarks/exp_health.py"],
     # Effective random-row gather bandwidth at d in {32,128} (the d=32
-    # flagship is HBM-transaction bound, not MXU bound).
+    # flagship is HBM-transaction bound, not MXU bound) + strategy
+    # variants (sorted ids, packed pallas) at the v=1M d=32 cliff.
     "gatherbw": ["python", "benchmarks/exp_gatherbw.py"],
+    # Interleaved A/B: exact lax.top_k vs approx_max_k candidate
+    # retrieval (chunked top-100 vs 1M items, b=1024, d=128).
+    "topk_ab": ["python", "benchmarks/exp_topk_ab.py"],
+    # Interleaved A/B: per-field vs stacked embedding tables (DCN d=32).
+    "stacked_ab": ["python", "benchmarks/exp_stacked_ab.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",
