@@ -199,6 +199,61 @@ def _stack(batches, k):
     return jnp.stack([batches[i % len(batches)] for i in range(k)])
 
 
+def session_probes():
+    """Two fast elision-proof probes characterizing THIS session's chip:
+    chained-matmul slope (MXU TFLOP/s) and chained random-row-gather
+    slope (effective HBM GB/s, v=100k d=128). Sessions on this tunnel
+    have shown full-speed MXU alongside ~40x-slow step times
+    (docs/PERF.md "Session health"), so the pair is recorded with every
+    headline number to make it interpretable after the fact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    a = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+
+    def mm_chain(x, k):
+        def body(c, _):
+            c = jnp.dot(c, a, preferred_element_type=jnp.float32)
+            return c / (jnp.abs(c).max() + 1e-6), None
+
+        out, _ = jax.lax.scan(body, x, None, length=k)
+        return out[0, 0]
+
+    v, d, nids = 100_000, 128, 26 * 8192
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids0 = jnp.asarray(rng.integers(0, v, nids).astype(np.int32))
+
+    def g_chain(ids, k):
+        def body(i, _):
+            rows = jnp.take(table, i, axis=0, mode="clip")
+            nxt = (i + (rows.sum(axis=1).astype(jnp.int32) & 0x7) + 1) % v
+            return nxt, rows[0, 0]
+
+        _, last = jax.lax.scan(body, ids, None, length=k)
+        return last.sum()
+
+    out = {}
+    for name, fn, arg, ks, work in (
+        ("health_tflops", mm_chain, a, (2, 16), 2 * n**3 / 1e12),
+        ("gather_gbs", g_chain, ids0, (2, 16), nids * d * 4 / 1e9),
+    ):
+        fns = {k: jax.jit(lambda x, k=k, f=fn: f(x, k)) for k in ks}
+        for f in fns.values():
+            float(f(arg))  # compile + warm
+        times = {}
+        for k, f in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(2):
+                float(f(arg))
+            times[k] = time.perf_counter() - t0
+        t_unit = max(times[ks[1]] - times[ks[0]], 1e-12) / (2 * (ks[1] - ks[0]))
+        out[name] = round(work / t_unit, 1)
+    return out
+
+
 def _timed_block(fn, state, batch, reps):
     """reps dispatches, EVERY one fenced by a host value fetch (elision-
     proof). Returns (state, seconds)."""
@@ -447,6 +502,12 @@ def main(argv=None) -> int:
                 json.dump(base, f, indent=1)
         except OSError:
             pass
+
+    if platform == "tpu":
+        try:
+            extra.update(session_probes())
+        except Exception as e:  # probes are context, never a failure mode
+            extra["session_probe_error"] = type(e).__name__
 
     desc = {
         "dcn": "CTR train", "mf": "BPR train",
