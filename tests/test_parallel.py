@@ -254,6 +254,60 @@ def test_gspmd_mode_matches_single_device(mesh8):
         )
 
 
+def test_fsdp_dense_matches_replicated(mesh8):
+    """mesh.dense_sharding='fsdp' (dense params/opt sharded over 'data',
+    GSPMD all-gather/reduce-scatter) must be math-identical to the
+    replicated default, and must actually shard divisible leaves."""
+    from tfrec_tpu.configs import ModelConfig
+    from tfrec_tpu.data.synthetic import synthetic_ctr
+    from tfrec_tpu.models import build_model
+
+    vocabs, num_dense = (200, 100, 64), 5
+    dense_np, cat_np, label_np = synthetic_ctr(
+        64, num_dense=num_dense, vocab_sizes=vocabs, seed=0
+    )
+    spec = DataSpec.ctr(vocabs, num_dense)
+    ocfg = OptimConfig(learning_rate=0.01, dense_optimizer="adam",
+                       sparse_optimizer="rowwise_adagrad")
+
+    def make(dense_sharding):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=16, mlp_dims=(64, 32)), spec
+        )
+        b = ShardedTrainStepBuilder(
+            model, "logloss", ocfg, mesh8,
+            MeshConfig(table_sharding="row", dense_sharding=dense_sharding),
+        )
+        return b, b.init_state(jax.random.PRNGKey(0))
+
+    b_rep, s_rep = make("replicated")
+    b_fs, s_fs = make("fsdp")
+    # The fsdp layout must shard at least one real dense leaf.
+    sh = b_fs.state_shardings(s_fs)["dense"]
+    assert any(
+        ns.spec != P() for ns in jax.tree_util.tree_leaves(sh)
+    ), "fsdp produced no sharded dense leaf"
+    batch = {
+        "dense": jnp.asarray(dense_np),
+        "cat": jnp.asarray(cat_np),
+        "label": jnp.asarray(label_np),
+    }
+    step_rep = b_rep.compile_step(s_rep, batch)
+    step_fs = b_fs.compile_step(s_fs, batch)
+    for _ in range(3):
+        s_rep, m_rep = step_rep(s_rep, batch)
+        s_fs, m_fs = step_fs(s_fs, batch)
+    np.testing.assert_allclose(
+        float(m_rep["loss"]), float(m_fs["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_rep["dense"]),
+        jax.tree_util.tree_leaves(s_fs["dense"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_row_sharded_pallas_kernels_match_xla(mesh8):
     """kernels='pallas' inside shard_map (interpret on CPU): lookup and
     fused update match the XLA sharded path. D=128 to satisfy the fused

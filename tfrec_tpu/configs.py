@@ -128,6 +128,12 @@ class MeshConfig:
     # ICI volume (the multi-chip bottleneck — docs/PERF.md scaling model);
     # tables and optimizer math stay f32.
     a2a_dtype: str = "float32"
+    # Dense-tower parameter placement: "replicated" (default — rec dense
+    # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
+    # optimizer leaf sharded over 'data' on its first divisible dim; XLA
+    # inserts the all-gather-for-use / reduce-scatter-for-grad pair).
+    # Math-identical to replicated; a memory knob for big dense towers.
+    dense_sharding: str = "replicated"
 
 
 @dataclasses.dataclass(frozen=True)

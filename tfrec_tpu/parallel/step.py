@@ -55,6 +55,12 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         self.mesh = mesh
         self.mesh_cfg = mesh_cfg or MeshConfig()
         mode = self.mesh_cfg.table_sharding
+        if mode not in ("row", "col", "gspmd", "replicated"):
+            raise ValueError(f"unknown mesh.table_sharding {mode!r}")
+        if self.mesh_cfg.dense_sharding not in ("replicated", "fsdp"):
+            raise ValueError(
+                f"unknown mesh.dense_sharding {self.mesh_cfg.dense_sharding!r}"
+            )
         self.plans: Dict[str, object] = {}
         self._gspmd_row = mode == "gspmd"
         for spec in model.table_specs():
@@ -120,6 +126,21 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             return NamedSharding(self.mesh, P(None, "table"))
         return NamedSharding(self.mesh, P())
 
+    def _dense_sharding(self, leaf) -> NamedSharding:
+        """Placement for one dense-param/optimizer leaf. "fsdp" shards the
+        first dim divisible by the data axis (GSPMD inserts the
+        all-gather-for-use / reduce-scatter-for-grad pair — math-identical
+        to replication); scalars and indivisible leaves replicate."""
+        if self.mesh_cfg.dense_sharding == "fsdp":
+            n_sh = self.mesh.shape["data"]
+            shape = getattr(leaf, "shape", ())
+            for axis, dim in enumerate(shape):
+                if dim % n_sh == 0 and dim >= n_sh:
+                    spec = [None] * len(shape)
+                    spec[axis] = "data"
+                    return NamedSharding(self.mesh, P(*spec))
+        return NamedSharding(self.mesh, P())
+
     def state_shardings(self, state: State):
         """Pytree of NamedShardings matching ``state`` (for pjit/checkpoint)."""
         rep = NamedSharding(self.mesh, P())
@@ -128,14 +149,16 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             "tables": {
                 name: self.table_spec_sharding(name) for name in state["tables"]
             },
-            "dense": jax.tree_util.tree_map(lambda _: rep, state["dense"]),
+            "dense": jax.tree_util.tree_map(self._dense_sharding, state["dense"]),
             "sparse_opt": {
                 name: jax.tree_util.tree_map(
                     lambda leaf, n=name: self._opt_state_sharding(n, leaf), st
                 )
                 for name, st in state["sparse_opt"].items()
             },
-            "dense_opt": jax.tree_util.tree_map(lambda _: rep, state["dense_opt"]),
+            "dense_opt": jax.tree_util.tree_map(
+                self._dense_sharding, state["dense_opt"]
+            ),
         }
 
     def batch_shardings(self, batch: Dict[str, jnp.ndarray], stacked: bool = False):
