@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | multvae
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
@@ -84,6 +84,16 @@ class ModelConfig:
     # dims; math-equivalent to per-field tables (rowwise optimizers are
     # row-local; id spaces disjoint after offsetting).
     stack_tables: bool = False
+    # History-conditioned models (fism / multvae): max train-history ids
+    # carried per batch row (sentinel-padded; seeded subsample beyond it).
+    max_history: int = 50
+    # FISM: history-count normalization exponent n^alpha.
+    fism_alpha: float = 0.5
+    # MultVAE: encoder hidden width (the enc1 embedding-bag table dim),
+    # latent dim, fixed KL weight (Mult-VAE^PR without annealing).
+    vae_hidden: int = 256
+    vae_latent: int = 64
+    vae_beta: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,6 +55,68 @@ def _sample_negatives(
     return negs.astype(np.int32)
 
 
+def build_history(
+    dataset: Dataset, max_len: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Padded per-user train-interaction history: ([U, H] int32 item ids
+    padded with the sentinel ``num_items``, [U] int32 true lengths,
+    clipped to H). Users with more than H interactions keep a seeded
+    uniform subsample (UIRT timestamps are not guaranteed present, so
+    "most recent" is not well-defined for every source). History-based
+    models (FISM, MultVAE) consume this via the history-carrying batch
+    samplers — the matrix itself is O(U*H) host/device memory, which is
+    the inherent cost of the model family, not of the framework."""
+    rng = np.random.default_rng((seed, 0x415))
+    u_sorted = np.argsort(dataset.train.users, kind="stable")
+    users = dataset.train.users[u_sorted]
+    items = dataset.train.items[u_sorted]
+    nu = dataset.num_users
+    if len(items) == 0:
+        return (
+            np.full((nu, max_len), dataset.num_items, np.int32),
+            np.zeros(nu, np.int32),
+        )
+    starts = np.searchsorted(users, np.arange(nu))
+    counts = np.searchsorted(users, np.arange(nu) + 1) - starts
+    lens = np.minimum(counts, max_len).astype(np.int32)
+    # Vectorized fill for the common <=H users: flat gather at
+    # starts[u] + col for every valid (u, col) cell.
+    cols = np.arange(max_len)[None, :]
+    valid = cols < lens[:, None]
+    flat_idx = np.minimum(starts[:, None] + cols, len(items) - 1)
+    hist = np.where(valid, items[flat_idx], dataset.num_items).astype(np.int32)
+    # Seeded uniform subsample for the rare >H users (python loop only
+    # over those).
+    for u in np.flatnonzero(counts > max_len):
+        row = items[starts[u] : starts[u] + counts[u]]
+        hist[u] = rng.choice(row, size=max_len, replace=False)
+    return hist, lens
+
+
+class UserHistorySampler:
+    """{user, hist [B,H], hist_len} batches — one row per user with at
+    least one train interaction, shuffled per epoch. The input protocol of
+    autoencoder recommenders (MultVAE): the history IS both the input and
+    the reconstruction target."""
+
+    def __init__(self, dataset: Dataset, batch_size: int, max_len: int,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.seed = seed
+        self.hist, self.lens = build_history(dataset, max_len, seed)
+        self.active = np.flatnonzero(self.lens > 0).astype(np.int32)
+
+    def num_batches(self) -> int:
+        return len(self.active) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        users = self.active[rng.permutation(len(self.active))]
+        for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+            u = users[start : start + self.batch_size]
+            yield {"user": u, "hist": self.hist[u], "hist_len": self.lens[u]}
+
+
 class PairwiseSampler:
     """(user, pos_item, neg_item) batches for BPR-style pairwise losses.
 
@@ -64,6 +126,10 @@ class PairwiseSampler:
     ``multi_neg=True`` emits {"user", "pos", "negs" [B, num_negatives]}
     batches (one positive against K negatives — sampled-softmax training);
     the default emits one (pos, neg) row per negative.
+
+    ``with_history=H`` attaches each row's user train history ("hist"
+    [B, H] sentinel-padded, "hist_len" [B]) for history-conditioned
+    scorers (FISM).
     """
 
     def __init__(
@@ -74,6 +140,7 @@ class PairwiseSampler:
         seed: int = 0,
         multi_neg: bool = False,
         no_negatives: bool = False,
+        with_history: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -82,6 +149,15 @@ class PairwiseSampler:
         self.multi_neg = multi_neg
         self.no_negatives = no_negatives  # in-batch losses: (user, pos) only
         self.index = _TrainPairIndex(dataset)
+        self.hist = self.lens = None
+        if with_history:
+            self.hist, self.lens = build_history(dataset, with_history, seed)
+
+    def _attach_history(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.hist is not None:
+            u = batch["user"]
+            batch = {**batch, "hist": self.hist[u], "hist_len": self.lens[u]}
+        return batch
 
     def num_batches(self) -> int:
         n = len(self.dataset.train)
@@ -97,7 +173,7 @@ class PairwiseSampler:
             users, pos = train.users[perm], train.items[perm]
             for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
                 sl = slice(start, start + self.batch_size)
-                yield {"user": users[sl], "pos": pos[sl]}
+                yield self._attach_history({"user": users[sl], "pos": pos[sl]})
             return
         if self.multi_neg:
             users, pos = train.users, train.items
@@ -109,7 +185,9 @@ class PairwiseSampler:
             users, pos, negs = users[perm], pos[perm], negs[perm]
             for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
                 sl = slice(start, start + self.batch_size)
-                yield {"user": users[sl], "pos": pos[sl], "negs": negs[sl]}
+                yield self._attach_history(
+                    {"user": users[sl], "pos": pos[sl], "negs": negs[sl]}
+                )
             return
         users = np.repeat(train.users, self.num_negatives)
         pos = np.repeat(train.items, self.num_negatives)
@@ -118,7 +196,9 @@ class PairwiseSampler:
         users, pos, negs = users[perm], pos[perm], negs[perm]
         for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
             sl = slice(start, start + self.batch_size)
-            yield {"user": users[sl], "pos": pos[sl], "neg": negs[sl]}
+            yield self._attach_history(
+                {"user": users[sl], "pos": pos[sl], "neg": negs[sl]}
+            )
 
 
 class PointwiseSampler:

@@ -1,6 +1,7 @@
 """Model zoo registry — covers the contract zoo (MF/BPR, FM, GMF, MLP,
-NeuMF, DCN; BASELINE.json configs 1-5) plus the standard CTR extensions
-(DCNv2, DeepFM, Wide&Deep, DLRM)."""
+NeuMF, DCN; BASELINE.json configs 1-5), the standard CTR extensions
+(DCNv2, DeepFM, Wide&Deep, DLRM), and the history-conditioned long tail
+(FISM item-based, MultVAE autoencoder — SURVEY.md §2a "other zoo")."""
 
 from __future__ import annotations
 
@@ -11,8 +12,10 @@ from tfrec_tpu.models.base import DataSpec, RecModel
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
 from tfrec_tpu.models.dlrm import DLRM
+from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.mf import MF
+from tfrec_tpu.models.multvae import MultVAE
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
 from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.widedeep import WideDeep
@@ -30,6 +33,8 @@ __all__ = [
     "DeepFM",
     "WideDeep",
     "DLRM",
+    "FISM",
+    "MultVAE",
     "build_model",
 ]
 
@@ -86,5 +91,16 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "dlrm":
         return DLRM(
             data_spec, cfg.embed_dim, top_dims=cfg.mlp_dims, dropout=cfg.dropout
+        )
+    if name == "fism":
+        return FISM(
+            data_spec, cfg.embed_dim, alpha=cfg.fism_alpha,
+            max_history=cfg.max_history,
+        )
+    if name == "multvae":
+        return MultVAE(
+            data_spec, hidden_dim=cfg.vae_hidden, latent_dim=cfg.vae_latent,
+            beta=cfg.vae_beta, dropout=cfg.dropout,
+            max_history=cfg.max_history,
         )
     raise ValueError(f"unknown model {cfg.name!r}")

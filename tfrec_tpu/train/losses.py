@@ -61,6 +61,21 @@ def logloss(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     )
 
 
+def multvae(out: Dict, batch: Dict) -> jnp.ndarray:
+    """Mult-VAE ELBO: multinomial NLL of the user's history under the
+    reconstruction softmax + the (model-pre-scaled) KL term. ``out`` is
+    MultVAE.forward's {"logits": [B, V], "kl": [B]}; the reconstruction
+    target is the sentinel-padded batch["hist"] itself."""
+    logits, kl = out["logits"], out["kl"]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    hist = batch["hist"]
+    v = logits.shape[-1]
+    valid = hist < v
+    picked = jnp.take_along_axis(logp, jnp.minimum(hist, v - 1), axis=1)
+    nll = -jnp.sum(jnp.where(valid, picked, 0.0), axis=1)
+    return jnp.mean(nll + kl)
+
+
 def mse(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """Squared error against (possibly real-valued) labels — explicit-rating MF."""
     return jnp.mean((logits - batch["label"]) ** 2)
@@ -73,6 +88,7 @@ _LOSSES: Dict[str, Callable] = {
     "mse": mse,
     "sampled_softmax": sampled_softmax,
     "in_batch_softmax": in_batch_softmax,
+    "multvae": multvae,
 }
 
 PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")

@@ -218,7 +218,11 @@ class TrainStepBuilder:
                 reg = reg + sum(
                     jnp.sum(p * p) for p in jax.tree_util.tree_leaves(dense_params)
                 )
-                loss = loss + self.l2_reg * reg / logits.shape[0]
+                # First leaf's leading dim is the batch size for every
+                # forward output shape (vector, [B,K] matrix, or the
+                # dict outputs of ELBO-style models).
+                bsz = jax.tree_util.tree_leaves(logits)[0].shape[0]
+                loss = loss + self.l2_reg * reg / bsz
             return loss
 
         with jax.named_scope("forward_backward"):

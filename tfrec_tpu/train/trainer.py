@@ -168,6 +168,31 @@ class Trainer:
                 "reason": "CTR models train pointwise",
             })
             loss = "logloss"
+        # History-conditioned long-tail models: attach the train-history
+        # matrix for eval scoring, and coerce incompatible losses loudly.
+        self.needs_history = bool(
+            getattr(self.model, "needs_history", lambda: False)()
+        )
+        if self.needs_history:
+            from tfrec_tpu.data.samplers import build_history
+
+            hist, lens = build_history(
+                self.dataset, c.model.max_history, seed=c.train.seed
+            )
+            self.model.attach_history(hist, lens)
+            want = "multvae" if c.model.name.lower() == "multvae" else None
+            if want and loss != want:
+                self.logger.log({
+                    "event": "loss_coerced", "from": loss, "to": want,
+                    "reason": "MultVAE trains on its ELBO objective",
+                })
+                loss = want
+            elif want is None and loss not in ("bpr", "hinge"):
+                self.logger.log({
+                    "event": "loss_coerced", "from": loss, "to": "bpr",
+                    "reason": "FISM trains single-negative pairwise",
+                })
+                loss = "bpr"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).
@@ -284,6 +309,12 @@ class Trainer:
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
             return CTRBatcher(dense, cat, label, local_bs, seed=seed)
+        if self.loss_name == "multvae":
+            from tfrec_tpu.data.samplers import UserHistorySampler
+
+            return UserHistorySampler(
+                self.dataset, local_bs, c.model.max_history, seed
+            )
         if self.loss_name in PAIRWISE_LOSSES:
             return PairwiseSampler(
                 self.dataset, local_bs, c.train.num_negatives, seed,
@@ -292,6 +323,7 @@ class Trainer:
                     self.loss_name in IN_BATCH_LOSSES
                     or self._use_device_negs(self.loss_name)
                 ),
+                with_history=(c.model.max_history if self.needs_history else 0),
             )
         return PointwiseSampler(
             self.dataset, local_bs, max(c.train.num_negatives, 1), seed
