@@ -84,6 +84,11 @@ EXPERIMENTS = {
     "topk_ab": ["python", "benchmarks/exp_topk_ab.py"],
     # Interleaved A/B: per-field vs stacked embedding tables (DCN d=32).
     "stacked_ab": ["python", "benchmarks/exp_stacked_ab.py"],
+    # Attribute the ~24ms strict-slope DCN step: gathers vs dedup sorts
+    # vs fwd/bwd vs sparse update (PERF.md "latency/sort-bound").
+    "step_breakdown": ["python", "benchmarks/exp_step_breakdown.py"],
+    "step_breakdown_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                            "benchmarks/exp_step_breakdown.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",
