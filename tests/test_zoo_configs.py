@@ -47,6 +47,15 @@ SMALL = {
                       "data.test_fraction": 0.2,
                       "model.embed_dim": 8, "model.mlp_dims": (16,),
                       "train.steps_per_dispatch": 1},
+    "fism_ml100k": {"data.num_users": 64, "data.num_items": 128,
+                    "data.interactions_per_user": 8,
+                    "model.max_history": 8},
+    "multvae_ml100k": {"data.num_users": 64, "data.num_items": 128,
+                       "data.interactions_per_user": 8,
+                       "model.max_history": 8,
+                       "model.vae_hidden": 16, "model.vae_latent": 4,
+                       # per-USER batches: only 64 users exist
+                       "train.batch_size": 32},
 }
 
 
@@ -59,10 +68,10 @@ def test_every_milestone_config_runs_end_to_end(name):
     from tfrec_tpu.train.trainer import run
 
     cfg = with_overrides(ZOO[name](), {
-        **SMALL[name],
         "train.epochs": 1, "train.batch_size": 128,
         "train.eval_every_epochs": 1, "train.eval_topk": (10,),
-    })
+        **SMALL[name],  # per-config overrides win (e.g. multvae's
+    })                  # per-user batches need batch_size <= num_users
     _, hist = run(cfg, quiet=True)
     final = hist[-1]
     assert np.isfinite(final["loss"]), (name, final)

@@ -557,6 +557,13 @@ class Trainer:
     def train(self) -> List[Dict[str, float]]:
         c = self.config
         history: List[Dict[str, float]] = []
+        if self.stream is None and self.sampler.num_batches() == 0:
+            raise ValueError(
+                "0 train batches per epoch: the (remainder-dropping) "
+                f"sampler has fewer than batch_size={c.train.batch_size} "
+                "rows — shrink train.batch_size or supply more data "
+                "(a silent 0-step epoch would report nan loss)"
+            )
         steps_cap = c.train.steps_per_epoch
         if steps_cap <= 0 and jax.process_count() > 1:
             # Each process samples local batches over the FULL train set;

@@ -138,10 +138,61 @@ def dcn_retrieval_multihost(path: str | None = None) -> Config:
     )
 
 
+def fism_ml100k(path: str | None = None) -> Config:
+    """Long-tail zoo: FISM item-based retrieval on the ML-100K shape
+    (pairwise BPR over history-conditioned scores)."""
+    return Config(
+        run_name="fism_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio",
+            test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="fism", embed_dim=64, l2_reg=0.01,
+                          max_history=64, fism_alpha=0.5),
+        optim=OptimConfig(
+            learning_rate=0.05, dense_optimizer="adagrad",
+            sparse_optimizer="rowwise_adagrad",
+        ),
+        train=TrainConfig(
+            batch_size=1024, epochs=40, loss="bpr", eval_every_epochs=10,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
+def multvae_ml100k(path: str | None = None) -> Config:
+    """Long-tail zoo: Mult-VAE^PR autoencoder retrieval on the ML-100K
+    shape (per-user reconstruction batches, ELBO objective)."""
+    return Config(
+        run_name="multvae_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio",
+            test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="multvae", vae_hidden=256, vae_latent=64,
+                          vae_beta=0.2, dropout=0.5, max_history=128),
+        optim=OptimConfig(learning_rate=0.001, dense_optimizer="adam"),
+        train=TrainConfig(
+            batch_size=128, epochs=80, loss="multvae", eval_every_epochs=20,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 ZOO = {
     "mf_bpr_ml100k": mf_bpr_ml100k,
     "fm_ctr_ml1m": fm_ctr_ml1m,
     "neumf_ml20m": neumf_ml20m,
     "dcn_criteo": dcn_criteo,
     "dcn_multihost": dcn_retrieval_multihost,
+    "fism_ml100k": fism_ml100k,
+    "multvae_ml100k": multvae_ml100k,
 }
