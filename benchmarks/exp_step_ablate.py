@@ -1,0 +1,104 @@
+"""Ablate the REAL DCN bench step to attribute its per-step time.
+
+exp_step_breakdown's isolated probes undercount two ways: its fwd_bwd
+probe only consumed the loss (XLA DCE'd the whole backward) and its
+update26 probe used loop-invariant ids (XLA hoisted the sorts out of the
+scan). This experiment instead measures variants of the actual
+builder.step, each a full chained-scan slope:
+
+  pertable     group_dedup=False — the round-1 default (26 per-table sorts)
+  grouped      group_dedup=True  — ONE batched sort for all 26 tables
+  raw_scatter  sparse update without dedup: table.at[ids].add(-lr*g)
+               (duplicates accumulate — perf bound only, wrong math)
+  no_sparse    grads consumed by a 1-row scatter per table (backward and
+               dense update run; sparse path ~free)
+
+Attribution: sparse total = pertable - no_sparse; dedup sorts =
+pertable - raw_scatter; grouped win = pertable - grouped. Catches
+everything; exits 0. BREAKDOWN_DIM selects embed_dim (default 32).
+
+Run via: python benchmarks/tpu_experiments.py --only step_ablate
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import traceback
+
+import jax
+
+if _os.environ.get("BREAKDOWN_CPU"):
+    # The env-var route (JAX_PLATFORMS=cpu) can hang under the axon
+    # sitecustomize (CLAUDE.md gotcha #1); this is the sanctioned way.
+    jax.config.update("jax_platforms", "cpu")
+
+D = int(_os.environ.get("BREAKDOWN_DIM", "32"))
+B = int(_os.environ.get("BREAKDOWN_BATCH", "8192"))
+
+
+def _variant_builder(variant: str):
+    """A fresh bench builder with the variant's sparse path patched in."""
+    import bench
+
+    _, state, batches, builder = bench.build_dcn_bench(
+        B, "xla", D
+    )
+    if variant == "pertable":
+        builder.group_dedup = False
+    elif variant == "grouped":
+        builder.group_dedup = True
+    elif variant == "raw_scatter":
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            for name, g in grads.items():
+                new_tables[name] = new_tables[name].at[ids[name]].add(
+                    -lr * g, mode="drop"
+                )
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
+    elif variant == "no_sparse":
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            for name, g in grads.items():
+                # Consume the gradient (keeps the backward alive against
+                # DCE) at negligible scatter cost.
+                new_tables[name] = new_tables[name].at[:1].add(g[:1] * 1e-30)
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
+    else:
+        raise ValueError(variant)
+    return state, batches, builder
+
+
+def main() -> int:
+    try:
+        from bench import _stack
+        from exp_step_breakdown import _slope
+
+        for variant in ("pertable", "grouped", "raw_scatter", "no_sparse"):
+            state, batches, builder = _variant_builder(variant)
+
+            def stepk(args, k, _b=builder, _batches=batches):
+                st, m = jax.lax.scan(
+                    lambda s, b: _b.step(s, b), args, _stack(_batches, k)
+                )
+                return m["loss"][-1]
+
+            _slope(stepk, state, f"ablate {variant} d={D}")
+            # Release before the next variant compiles (333MB of tables).
+            del state, batches, builder
+    except Exception:
+        traceback.print_exc()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -89,6 +89,10 @@ EXPERIMENTS = {
     "step_breakdown": ["python", "benchmarks/exp_step_breakdown.py"],
     "step_breakdown_d128": ["env", "BREAKDOWN_DIM=128", "python",
                             "benchmarks/exp_step_breakdown.py"],
+    # Variants of the REAL step (grouped dedup A/B + sparse-path ablation).
+    "step_ablate": ["python", "benchmarks/exp_step_ablate.py"],
+    "step_ablate_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                         "benchmarks/exp_step_ablate.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",

@@ -96,3 +96,82 @@ def test_sentinel_rows_never_touched(name):
     grads = jnp.zeros((2, D))
     new_table, _ = opt.apply(table, state, ids, grads, 0.1)
     np.testing.assert_allclose(np.asarray(new_table), np.asarray(table), atol=1e-6)
+
+
+def test_grouped_combine_bit_identical_to_per_table():
+    # The batched cross-table dedup (ONE sort/segment-sum for F tables)
+    # must reproduce the per-table path exactly — it is the default
+    # train-step path (train/step.py sparse_update_all).
+    from tfrec_tpu.ops.embedding import combine_duplicate_ids_grouped
+
+    rng = np.random.default_rng(7)
+    f, n, d = 5, 64, 6
+    vocabs = [100, 50, 100, 77, 100]
+    ids = jnp.asarray(
+        np.stack([rng.integers(0, v, n) for v in vocabs]).astype(np.int32)
+    )
+    grads = jnp.asarray(rng.normal(size=(f, n, d)).astype(np.float32))
+    gu, gc = jax.jit(
+        lambda i, g: combine_duplicate_ids_grouped(i, g, vocabs)
+    )(ids, grads)
+    for i in range(f):
+        u, c = combine_duplicate_ids(ids[i], grads[i], sentinel=vocabs[i])
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(gu[i]))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(gc[i]))
+
+
+@pytest.mark.parametrize("name", ["sgd", "rowwise_adagrad", "rowwise_adam"])
+def test_apply_deduped_half_matches_apply(name):
+    opt = make_sparse_optimizer(name, adagrad_init=0.1)
+    table = _rand(1, (V, D))
+    state = opt.init(table)
+    ids = jnp.array([3, 1, 3, 7, 1, 1], dtype=jnp.int32)
+    grads = _rand(2, (6, D))
+    ref_t, ref_s = opt.apply(table, state, ids, grads, 0.1)
+    uids, g = combine_duplicate_ids(ids, grads, sentinel=V)
+    got_t, got_s = opt.apply_deduped(table, state, uids, g, 0.1)
+    np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_s), jax.tree_util.tree_leaves(got_s)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grouped_step_bit_identical_to_per_table_step():
+    # group_dedup=True (default) vs False on a multi-table CTR model:
+    # identical state after several steps.
+    from tfrec_tpu.configs import ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.train.step import TrainStepBuilder
+
+    rng = np.random.default_rng(3)
+    vocabs = (50, 60, 70, 50)
+    model = build_model(
+        ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2, mlp_dims=(16, 8)),
+        DataSpec.ctr(vocabs, 3),
+        backend="xla",
+    )
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32)),
+        "cat": jnp.asarray(
+            np.stack([rng.integers(0, v, 32) for v in vocabs], 1).astype(np.int32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, 32).astype(np.float32)),
+    }
+    oc = OptimConfig(
+        learning_rate=1e-2, dense_optimizer="adam", sparse_optimizer="rowwise_adagrad"
+    )
+    finals = []
+    for gd in (True, False):
+        b = TrainStepBuilder(model, "logloss", oc, group_dedup=gd)
+        st = b.init_state(jax.random.PRNGKey(0))
+        stepf = jax.jit(b.step)
+        for _ in range(3):
+            st, m = stepf(st, batch)
+        finals.append((st, m))
+    assert float(finals[0][1]["loss"]) == float(finals[1][1]["loss"])
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(finals[0][0]),
+        jax.tree_util.tree_leaves(finals[1][0]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

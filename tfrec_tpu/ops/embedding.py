@@ -93,6 +93,52 @@ def combine_duplicate_ids(
     return uids, combined
 
 
+def combine_duplicate_ids_grouped(
+    ids: jnp.ndarray, grads: jnp.ndarray, sentinels
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ``combine_duplicate_ids``: F independent problems in ONE
+    sort / gather / segment-sum / scatter.
+
+    On TPU the per-table sort+segsum machinery is latency-bound, not
+    size-bound (26 sorts of 8k ids cost ~25x ONE sort of 208k ids —
+    docs/PERF.md "Step breakdown"), so batching the dedup of all
+    same-shaped tables into single ops removes a fixed per-op cost times
+    the table count from every train step. Per-row results are
+    bit-identical to the unbatched path (same comparator, same segment
+    accumulation order); tests/test_sparse_optim.py pins that.
+
+    Args:
+      ids: [F, N] int32 row ids, row f addressing table f.
+      grads: [F, N, D] float gradient rows aligned with ``ids``.
+      sentinels: [F] per-table pad id (normally each table's vocab).
+
+    Returns:
+      (uids [F, N], combined [F, N, D]) — row f is exactly
+      ``combine_duplicate_ids(ids[f], grads[f], sentinels[f])``.
+    """
+    f, n = ids.shape
+    order = jnp.argsort(ids, axis=-1)
+    sids = jnp.take_along_axis(ids, order, axis=-1)
+    sg = jnp.take_along_axis(grads, order[..., None], axis=1)
+    starts = jnp.concatenate(
+        [
+            jnp.ones((f, 1), jnp.int32),
+            (sids[:, 1:] != sids[:, :-1]).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    seg = jnp.cumsum(starts, axis=-1) - 1  # [F, N], per-row contiguous from 0
+    flat_seg = (seg + jnp.arange(f, dtype=seg.dtype)[:, None] * n).reshape(-1)
+    combined = jax.ops.segment_sum(
+        sg.reshape(f * n, -1), flat_seg, num_segments=f * n
+    ).reshape(f, n, -1)
+    sent = jnp.broadcast_to(
+        jnp.asarray(sentinels, ids.dtype)[:, None], (f, n)
+    )
+    uids = sent.at[jnp.arange(f)[:, None], seg].set(sids)
+    return uids, combined
+
+
 def dedup_ids(ids: jnp.ndarray, sentinel: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static-shape unique-with-inverse.
 

@@ -51,11 +51,21 @@ def _row_stat(g: jnp.ndarray, stat_axis: str | None, full_dim: int | None):
 
 @dataclasses.dataclass(frozen=True)
 class SparseOptimizer:
-    """init(table) -> state; apply(table, state, ids, grads, lr) -> (table, state)."""
+    """init(table) -> state; apply(table, state, ids, grads, lr) -> (table, state).
+
+    ``apply_deduped`` is the post-combine half of ``apply``: it takes
+    (uids, summed grads) as produced by ``combine_duplicate_ids`` and skips
+    the sort. The grouped train-step path (train/step.py
+    ``sparse_update_all``) dedups all same-shaped tables in one batched op
+    and then calls ``apply_deduped`` per table; ``apply`` stays the
+    single-table convenience (dedup + apply_deduped) used by the sharded
+    planners and tests.
+    """
 
     name: str
     init: Callable[[jnp.ndarray], State]
     apply: Callable[..., Tuple[jnp.ndarray, State]]
+    apply_deduped: Callable[..., Tuple[jnp.ndarray, State]]
     # Exposed so fused-kernel paths (which bypass `apply`) use the SAME
     # epsilon as the closure baked into `apply`.
     eps: float = 1e-8
@@ -71,9 +81,13 @@ def _sgd_init(table: jnp.ndarray) -> State:
     return {}
 
 
+def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
+    return table.at[uids].add(-lr * g, mode="drop"), state
+
+
 def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
     uids, g = _dedup(table, ids, grads)
-    return table.at[uids].add(-lr * g, mode="drop"), state
+    return _sgd_apply_deduped(table, state, uids, g, lr)
 
 
 def _adagrad_init_fn(initial_accumulator: float):
@@ -86,8 +100,7 @@ def _adagrad_init_fn(initial_accumulator: float):
 
 
 def _adagrad_apply_fn(eps: float):
-    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
-        uids, g = _dedup(table, ids, grads)
+    def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
         g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
         acc_rows = jnp.take(state["acc"], uids) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
@@ -95,7 +108,13 @@ def _adagrad_apply_fn(eps: float):
         new_acc = state["acc"].at[uids].set(acc_rows, mode="drop")
         return new_table, {"acc": new_acc}
 
-    return apply
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
+        uids, g = _dedup(table, ids, grads)
+        return apply_deduped(
+            table, state, uids, g, lr, stat_axis=stat_axis, full_dim=full_dim
+        )
+
+    return apply, apply_deduped
 
 
 def _adam_init(table: jnp.ndarray) -> State:
@@ -108,8 +127,7 @@ def _adam_init(table: jnp.ndarray) -> State:
 
 
 def _adam_apply_fn(b1: float, b2: float, eps: float):
-    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
-        uids, g = _dedup(table, ids, grads)
+    def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
         t_rows = jnp.take(state["t"], uids) + 1
         m_rows = b1 * jnp.take(state["m"], uids, axis=0) + (1.0 - b1) * g
         v_rows = b2 * jnp.take(state["v"], uids) + (1.0 - b2) * _row_stat(
@@ -128,7 +146,13 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
             },
         )
 
-    return apply
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
+        uids, g = _dedup(table, ids, grads)
+        return apply_deduped(
+            table, state, uids, g, lr, stat_axis=stat_axis, full_dim=full_dim
+        )
+
+    return apply, apply_deduped
 
 
 def make_sparse_optimizer(
@@ -141,14 +165,16 @@ def make_sparse_optimizer(
     **_: Any,
 ) -> SparseOptimizer:
     if name == "sgd":
-        return SparseOptimizer("sgd", _sgd_init, _sgd_apply, eps)
+        return SparseOptimizer("sgd", _sgd_init, _sgd_apply, _sgd_apply_deduped, eps)
     if name == "rowwise_adagrad":
+        apply, apply_deduped = _adagrad_apply_fn(eps)
         return SparseOptimizer(
             "rowwise_adagrad", _adagrad_init_fn(adagrad_init),
-            _adagrad_apply_fn(eps), eps,
+            apply, apply_deduped, eps,
         )
     if name == "rowwise_adam":
+        apply, apply_deduped = _adam_apply_fn(adam_b1, adam_b2, eps)
         return SparseOptimizer(
-            "rowwise_adam", _adam_init, _adam_apply_fn(adam_b1, adam_b2, eps), eps
+            "rowwise_adam", _adam_init, apply, apply_deduped, eps
         )
     raise ValueError(f"unknown sparse optimizer {name!r}")

@@ -51,6 +51,10 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         super().__init__(
             model, loss_name, optim_cfg, l2_reg=l2_reg, kernels=kernels,
             seed=seed, device_negatives=device_negatives, num_items=num_items,
+            # Sharded tables update through per-table collective plans
+            # (RowShardedTable.update does its dedup inside shard_map);
+            # the batched cross-table dedup would bypass them.
+            group_dedup=False,
         )
         self.mesh = mesh
         self.mesh_cfg = mesh_cfg or MeshConfig()

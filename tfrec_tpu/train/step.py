@@ -113,8 +113,14 @@ class TrainStepBuilder:
         seed: int = 0,
         device_negatives: bool = False,
         num_items: int = 0,
+        group_dedup: bool = True,
     ):
         self.base_rng = jax.random.PRNGKey(seed)
+        # Batch the duplicate-id combine of all same-shaped tables into ONE
+        # sort/segment-sum (ops/embedding.combine_duplicate_ids_grouped).
+        # Bit-identical to the per-table path; subclasses with per-table
+        # collective plans (parallel/step.py) switch it off.
+        self.group_dedup = group_dedup
         if device_negatives and loss_name not in ("bpr", "hinge"):
             raise ValueError(
                 "device_negatives supports single-negative pairwise losses "
@@ -171,24 +177,85 @@ class TrainStepBuilder:
 
     def sparse_update(self, name: str, table, opt_state, ids, grads, lr):
         """One table's sparse-optimizer application. Returns (table, state)."""
-        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
-            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
-
-            fused_ok = fused_scatter_supported(table.shape[0], table.shape[1])
-        else:
-            fused_ok = False
-        if fused_ok:
-            # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
-            # duplicate combine stays in XLA (sort + segment-sum).
-            from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+        if self._fused_scatter_ok(table):
             from tfrec_tpu.ops.embedding import combine_duplicate_ids
 
             uids, g = combine_duplicate_ids(ids, grads, sentinel=table.shape[0])
-            new_table, new_acc = fused_rowwise_adagrad(
-                table, opt_state["acc"], uids, g, lr, self.sparse_opt.eps
-            )
-            return new_table, {"acc": new_acc}
+            return self._fused_apply(table, opt_state, uids, g, lr)
         return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
+
+    def _fused_scatter_ok(self, table) -> bool:
+        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
+            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+            return fused_scatter_supported(table.shape[0], table.shape[1])
+        return False
+
+    def _fused_apply(self, table, opt_state, uids, g, lr):
+        # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
+        # duplicate combine stays in XLA (sort + segment-sum).
+        from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+
+        new_table, new_acc = fused_rowwise_adagrad(
+            table, opt_state["acc"], uids, g, lr, self.sparse_opt.eps
+        )
+        return new_table, {"acc": new_acc}
+
+    def sparse_update_deduped(self, name: str, table, opt_state, uids, g, lr):
+        """Post-combine half of ``sparse_update`` (uids/g already deduped)."""
+        if self._fused_scatter_ok(table):
+            return self._fused_apply(table, opt_state, uids, g, lr)
+        return self.sparse_opt.apply_deduped(table, opt_state, uids, g, lr)
+
+    def sparse_update_all(self, state: State, ids, gathered_grad, lr):
+        """Apply the sparse optimizer to every table.
+
+        Default path: tables whose (ids, grads) shapes match are deduped
+        together in ONE batched sort/segment-sum
+        (ops/embedding.combine_duplicate_ids_grouped) — the 26 per-table
+        sorts of a Criteo-shaped step are latency-bound, and batching them
+        removes a fixed per-op cost times the table count. The scatters
+        stay per-table (they are cheap). Falls back to the per-table
+        ``sparse_update`` seam when grouping is off, for 1-table groups,
+        and for non-flat id shapes.
+        """
+        new_tables = dict(state["tables"])
+        new_sparse = dict(state["sparse_opt"])
+
+        def per_table(name):
+            new_tables[name], new_sparse[name] = self.sparse_update(
+                name, state["tables"][name], state["sparse_opt"][name],
+                ids[name], gathered_grad[name], lr,
+            )
+
+        if not self.group_dedup:
+            for name in gathered_grad:
+                per_table(name)
+            return new_tables, new_sparse
+
+        groups: Dict[tuple, list] = {}
+        for name in gathered_grad:
+            if ids[name].ndim != 1:
+                per_table(name)
+                continue
+            key = (ids[name].shape, str(ids[name].dtype), gathered_grad[name].shape)
+            groups.setdefault(key, []).append(name)
+        for members in groups.values():
+            if len(members) == 1:
+                per_table(members[0])
+                continue
+            from tfrec_tpu.ops.embedding import combine_duplicate_ids_grouped
+
+            ids_st = jnp.stack([ids[n] for n in members])
+            g_st = jnp.stack([gathered_grad[n] for n in members])
+            sentinels = [state["tables"][n].shape[0] for n in members]
+            uids, comb = combine_duplicate_ids_grouped(ids_st, g_st, sentinels)
+            for i, name in enumerate(members):
+                new_tables[name], new_sparse[name] = self.sparse_update_deduped(
+                    name, state["tables"][name], state["sparse_opt"][name],
+                    uids[i], comb[i], lr,
+                )
+        return new_tables, new_sparse
 
     def step(self, state: State, batch: Dict[str, jnp.ndarray]) -> Tuple[State, Dict]:
         model, loss_fn = self.model, self.loss_fn
@@ -236,15 +303,11 @@ class TrainStepBuilder:
             )
             new_dense = optax.apply_updates(state["dense"], updates)
 
-        new_tables = dict(state["tables"])
-        new_sparse = dict(state["sparse_opt"])
         sparse_lr_t = self.sparse_schedule(state["step"])
         with jax.named_scope("sparse_update"):
-            for name, g in gathered_grad.items():
-                new_tables[name], new_sparse[name] = self.sparse_update(
-                    name, state["tables"][name], state["sparse_opt"][name],
-                    ids[name], g, sparse_lr_t,
-                )
+            new_tables, new_sparse = self.sparse_update_all(
+                state, ids, gathered_grad, sparse_lr_t
+            )
 
         new_state = {
             "step": state["step"] + 1,
