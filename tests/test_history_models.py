@@ -120,3 +120,100 @@ def test_multvae_coerces_wrong_loss():
     )
     t, hist = run(cfg, quiet=True)
     assert t.loss_name == "multvae"
+
+
+def test_nais_self_exclusion():
+    """Attention over an all-excluded history must yield only the bias."""
+    spec = DataSpec.interaction(4, 10)
+    m = build_model(
+        ModelConfig(name="nais", embed_dim=4, nais_attention_dim=4), spec
+    )
+    params = m.init(jax.random.PRNGKey(0))
+    hist = jnp.asarray([[3, 10, 10]], jnp.int32)
+    batch = {
+        "user": jnp.asarray([0], jnp.int32),
+        "item": jnp.asarray([3], jnp.int32),
+        "hist": hist,
+        "hist_len": jnp.asarray([1], jnp.int32),
+    }
+    ids = m.lookup_ids(batch)
+    gathered = {
+        k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+        for k, v in ids.items()
+    }
+    score = m.forward(params["dense"], gathered, batch)
+    want_bias = params["tables"]["item_bias"][3, 0]
+    np.testing.assert_allclose(np.asarray(score[0]), np.asarray(want_bias),
+                               atol=1e-6)
+
+
+def test_nais_score_all_matches_forward():
+    """Chunked score_all must agree with the pointwise forward path."""
+    spec = DataSpec.interaction(6, 37)  # prime-ish V exercises chunk padding
+    m = build_model(
+        ModelConfig(name="nais", embed_dim=8, nais_attention_dim=4,
+                    max_history=5), spec
+    )
+    params = m.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    hist = np.full((6, 5), 37, np.int32)
+    for u in range(6):
+        n = rng.integers(1, 6)
+        hist[u, :n] = rng.choice(37, size=n, replace=False)
+    m.attach_history(hist, (hist < 37).sum(1))
+    users = jnp.asarray([0, 3, 5], jnp.int32)
+    scores = m.score_all(params, users)
+    assert scores.shape == (3, 37)
+    for r, u in enumerate([0, 3, 5]):
+        for item in (0, 17, 36):
+            batch = {
+                "user": jnp.asarray([u], jnp.int32),
+                "item": jnp.asarray([item], jnp.int32),
+                "hist": jnp.asarray(hist[u][None]),
+                "hist_len": jnp.asarray([(hist[u] < 37).sum()]),
+            }
+            ids = m.lookup_ids(batch)
+            gathered = {
+                k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+                for k, v in ids.items()
+            }
+            want = float(m.forward(params["dense"], gathered, batch)[0])
+            np.testing.assert_allclose(float(scores[r, item]), want, atol=1e-5)
+
+
+def test_nais_learns_above_random():
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(name="nais", embed_dim=16, max_history=32,
+                          nais_attention_dim=8),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=256, epochs=8, eval_every_epochs=8,
+                          eval_topk=(20,), loss="bpr"),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert hist[-1]["recall@20"] > 0.12, hist[-1]
+
+
+def test_cdae_learns_above_random():
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(name="cdae", vae_hidden=64, dropout=0.2,
+                          max_history=32),
+        optim=OptimConfig(learning_rate=0.003),
+        train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=12,
+                          eval_topk=(20,), loss="cdae"),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert hist[-1]["recall@20"] > 0.12, hist[-1]
+
+
+def test_cdae_coerces_wrong_loss():
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(name="cdae", vae_hidden=32, max_history=16),
+        optim=OptimConfig(learning_rate=0.003),
+        train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=0,
+                          loss="logloss"),  # wrong on purpose
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.loss_name == "cdae"

@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | multvae
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
@@ -91,9 +91,14 @@ class ModelConfig:
     fism_alpha: float = 0.5
     # MultVAE: encoder hidden width (the enc1 embedding-bag table dim),
     # latent dim, fixed KL weight (Mult-VAE^PR without annealing).
+    # vae_hidden doubles as CDAE's hidden width; CDAE's input corruption
+    # level is `dropout`.
     vae_hidden: int = 256
     vae_latent: int = 64
     vae_beta: float = 0.2
+    # NAIS: attention MLP width and the softmax-smoothing exponent beta.
+    nais_attention_dim: int = 16
+    nais_beta: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,10 +12,12 @@ from tfrec_tpu.models.base import DataSpec, RecModel
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
 from tfrec_tpu.models.dlrm import DLRM
+from tfrec_tpu.models.cdae import CDAE
 from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.multvae import MultVAE
+from tfrec_tpu.models.nais import NAIS
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
 from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.widedeep import WideDeep
@@ -101,6 +103,16 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
         return MultVAE(
             data_spec, hidden_dim=cfg.vae_hidden, latent_dim=cfg.vae_latent,
             beta=cfg.vae_beta, dropout=cfg.dropout,
+            max_history=cfg.max_history,
+        )
+    if name == "nais":
+        return NAIS(
+            data_spec, cfg.embed_dim, attention_dim=cfg.nais_attention_dim,
+            beta=cfg.nais_beta, max_history=cfg.max_history,
+        )
+    if name == "cdae":
+        return CDAE(
+            data_spec, hidden_dim=cfg.vae_hidden, dropout=cfg.dropout,
             max_history=cfg.max_history,
         )
     raise ValueError(f"unknown model {cfg.name!r}")

@@ -76,6 +76,26 @@ def multvae(out: Dict, batch: Dict) -> jnp.ndarray:
     return jnp.mean(nll + kl)
 
 
+def cdae(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
+    """CDAE reconstruction: binary cross-entropy of the full-catalog
+    logits [B, V] against the user's multi-hot history (sentinel-padded
+    batch["hist"]). Stable formulation: BCE(x, t) = softplus(x) - t*x,
+    summed over items, averaged over the batch."""
+    v = logits.shape[-1]
+    hist = batch["hist"]
+    valid = hist < v
+    target = (
+        jnp.zeros(logits.shape, logits.dtype)
+        .at[
+            jnp.arange(hist.shape[0])[:, None],
+            jnp.minimum(hist, v - 1),
+        ]
+        .max(valid.astype(logits.dtype))
+    )
+    per_elem = jax.nn.softplus(logits) - target * logits
+    return jnp.mean(jnp.sum(per_elem, axis=-1))
+
+
 def mse(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """Squared error against (possibly real-valued) labels — explicit-rating MF."""
     return jnp.mean((logits - batch["label"]) ** 2)
@@ -89,6 +109,7 @@ _LOSSES: Dict[str, Callable] = {
     "sampled_softmax": sampled_softmax,
     "in_batch_softmax": in_batch_softmax,
     "multvae": multvae,
+    "cdae": cdae,
 }
 
 PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")

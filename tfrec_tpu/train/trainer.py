@@ -180,17 +180,23 @@ class Trainer:
                 self.dataset, c.model.max_history, seed=c.train.seed
             )
             self.model.attach_history(hist, lens)
-            want = "multvae" if c.model.name.lower() == "multvae" else None
+            # Reconstruction models carry their own objective; the
+            # item-similarity family (fism/nais) trains pairwise.
+            want = {"multvae": "multvae", "cdae": "cdae"}.get(
+                c.model.name.lower()
+            )
             if want and loss != want:
                 self.logger.log({
                     "event": "loss_coerced", "from": loss, "to": want,
-                    "reason": "MultVAE trains on its ELBO objective",
+                    "reason": f"{c.model.name} trains on its own "
+                              "reconstruction objective",
                 })
                 loss = want
             elif want is None and loss not in ("bpr", "hinge"):
                 self.logger.log({
                     "event": "loss_coerced", "from": loss, "to": "bpr",
-                    "reason": "FISM trains single-negative pairwise",
+                    "reason": "item-similarity models train "
+                              "single-negative pairwise",
                 })
                 loss = "bpr"
         self.loss_name = loss
@@ -309,7 +315,7 @@ class Trainer:
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
             return CTRBatcher(dense, cat, label, local_bs, seed=seed)
-        if self.loss_name == "multvae":
+        if self.loss_name in ("multvae", "cdae"):
             from tfrec_tpu.data.samplers import UserHistorySampler
 
             return UserHistorySampler(

@@ -7,6 +7,8 @@ a dataset path (no datasets ship in this environment — SURVEY.md §0); the
 
 from __future__ import annotations
 
+import dataclasses
+
 from tfrec_tpu.configs import (
     Config,
     DataConfig,
@@ -187,6 +189,34 @@ def multvae_ml100k(path: str | None = None) -> Config:
     )
 
 
+def nais_ml100k(path: str | None = None) -> Config:
+    """Long-tail zoo: NAIS attentive item similarity on the ML-100K shape
+    (FISM with a target-aware attention pool over the history)."""
+    cfg = fism_ml100k(path)
+    return cfg.replace(
+        run_name="nais_ml100k",
+        model=ModelConfig(name="nais", embed_dim=64, l2_reg=0.01,
+                          max_history=64, nais_attention_dim=16,
+                          nais_beta=0.5),
+        optim=OptimConfig(
+            learning_rate=0.02, dense_optimizer="adagrad",
+            sparse_optimizer="rowwise_adagrad",
+        ),
+    )
+
+
+def cdae_ml100k(path: str | None = None) -> Config:
+    """Long-tail zoo: collaborative denoising autoencoder on the ML-100K
+    shape (per-user reconstruction batches, full-catalog BCE)."""
+    cfg = multvae_ml100k(path)
+    return cfg.replace(
+        run_name="cdae_ml100k",
+        model=ModelConfig(name="cdae", vae_hidden=256, dropout=0.2,
+                          max_history=128),
+        train=dataclasses.replace(cfg.train, loss="cdae"),
+    )
+
+
 ZOO = {
     "mf_bpr_ml100k": mf_bpr_ml100k,
     "fm_ctr_ml1m": fm_ctr_ml1m,
@@ -195,4 +225,6 @@ ZOO = {
     "dcn_multihost": dcn_retrieval_multihost,
     "fism_ml100k": fism_ml100k,
     "multvae_ml100k": multvae_ml100k,
+    "nais_ml100k": nais_ml100k,
+    "cdae_ml100k": cdae_ml100k,
 }
