@@ -102,20 +102,41 @@ def main() -> int:
         inv = jnp.argsort(order)
         return jnp.take(rows, inv, axis=0)
 
+    def take_packed(t, i):
+        # Pure-XLA packed-view gather: a [V, D<128] table viewed as
+        # [V/p, 128] (free — row-major reshape), gather full 128-lane
+        # rows at ids//p, select the D-lane sub-row ids%p on the VPU.
+        # Trades 128/D x fetch volume for 128-byte-row DMA efficiency —
+        # the cliff is per-row latency-bound, so this should win when
+        # 128/D x useful bytes still beats the narrow-row rate.
+        vv, dd = t.shape
+        p = 128 // dd
+        packed = t.reshape(vv // p, p * dd)
+        rows = jnp.take(packed, i // p, axis=0, mode="clip")
+        return jnp.take_along_axis(
+            rows.reshape(i.shape[0], p, dd), (i % p)[:, None, None], axis=1
+        )[:, 0]
+
     variants = {"take": take, "take_sorted": take_sorted,
-                "packed_pallas": gather_pallas}
-    v, d, n = (1000, 32, 256) if smoke else (1_000_000, 32, 26 * 8192)
-    for name, fn in variants.items():
-        try:
-            t, bw = _slope_gather(v, d, n, gather=fn)
-            print(
-                f"gather-variant {name} v={v} d={d}: {t*1e6:.0f} us, "
-                f"effective {bw/1e9:.1f} GB/s",
-                flush=True,
-            )
-        except Exception:
-            print(f"gather-variant {name}: EXCEPTION", flush=True)
-            traceback.print_exc()
+                "take_packed": take_packed, "packed_pallas": gather_pallas}
+    cliff_shapes = (
+        ((1000, 32, 256),) if smoke
+        else ((1_000_000, 32, 26 * 8192), (1_000_000, 64, 26 * 8192))
+    )
+    for v, d, n in cliff_shapes:
+        for name, fn in variants.items():
+            if name == "packed_pallas" and d != 32:
+                continue
+            try:
+                t, bw = _slope_gather(v, d, n, gather=fn)
+                print(
+                    f"gather-variant {name} v={v} d={d}: {t*1e6:.0f} us, "
+                    f"effective {bw/1e9:.1f} GB/s",
+                    flush=True,
+                )
+            except Exception:
+                print(f"gather-variant {name} v={v} d={d}: EXCEPTION", flush=True)
+                traceback.print_exc()
     return 0
 
 

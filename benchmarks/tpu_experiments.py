@@ -93,6 +93,10 @@ EXPERIMENTS = {
     "step_ablate": ["python", "benchmarks/exp_step_ablate.py"],
     "step_ablate_d128": ["env", "BREAKDOWN_DIM=128", "python",
                          "benchmarks/exp_step_ablate.py"],
+    # Table-update scatter strategies (sorted/unique hints, pallas fused).
+    "scatter_variants": ["python", "benchmarks/exp_scatter_variants.py"],
+    "scatter_variants_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                              "benchmarks/exp_scatter_variants.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",

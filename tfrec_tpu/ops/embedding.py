@@ -77,6 +77,12 @@ def combine_duplicate_ids(
       (uids [N] int32, combined [N, D]): slot j < num_unique holds a distinct
       id and the sum of its gradient rows; remaining slots hold ``sentinel``
       and arbitrary values (callers scatter with mode='drop').
+
+    ``uids`` is globally ASCENDING (unique ids sorted, then the sentinel —
+    which is >= every real id — fills the tail) and every in-range id
+    appears once, so downstream gathers/scatters may legitimately pass
+    ``indices_are_sorted=True`` and ``unique_indices=True`` (duplicate
+    sentinel slots are out of bounds and dropped before any write).
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -86,10 +92,19 @@ def combine_duplicate_ids(
         [jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)]
     )
     seg = jnp.cumsum(starts) - 1  # [N] segment index, contiguous from 0
-    combined = jax.ops.segment_sum(sg, seg, num_segments=n)
+    # seg is ascending by construction: the sorted-indices hint keeps XLA
+    # off its serial general-scatter path (the measured step bottleneck —
+    # docs/PERF.md "Scatter hints").
+    combined = jax.ops.segment_sum(
+        sg, seg, num_segments=n, indices_are_sorted=True
+    )
     # All members of a segment share the same id, so duplicate scatter
     # writes are identical — deterministic despite unspecified order.
-    uids = jnp.full((n,), sentinel, dtype=ids.dtype).at[seg].set(sids)
+    uids = (
+        jnp.full((n,), sentinel, dtype=ids.dtype)
+        .at[seg]
+        .set(sids, indices_are_sorted=True)
+    )
     return uids, combined
 
 
@@ -129,8 +144,10 @@ def combine_duplicate_ids_grouped(
     )
     seg = jnp.cumsum(starts, axis=-1) - 1  # [F, N], per-row contiguous from 0
     flat_seg = (seg + jnp.arange(f, dtype=seg.dtype)[:, None] * n).reshape(-1)
+    # flat_seg ascends globally (per-row ascending + row-strided offsets).
     combined = jax.ops.segment_sum(
-        sg.reshape(f * n, -1), flat_seg, num_segments=f * n
+        sg.reshape(f * n, -1), flat_seg, num_segments=f * n,
+        indices_are_sorted=True,
     ).reshape(f, n, -1)
     sent = jnp.broadcast_to(
         jnp.asarray(sentinels, ids.dtype)[:, None], (f, n)

@@ -81,8 +81,17 @@ def _sgd_init(table: jnp.ndarray) -> State:
     return {}
 
 
+_HINTS = dict(indices_are_sorted=True, unique_indices=True)
+# apply_deduped contracts: ``uids`` comes from combine_duplicate_ids, which
+# returns a globally ascending array whose in-range ids are unique (sentinel
+# tail is out of bounds — dropped before any write), so the sorted/unique
+# scatter hints are sound. They matter: XLA lowers an unhinted scatter to a
+# serial per-index loop, which step_ablate measured as ~60% of the whole
+# DCN train step (docs/PERF.md "Scatter hints").
+
+
 def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-    return table.at[uids].add(-lr * g, mode="drop"), state
+    return table.at[uids].add(-lr * g, mode="drop", **_HINTS), state
 
 
 def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
@@ -102,10 +111,10 @@ def _adagrad_init_fn(initial_accumulator: float):
 def _adagrad_apply_fn(eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
         g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
-        acc_rows = jnp.take(state["acc"], uids) + g2
+        acc_rows = jnp.take(state["acc"], uids, indices_are_sorted=True) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
-        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop")
-        new_acc = state["acc"].at[uids].set(acc_rows, mode="drop")
+        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop", **_HINTS)
+        new_acc = state["acc"].at[uids].set(acc_rows, mode="drop", **_HINTS)
         return new_table, {"acc": new_acc}
 
     def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
@@ -128,9 +137,10 @@ def _adam_init(table: jnp.ndarray) -> State:
 
 def _adam_apply_fn(b1: float, b2: float, eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-        t_rows = jnp.take(state["t"], uids) + 1
-        m_rows = b1 * jnp.take(state["m"], uids, axis=0) + (1.0 - b1) * g
-        v_rows = b2 * jnp.take(state["v"], uids) + (1.0 - b2) * _row_stat(
+        srt = dict(indices_are_sorted=True)
+        t_rows = jnp.take(state["t"], uids, **srt) + 1
+        m_rows = b1 * jnp.take(state["m"], uids, axis=0, **srt) + (1.0 - b1) * g
+        v_rows = b2 * jnp.take(state["v"], uids, **srt) + (1.0 - b2) * _row_stat(
             g, stat_axis, full_dim
         )
         tf = t_rows.astype(jnp.float32)
@@ -138,11 +148,11 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
         v_hat = v_rows / (1.0 - b2**tf)
         update = -lr * m_hat / (jnp.sqrt(v_hat) + eps)[:, None]
         return (
-            table.at[uids].add(update, mode="drop"),
+            table.at[uids].add(update, mode="drop", **_HINTS),
             {
-                "m": state["m"].at[uids].set(m_rows, mode="drop"),
-                "v": state["v"].at[uids].set(v_rows, mode="drop"),
-                "t": state["t"].at[uids].set(t_rows, mode="drop"),
+                "m": state["m"].at[uids].set(m_rows, mode="drop", **_HINTS),
+                "v": state["v"].at[uids].set(v_rows, mode="drop", **_HINTS),
+                "t": state["t"].at[uids].set(t_rows, mode="drop", **_HINTS),
             },
         )
 
