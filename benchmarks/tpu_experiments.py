@@ -97,6 +97,10 @@ EXPERIMENTS = {
     "scatter_variants": ["python", "benchmarks/exp_scatter_variants.py"],
     "scatter_variants_d128": ["env", "BREAKDOWN_DIM=128", "python",
                               "benchmarks/exp_scatter_variants.py"],
+    # Post-hints sparse-path decomposition at 26-table scale.
+    "sparse_residue": ["python", "benchmarks/exp_sparse_residue.py"],
+    "sparse_residue_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                            "benchmarks/exp_sparse_residue.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",

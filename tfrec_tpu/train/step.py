@@ -113,13 +113,16 @@ class TrainStepBuilder:
         seed: int = 0,
         device_negatives: bool = False,
         num_items: int = 0,
-        group_dedup: bool = True,
+        group_dedup: bool = False,
     ):
         self.base_rng = jax.random.PRNGKey(seed)
         # Batch the duplicate-id combine of all same-shaped tables into ONE
         # sort/segment-sum (ops/embedding.combine_duplicate_ids_grouped).
-        # Bit-identical to the per-table path; subclasses with per-table
-        # collective plans (parallel/step.py) switch it off.
+        # Bit-identical to the per-table path but measured SLOWER on v5e
+        # at both d=32 and d=128 (step_ablate 2026-08-17: the stacked
+        # [F,B,D] gather/segment-sum moves more HBM bytes than the 26
+        # latency-bound sorts it saves, before and after scatter hints) —
+        # so per-table is the default and grouping stays a tested option.
         self.group_dedup = group_dedup
         if device_negatives and loss_name not in ("bpr", "hinge"):
             raise ValueError(
