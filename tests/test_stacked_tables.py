@@ -144,3 +144,52 @@ def test_stacked_rejects_non_ctr_and_mixed_dims():
                         stack_tables=True),
             DataSpec.ctr(VOCABS, NUM_DENSE),
         )
+
+
+def test_stacked_mesh_step_matches_single_device():
+    """stack_tables x row-sharded mesh (the config-5 collective-count
+    optimization: ONE a2a set for all fields instead of one per field)
+    must match the same stacked model on a single device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tfrec_tpu.configs import MeshConfig
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+    mesh = make_mesh(8, 1)
+    spec = DataSpec.ctr(VOCABS, NUM_DENSE)
+    mcfg = ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                       mlp_dims=(16,), stack_tables=True)
+    ocfg = OptimConfig(learning_rate=0.01, dense_optimizer="adam",
+                       sparse_optimizer="rowwise_adagrad")
+    model = build_model(mcfg, spec)
+    b_ref = TrainStepBuilder(model, "logloss", ocfg)
+    s_ref = b_ref.init_state(jax.random.PRNGKey(0))
+    b_sh = ShardedTrainStepBuilder(model, "logloss", ocfg, mesh, MeshConfig())
+    s_sh = b_sh.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    step_ref = jax.jit(b_ref.step)
+    step_sh = None
+    for i in range(3):
+        batch = _batch(rng)
+        s_ref, m_ref = step_ref(s_ref, batch)
+        bs = {
+            k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            )
+            for k, v in batch.items()
+        }
+        if step_sh is None:
+            step_sh = b_sh.compile_step(s_sh, bs)
+        s_sh, m_sh = step_sh(s_sh, bs)
+        assert int(m_sh["lookup_overflow"]) == 0
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_sh["loss"]), rtol=1e-5
+        )
+    ut = b_sh.unpadded_tables(s_sh)
+    for name in s_ref["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(ut[name]), np.asarray(s_ref["tables"][name]),
+            rtol=2e-4, atol=1e-5,
+        )

@@ -132,10 +132,18 @@ def dcn_criteo(path: str | None = None, max_examples: int = 2_000_000) -> Config
 
 def dcn_retrieval_multihost(path: str | None = None) -> Config:
     """Config 5: multi-host DCN + retrieval — row/column-sharded tables,
-    all-to-all over ICI (v5e-16 target; runs on any mesh size)."""
+    all-to-all over ICI (v5e-16 target; runs on any mesh size).
+
+    stack_tables fuses the 26 field tables into one, so the step issues
+    ONE a2a set (3 collectives + dense psum) instead of 26x3+1 — the
+    per-collective dispatch floor is the dominant multi-host latency term
+    (docs/PERF.md "Collective dispatch floors"). Per-shard gathers stay
+    under the narrow-row gather cliff for meshes >= 8 shards
+    (2.6M rows / N; the cliff sits at whole-table >= ~128 MB)."""
     cfg = dcn_criteo(path)
     return cfg.replace(
         run_name="dcn_multihost",
+        model=dataclasses.replace(cfg.model, stack_tables=True),
         mesh=MeshConfig(table_sharding="row", a2a_capacity_factor=2.0),
     )
 
