@@ -217,3 +217,79 @@ def test_cdae_coerces_wrong_loss():
     )
     t, hist = run(cfg, quiet=True)
     assert t.loss_name == "cdae"
+
+
+def test_build_sequences_time_ordered_most_recent():
+    from tfrec_tpu.data.samplers import build_sequences
+
+    ds = build_dataset(DATA)
+    seq, lens = build_sequences(ds, 8, seed=0)
+    assert seq.shape == (ds.num_users, 8)
+    by_user = {}
+    order = np.lexsort((ds.train.times, ds.train.users))
+    for idx in order:
+        by_user.setdefault(int(ds.train.users[idx]), []).append(
+            (float(ds.train.times[idx]), int(ds.train.items[idx]))
+        )
+    for u in range(0, ds.num_users, 41):
+        run_ = by_user.get(u, [])
+        want_n = min(len(run_), 8)
+        assert lens[u] == want_n
+        got = [int(x) for x in seq[u][:want_n]]
+        # most recent L, oldest -> newest: timestamps must be non-decreasing
+        # and every got item must be in the user's train set
+        items_set = {i for _, i in run_}
+        assert all(i in items_set for i in got)
+        # the LAST element must be (one of) the newest interactions
+        if run_:
+            newest_t = run_[-1][0]
+            got_last_ts = [t for t, i in run_ if i == got[-1]]
+            assert max(got_last_ts) >= newest_t - 1e-9 or len(run_) > 8
+
+
+def test_sasrec_causality():
+    """Changing a FUTURE item must not change earlier positions' logits."""
+    spec = DataSpec.interaction(4, 50)
+    m = build_model(
+        ModelConfig(name="sasrec", embed_dim=8, max_history=6,
+                    sasrec_blocks=2), spec
+    )
+    params = m.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 50, (2, 6)).astype(np.int32)
+    seq2 = seq.copy()
+    seq2[:, -1] = (seq2[:, -1] + 7) % 50  # change only the LAST item
+    negs = rng.integers(0, 50, (2, 5)).astype(np.int32)
+
+    def fwd(s):
+        batch = {"seq": jnp.asarray(s), "seq_negs": jnp.asarray(negs),
+                 "seq_len": jnp.asarray([6, 6], jnp.int32)}
+        ids = m.lookup_ids(batch)
+        gathered = {
+            k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+            for k, v in ids.items()
+        }
+        return m.forward(params["dense"], gathered, batch)
+
+    a, b = fwd(seq), fwd(seq2)
+    # positions 0..L-3 predict targets seq[1..L-2] — unchanged by the edit
+    np.testing.assert_allclose(
+        np.asarray(a["pos"][:, :-1]), np.asarray(b["pos"][:, :-1]), atol=1e-6
+    )
+    # the final position's target DID change
+    assert not np.allclose(np.asarray(a["pos"][:, -1]), np.asarray(b["pos"][:, -1]))
+
+
+def test_sasrec_learns_above_random():
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(name="sasrec", embed_dim=32, max_history=24,
+                          sasrec_blocks=2, sasrec_heads=2, dropout=0.1),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=12,
+                          eval_topk=(20,), loss="sasrec"),
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.loss_name == "sasrec"
+    # random recall@20 on 512 items ~ 0.039; measured 0.20
+    assert hist[-1]["recall@20"] > 0.10, hist[-1]

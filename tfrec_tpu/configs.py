@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
@@ -99,6 +99,10 @@ class ModelConfig:
     # NAIS: attention MLP width and the softmax-smoothing exponent beta.
     nais_attention_dim: int = 16
     nais_beta: float = 0.5
+    # SASRec: transformer depth/heads over the ordered history
+    # (sequence length = max_history; embed_dim is the model width).
+    sasrec_blocks: int = 2
+    sasrec_heads: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -276,3 +276,74 @@ class CTRBatcher:
                 "cat": self.cat[idx],
                 "label": self.label[idx],
             }
+
+
+def build_sequences(
+    dataset: Dataset, max_len: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-user TIME-ORDERED train sequences for sequential recommenders
+    (SASRec family): ([U, L] int32 item ids, oldest -> newest, padded at
+    the tail with the sentinel ``num_items``; [U] int32 true lengths).
+    Users with more than L interactions keep the MOST RECENT L (the
+    SASRec protocol). Ties in the timestamp (or absent timestamps, times
+    == 0) break by a seeded jitter — the same convention as the
+    leave-one-out splitter, so train sequences and held-out items stay
+    consistent."""
+    rng = np.random.default_rng((seed, 0x5E9))
+    tr = dataset.train
+    nu = dataset.num_users
+    if len(tr.items) == 0:
+        return (
+            np.full((nu, max_len), dataset.num_items, np.int32),
+            np.zeros(nu, np.int32),
+        )
+    jitter = rng.random(len(tr.items))
+    order = np.lexsort((jitter, tr.times, tr.users))
+    users = tr.users[order]
+    items = tr.items[order]
+    starts = np.searchsorted(users, np.arange(nu))
+    ends = np.searchsorted(users, np.arange(nu) + 1)
+    counts = ends - starts
+    lens = np.minimum(counts, max_len).astype(np.int32)
+    # Most recent L: window [end - len, end) of each user's ordered run.
+    cols = np.arange(max_len)[None, :]
+    valid = cols < lens[:, None]
+    first = ends[:, None] - lens[:, None]
+    flat_idx = np.minimum(np.maximum(first + cols, 0), len(items) - 1)
+    seq = np.where(valid, items[flat_idx], dataset.num_items).astype(np.int32)
+    return seq, lens
+
+
+class SequenceSampler:
+    """{user, seq [B,L], seq_len, seq_negs [B,L-1]} batches for next-item
+    training (SASRec): time-ordered sequences over users with >= 2 train
+    interactions, shuffled per epoch; one fresh uniform negative per
+    predicted position per epoch (no positive exclusion — the standard
+    large-catalog approximation, same policy as device negatives)."""
+
+    def __init__(self, dataset: Dataset, batch_size: int, max_len: int,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_items = dataset.num_items
+        self.seq, self.lens = build_sequences(dataset, max_len, seed)
+        self.active = np.flatnonzero(self.lens >= 2).astype(np.int32)
+
+    def num_batches(self) -> int:
+        return len(self.active) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch, 0x5E9))
+        users = self.active[rng.permutation(len(self.active))]
+        l = self.seq.shape[1]
+        for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
+            u = users[start : start + self.batch_size]
+            negs = rng.integers(
+                0, self.num_items, (len(u), l - 1)
+            ).astype(np.int32)
+            yield {
+                "user": u,
+                "seq": self.seq[u],
+                "seq_len": self.lens[u],
+                "seq_negs": negs,
+            }

@@ -20,6 +20,7 @@ from tfrec_tpu.models.multvae import MultVAE
 from tfrec_tpu.models.nais import NAIS
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
 from tfrec_tpu.models.pop import Pop
+from tfrec_tpu.models.sasrec import SASRec
 from tfrec_tpu.models.widedeep import WideDeep
 
 __all__ = [
@@ -113,6 +114,12 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "cdae":
         return CDAE(
             data_spec, hidden_dim=cfg.vae_hidden, dropout=cfg.dropout,
+            max_history=cfg.max_history,
+        )
+    if name == "sasrec":
+        return SASRec(
+            data_spec, cfg.embed_dim, num_blocks=cfg.sasrec_blocks,
+            num_heads=cfg.sasrec_heads, dropout=cfg.dropout,
             max_history=cfg.max_history,
         )
     raise ValueError(f"unknown model {cfg.name!r}")

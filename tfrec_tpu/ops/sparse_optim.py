@@ -81,17 +81,30 @@ def _sgd_init(table: jnp.ndarray) -> State:
     return {}
 
 
-_HINTS = dict(indices_are_sorted=True, unique_indices=True)
 # apply_deduped contracts: ``uids`` comes from combine_duplicate_ids, which
 # returns a globally ascending array whose in-range ids are unique (sentinel
 # tail is out of bounds — dropped before any write), so the sorted/unique
-# scatter hints are sound. They matter: XLA lowers an unhinted scatter to a
-# serial per-index loop, which step_ablate measured as ~60% of the whole
-# DCN train step (docs/PERF.md "Scatter hints").
+# scatter hints are sound. They matter BOTH ways (docs/PERF.md "Scatter
+# hints"): an unhinted scatter lowers to a serial per-index row loop
+# (~60% of the DCN step), while the hinted lowering's cost scales with the
+# TABLE footprint (a sweep/merge) — it won the 26x100k DCN A/B by 1.5x and
+# LOST the 1Mx64 MF bench by 1.5x. So hints apply only below a table-size
+# crossover: sweep_cost ~ V*D*8B / ~800GB/s vs serial_cost ~ n_ids * ~70ns;
+# at n=8k ids the break-even is ~5e7 elements (override:
+# TFREC_SCATTER_HINT_MAX_ELEMS).
+import os as _os
+
+_HINT_MAX_ELEMS = int(_os.environ.get("TFREC_SCATTER_HINT_MAX_ELEMS", 32_000_000))
+
+
+def _hints(table) -> Dict[str, Any]:
+    if table.size <= _HINT_MAX_ELEMS:
+        return dict(indices_are_sorted=True, unique_indices=True)
+    return {}
 
 
 def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-    return table.at[uids].add(-lr * g, mode="drop", **_HINTS), state
+    return table.at[uids].add(-lr * g, mode="drop", **_hints(table)), state
 
 
 def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
@@ -110,11 +123,15 @@ def _adagrad_init_fn(initial_accumulator: float):
 
 def _adagrad_apply_fn(eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
+        h = _hints(table)
         g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
         acc_rows = jnp.take(state["acc"], uids, indices_are_sorted=True) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
-        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop", **_HINTS)
-        new_acc = state["acc"].at[uids].set(acc_rows, mode="drop", **_HINTS)
+        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop", **h)
+        # The acc is V scalars — always under the crossover.
+        new_acc = state["acc"].at[uids].set(
+            acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
         return new_table, {"acc": new_acc}
 
     def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
@@ -137,6 +154,8 @@ def _adam_init(table: jnp.ndarray) -> State:
 
 def _adam_apply_fn(b1: float, b2: float, eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
+        h = _hints(table)
+        h1 = dict(indices_are_sorted=True, unique_indices=True)  # [V] states
         srt = dict(indices_are_sorted=True)
         t_rows = jnp.take(state["t"], uids, **srt) + 1
         m_rows = b1 * jnp.take(state["m"], uids, axis=0, **srt) + (1.0 - b1) * g
@@ -148,11 +167,11 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
         v_hat = v_rows / (1.0 - b2**tf)
         update = -lr * m_hat / (jnp.sqrt(v_hat) + eps)[:, None]
         return (
-            table.at[uids].add(update, mode="drop", **_HINTS),
+            table.at[uids].add(update, mode="drop", **h),
             {
-                "m": state["m"].at[uids].set(m_rows, mode="drop", **_HINTS),
-                "v": state["v"].at[uids].set(v_rows, mode="drop", **_HINTS),
-                "t": state["t"].at[uids].set(t_rows, mode="drop", **_HINTS),
+                "m": state["m"].at[uids].set(m_rows, mode="drop", **h),
+                "v": state["v"].at[uids].set(v_rows, mode="drop", **h1),
+                "t": state["t"].at[uids].set(t_rows, mode="drop", **h1),
             },
         )
 

@@ -76,6 +76,15 @@ def multvae(out: Dict, batch: Dict) -> jnp.ndarray:
     return jnp.mean(nll + kl)
 
 
+def sasrec(out: Dict, batch: Dict) -> jnp.ndarray:
+    """Per-position next-item BCE (SASRec): positive target vs one
+    sampled negative at every valid sequence position. ``out`` is
+    SASRec.forward's {"pos" [B,L-1], "neg" [B,L-1], "mask" [B,L-1]}."""
+    mask = out["mask"].astype(out["pos"].dtype)
+    per_pos = jax.nn.softplus(-out["pos"]) + jax.nn.softplus(out["neg"])
+    return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def cdae(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """CDAE reconstruction: binary cross-entropy of the full-catalog
     logits [B, V] against the user's multi-hot history (sentinel-padded
@@ -110,6 +119,7 @@ _LOSSES: Dict[str, Callable] = {
     "in_batch_softmax": in_batch_softmax,
     "multvae": multvae,
     "cdae": cdae,
+    "sasrec": sasrec,
 }
 
 PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")

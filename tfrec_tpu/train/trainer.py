@@ -174,17 +174,24 @@ class Trainer:
             getattr(self.model, "needs_history", lambda: False)()
         )
         if self.needs_history:
-            from tfrec_tpu.data.samplers import build_history
+            if getattr(self.model, "ordered_history", False):
+                # Sequential models need the TIME-ORDERED train sequence.
+                from tfrec_tpu.data.samplers import build_sequences
 
-            hist, lens = build_history(
-                self.dataset, c.model.max_history, seed=c.train.seed
-            )
+                hist, lens = build_sequences(
+                    self.dataset, c.model.max_history, seed=c.train.seed
+                )
+            else:
+                from tfrec_tpu.data.samplers import build_history
+
+                hist, lens = build_history(
+                    self.dataset, c.model.max_history, seed=c.train.seed
+                )
             self.model.attach_history(hist, lens)
-            # Reconstruction models carry their own objective; the
-            # item-similarity family (fism/nais) trains pairwise.
-            want = {"multvae": "multvae", "cdae": "cdae"}.get(
-                c.model.name.lower()
-            )
+            # Reconstruction/sequential models carry their own objective;
+            # the item-similarity family (fism/nais) trains pairwise.
+            want = {"multvae": "multvae", "cdae": "cdae",
+                    "sasrec": "sasrec"}.get(c.model.name.lower())
             if want and loss != want:
                 self.logger.log({
                     "event": "loss_coerced", "from": loss, "to": want,
@@ -315,6 +322,12 @@ class Trainer:
         if self.ctr_arrays is not None:
             dense, cat, label = self.ctr_arrays["train"]
             return CTRBatcher(dense, cat, label, local_bs, seed=seed)
+        if self.loss_name == "sasrec":
+            from tfrec_tpu.data.samplers import SequenceSampler
+
+            return SequenceSampler(
+                self.dataset, local_bs, c.model.max_history, seed
+            )
         if self.loss_name in ("multvae", "cdae"):
             from tfrec_tpu.data.samplers import UserHistorySampler
 

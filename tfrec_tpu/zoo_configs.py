@@ -225,6 +225,29 @@ def cdae_ml100k(path: str | None = None) -> Config:
     )
 
 
+def sasrec_ml1m(path: str | None = None) -> Config:
+    """Sequential zoo: SASRec next-item prediction on the ML-1M shape
+    (leave-one-out split, time-ordered sequences — the paper protocol)."""
+    return Config(
+        run_name="sasrec_ml1m",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="leave_one_out",
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=6040, num_items=3706, interactions_per_user=96,
+        ),
+        model=ModelConfig(name="sasrec", embed_dim=64, max_history=200,
+                          sasrec_blocks=2, sasrec_heads=1, dropout=0.2),
+        optim=OptimConfig(learning_rate=0.001, dense_optimizer="adam",
+                          sparse_optimizer="rowwise_adam"),
+        train=TrainConfig(
+            batch_size=128, epochs=60, loss="sasrec", eval_every_epochs=20,
+            eval_topk=(10, 20),
+        ),
+    )
+
+
 ZOO = {
     "mf_bpr_ml100k": mf_bpr_ml100k,
     "fm_ctr_ml1m": fm_ctr_ml1m,
@@ -235,4 +258,5 @@ ZOO = {
     "multvae_ml100k": multvae_ml100k,
     "nais_ml100k": nais_ml100k,
     "cdae_ml100k": cdae_ml100k,
+    "sasrec_ml1m": sasrec_ml1m,
 }
