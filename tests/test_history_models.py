@@ -4,6 +4,7 @@ history-carrying batch machinery (SURVEY.md §2a "other zoo")."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tfrec_tpu.configs import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
 from tfrec_tpu.data.dataset import build_dataset
@@ -247,13 +248,22 @@ def test_build_sequences_time_ordered_most_recent():
             assert max(got_last_ts) >= newest_t - 1e-9 or len(run_) > 8
 
 
-def test_sasrec_causality():
-    """Changing a FUTURE item must not change earlier positions' logits."""
+SEQ_MODEL_CFGS = {
+    "sasrec": dict(name="sasrec", embed_dim=8, max_history=6,
+                   sasrec_blocks=2),
+    "gru4rec": dict(name="gru4rec", embed_dim=8, max_history=6,
+                    gru_hidden=12, gru_layers=2),
+    "caser": dict(name="caser", embed_dim=8, max_history=6,
+                  caser_h_filters=4, caser_heights=(2, 3), caser_v_filters=2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SEQ_MODEL_CFGS))
+def test_sequential_causality(name):
+    """Changing a FUTURE item must not change earlier positions' logits
+    — for every member of the sequential family (seq_base protocol)."""
     spec = DataSpec.interaction(4, 50)
-    m = build_model(
-        ModelConfig(name="sasrec", embed_dim=8, max_history=6,
-                    sasrec_blocks=2), spec
-    )
+    m = build_model(ModelConfig(**SEQ_MODEL_CFGS[name]), spec)
     params = m.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     seq = rng.integers(0, 50, (2, 6)).astype(np.int32)
@@ -262,7 +272,8 @@ def test_sasrec_causality():
     negs = rng.integers(0, 50, (2, 5)).astype(np.int32)
 
     def fwd(s):
-        batch = {"seq": jnp.asarray(s), "seq_negs": jnp.asarray(negs),
+        batch = {"user": jnp.asarray([0, 1], jnp.int32),
+                 "seq": jnp.asarray(s), "seq_negs": jnp.asarray(negs),
                  "seq_len": jnp.asarray([6, 6], jnp.int32)}
         ids = m.lookup_ids(batch)
         gathered = {
@@ -278,6 +289,30 @@ def test_sasrec_causality():
     )
     # the final position's target DID change
     assert not np.allclose(np.asarray(a["pos"][:, -1]), np.asarray(b["pos"][:, -1]))
+
+
+@pytest.mark.parametrize(
+    "model_kwargs",
+    [
+        dict(name="gru4rec", embed_dim=32, max_history=24, gru_hidden=48,
+             dropout=0.0),
+        dict(name="caser", embed_dim=32, max_history=24, caser_h_filters=8,
+             caser_heights=(2, 3), caser_v_filters=2, dropout=0.1),
+    ],
+    ids=["gru4rec", "caser"],
+)
+def test_sequential_siblings_learn_above_random(model_kwargs):
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(**model_kwargs),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=12,
+                          eval_topk=(20,), loss="sasrec"),
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.loss_name == "sasrec"
+    # random recall@20 on 512 items ~ 0.039
+    assert hist[-1]["recall@20"] > 0.10, hist[-1]
 
 
 def test_sasrec_learns_above_random():

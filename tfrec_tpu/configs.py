@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
@@ -103,6 +103,14 @@ class ModelConfig:
     # (sequence length = max_history; embed_dim is the model width).
     sasrec_blocks: int = 2
     sasrec_heads: int = 1
+    # GRU4Rec: recurrent width (0 = embed_dim) and stack depth.
+    gru_hidden: int = 0
+    gru_layers: int = 1
+    # Caser: horizontal filters (count per height, window heights) and
+    # vertical (per-dim trailing-window) filter count.
+    caser_h_filters: int = 16
+    caser_heights: tuple[int, ...] = (2, 3, 4)
+    caser_v_filters: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

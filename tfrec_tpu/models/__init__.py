@@ -9,11 +9,13 @@ import dataclasses
 
 from tfrec_tpu.configs import ModelConfig
 from tfrec_tpu.models.base import DataSpec, RecModel
+from tfrec_tpu.models.caser import Caser
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
 from tfrec_tpu.models.dlrm import DLRM
 from tfrec_tpu.models.cdae import CDAE
 from tfrec_tpu.models.fism import FISM
+from tfrec_tpu.models.gru4rec import GRU4Rec
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.multvae import MultVAE
@@ -121,5 +123,17 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             data_spec, cfg.embed_dim, num_blocks=cfg.sasrec_blocks,
             num_heads=cfg.sasrec_heads, dropout=cfg.dropout,
             max_history=cfg.max_history,
+        )
+    if name == "gru4rec":
+        return GRU4Rec(
+            data_spec, cfg.embed_dim, hidden_dim=cfg.gru_hidden,
+            num_layers=cfg.gru_layers, dropout=cfg.dropout,
+            max_history=cfg.max_history,
+        )
+    if name == "caser":
+        return Caser(
+            data_spec, cfg.embed_dim, h_filters=cfg.caser_h_filters,
+            heights=cfg.caser_heights, v_filters=cfg.caser_v_filters,
+            dropout=cfg.dropout, max_history=cfg.max_history,
         )
     raise ValueError(f"unknown model {cfg.name!r}")

@@ -190,8 +190,9 @@ class Trainer:
             self.model.attach_history(hist, lens)
             # Reconstruction/sequential models carry their own objective;
             # the item-similarity family (fism/nais) trains pairwise.
-            want = {"multvae": "multvae", "cdae": "cdae",
-                    "sasrec": "sasrec"}.get(c.model.name.lower())
+            want = {"multvae": "multvae", "cdae": "cdae", "sasrec": "sasrec",
+                    "gru4rec": "sasrec", "caser": "sasrec"}.get(
+                c.model.name.lower())
             if want and loss != want:
                 self.logger.log({
                     "event": "loss_coerced", "from": loss, "to": want,

@@ -248,6 +248,53 @@ def sasrec_ml1m(path: str | None = None) -> Config:
     )
 
 
+def gru4rec_ml1m(path: str | None = None) -> Config:
+    """Sequential zoo: GRU4Rec next-item prediction, same protocol and
+    data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
+    return Config(
+        run_name="gru4rec_ml1m",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="leave_one_out",
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=6040, num_items=3706, interactions_per_user=96,
+        ),
+        model=ModelConfig(name="gru4rec", embed_dim=64, max_history=200,
+                          gru_hidden=128, gru_layers=1, dropout=0.1),
+        optim=OptimConfig(learning_rate=0.001, dense_optimizer="adam",
+                          sparse_optimizer="rowwise_adam"),
+        train=TrainConfig(
+            batch_size=128, epochs=60, loss="sasrec", eval_every_epochs=20,
+            eval_topk=(10, 20),
+        ),
+    )
+
+
+def caser_ml1m(path: str | None = None) -> Config:
+    """Sequential zoo: Caser (causal conv windows + user embedding),
+    same protocol and data shape as sasrec_ml1m."""
+    return Config(
+        run_name="caser_ml1m",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="leave_one_out",
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=6040, num_items=3706, interactions_per_user=96,
+        ),
+        model=ModelConfig(name="caser", embed_dim=64, max_history=64,
+                          caser_h_filters=16, caser_heights=(2, 3, 4),
+                          caser_v_filters=4, dropout=0.3),
+        optim=OptimConfig(learning_rate=0.001, dense_optimizer="adam",
+                          sparse_optimizer="rowwise_adam"),
+        train=TrainConfig(
+            batch_size=128, epochs=60, loss="sasrec", eval_every_epochs=20,
+            eval_topk=(10, 20),
+        ),
+    )
+
+
 ZOO = {
     "mf_bpr_ml100k": mf_bpr_ml100k,
     "fm_ctr_ml1m": fm_ctr_ml1m,
@@ -259,4 +306,6 @@ ZOO = {
     "nais_ml100k": nais_ml100k,
     "cdae_ml100k": cdae_ml100k,
     "sasrec_ml1m": sasrec_ml1m,
+    "gru4rec_ml1m": gru4rec_ml1m,
+    "caser_ml1m": caser_ml1m,
 }
