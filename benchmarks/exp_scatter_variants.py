@@ -178,6 +178,64 @@ def main() -> int:
 
         run_variant("adagrad_hints", body_adagrad_hints, (table0, acc0))
 
+        # ---- packed-reshape scatter: same bytes, full 128-lane rows ----
+        # Theory (step_ablate_parts 2026-08-17): the hinted scatter sweeps
+        # the table footprint, and at D=32 the sweep runs at quarter lane
+        # rate. [V, D] -> [V/G, 128] is the SAME row-major memory (free
+        # reshape); packing each update row into its lane quarter and
+        # summing quarters that share a packed row (exact: unique uids ->
+        # disjoint lanes, additions with zeros) makes the sweep full-width.
+        if D < 128 and 128 % D == 0 and V % (128 // D) == 0:
+            G = 128 // D
+
+            def adagrad_packed(table, acc, uids, g, lr, eps=1e-8):
+                n = g.shape[0]
+                g2 = jnp.sum(g * g, axis=-1) / g.shape[-1]
+                acc_rows = (
+                    jnp.take(acc, uids, mode="fill", fill_value=1.0,
+                             indices_are_sorted=True) + g2
+                )
+                scale = lr / (jnp.sqrt(acc_rows) + eps)
+                upd = -scale[:, None] * g  # [N, D]
+                pid = uids // G  # nondecreasing (uids ascending)
+                q = uids % G
+                upd128 = (
+                    jax.nn.one_hot(q, G, dtype=g.dtype)[:, :, None]
+                    * upd[:, None, :]
+                ).reshape(n, G * D)
+                starts = jnp.concatenate(
+                    [jnp.ones((1,), jnp.int32),
+                     (pid[1:] != pid[:-1]).astype(jnp.int32)]
+                )
+                seg = jnp.cumsum(starts) - 1
+                upd128c = jax.ops.segment_sum(
+                    upd128, seg, num_segments=n, indices_are_sorted=True
+                )
+                vp = table.shape[0] // G
+                pidc = jnp.full((n,), vp, pid.dtype).at[seg].set(pid)
+                t2 = table.reshape(vp, G * D).at[pidc].add(
+                    upd128c, mode="drop", indices_are_sorted=True,
+                    unique_indices=True,
+                )
+                new_acc = acc.at[uids].set(
+                    acc_rows, mode="drop", indices_are_sorted=True,
+                    unique_indices=True,
+                )
+                return t2.reshape(table.shape), new_acc
+
+            pt, pa = jax.jit(
+                lambda t, a: adagrad_packed(t, a, uids, g, 0.01, opt.eps)
+            )(table0, acc0)
+            eq3 = bool(jnp.all(rt == pt)) and bool(jnp.all(rs["acc"] == pa))
+            print(f"equiv adagrad packed == plain: {eq3}", flush=True)
+
+            def body_adagrad_packed(st, uids, g):
+                t, a = st
+                nt, na = adagrad_packed(t, a, uids, g, 0.01, opt.eps)
+                return (nt, na), nt[0, 0]
+
+            run_variant("adagrad_packed", body_adagrad_packed, (table0, acc0))
+
         if D % 128 == 0:
             from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
 

@@ -12,6 +12,12 @@ builder.step, each a full chained-scan slope:
                (duplicates accumulate — perf bound only, wrong math)
   no_sparse    grads consumed by a 1-row scatter per table (backward and
                dense update run; sparse path ~free)
+  dedup_only   combine_duplicate_ids runs per table, but its outputs are
+               consumed by a 1-row scatter (isolates the in-situ sort+
+               segsum cost; optimizer trio skipped — wrong math)
+  trio_arange  the optimizer trio (take acc + scatter-add table + scatter
+               acc) runs on STATIC sorted-unique ids (iota), combine
+               skipped (isolates the in-situ trio cost — wrong math)
 
 Attribution: sparse total = pertable - no_sparse; dedup sorts =
 pertable - raw_scatter; grouped win = pertable - grouped. Catches
@@ -73,6 +79,38 @@ def _variant_builder(variant: str):
             return new_tables, new_sparse
 
         builder.sparse_update_all = sparse_update_all
+    elif variant == "dedup_only":
+        from tfrec_tpu.ops.embedding import combine_duplicate_ids
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            for name, g in grads.items():
+                uids, comb = combine_duplicate_ids(
+                    ids[name], g, sentinel=state["tables"][name].shape[0]
+                )
+                # Consume combine's outputs without the optimizer trio.
+                new_tables[name] = new_tables[name].at[:1].add(
+                    comb[:1] * 1e-30 + uids[0] * 1e-30
+                )
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
+    elif variant == "trio_arange":
+        import jax.numpy as jnp
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            for name, g in grads.items():
+                uids = jnp.arange(g.shape[0], dtype=jnp.int32)
+                new_tables[name], new_sparse[name] = _b.sparse_update_deduped(
+                    name, state["tables"][name], state["sparse_opt"][name],
+                    uids, g, lr,
+                )
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
     else:
         raise ValueError(variant)
     return state, batches, builder
@@ -83,7 +121,10 @@ def main() -> int:
         from bench import _stack
         from exp_step_breakdown import _slope
 
-        for variant in ("pertable", "grouped", "raw_scatter", "no_sparse"):
+        variants = _os.environ.get(
+            "ABLATE_VARIANTS", "pertable,grouped,raw_scatter,no_sparse"
+        ).split(",")
+        for variant in variants:
             state, batches, builder = _variant_builder(variant)
 
             def stepk(args, k, _b=builder, _batches=batches):

@@ -93,6 +93,18 @@ EXPERIMENTS = {
     "step_ablate": ["python", "benchmarks/exp_step_ablate.py"],
     "step_ablate_d128": ["env", "BREAKDOWN_DIM=128", "python",
                          "benchmarks/exp_step_ablate.py"],
+    # In-situ attribution of the sparse path's two halves (dedup sorts vs
+    # the optimizer take/scatter trio), with pertable as the same-session
+    # reference point.
+    "step_ablate_parts": [
+        "env", "ABLATE_VARIANTS=pertable,dedup_only,trio_arange,no_sparse",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_ablate_parts_d128": [
+        "env", "BREAKDOWN_DIM=128",
+        "ABLATE_VARIANTS=pertable,dedup_only,trio_arange,no_sparse",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     # Table-update scatter strategies (sorted/unique hints, pallas fused).
     "scatter_variants": ["python", "benchmarks/exp_scatter_variants.py"],
     "scatter_variants_d128": ["env", "BREAKDOWN_DIM=128", "python",

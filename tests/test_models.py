@@ -22,6 +22,7 @@ CTR_MODELS = [
     ModelConfig(name="dcnv2", embed_dim=4, num_cross_layers=2, mlp_dims=(8,)),
     ModelConfig(name="dcnv2", embed_dim=4, num_cross_layers=2, cross_rank=2, mlp_dims=(8,)),
     ModelConfig(name="deepfm", embed_dim=4, mlp_dims=(8,)),
+    ModelConfig(name="nfm", embed_dim=4, mlp_dims=(8,)),
     ModelConfig(name="widedeep", embed_dim=4, mlp_dims=(8,)),
     ModelConfig(name="dlrm", embed_dim=4, mlp_dims=(8,)),
 ]
@@ -130,3 +131,18 @@ def test_dcn_cross_stack_reference_semantics():
         xw = x @ np.asarray(w)[l]
         x = np.asarray(x0) * xw[:, None] + np.asarray(b)[l] + x
     np.testing.assert_allclose(np.asarray(got), x, rtol=1e-5)
+
+
+def test_nfm_bi_interaction_matches_fm_identity():
+    """Summing NFM's bi-interaction vector over D must equal FM's scalar
+    second-order term (same O(F*D) identity before/after the D-reduce)."""
+    from tfrec_tpu.models.ctr_base import fm_second_order
+    from tfrec_tpu.models.nfm import bi_interaction
+
+    rng = np.random.default_rng(3)
+    fields = jnp.asarray(rng.normal(size=(5, 7, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(bi_interaction(fields), axis=-1)),
+        np.asarray(fm_second_order(fields)),
+        rtol=1e-5,
+    )

@@ -20,6 +20,7 @@ CTR = [
                 mlp_dims=(16,)),
     ModelConfig(name="widedeep", embed_dim=8, mlp_dims=(16,)),
     ModelConfig(name="dlrm", embed_dim=8, mlp_dims=(16,)),
+    ModelConfig(name="nfm", embed_dim=8, mlp_dims=(16,), dropout=0.1),
 ]
 
 

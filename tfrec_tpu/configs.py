@@ -59,7 +59,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
+    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI

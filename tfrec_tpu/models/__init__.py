@@ -21,6 +21,7 @@ from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.multvae import MultVAE
 from tfrec_tpu.models.nais import NAIS
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
+from tfrec_tpu.models.nfm import NFM
 from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.sasrec import SASRec
 from tfrec_tpu.models.widedeep import WideDeep
@@ -90,6 +91,8 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
         )
     if name == "deepfm":
         return DeepFM(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
+    if name == "nfm":
+        return NFM(data_spec, cfg.embed_dim, cfg.mlp_dims, dropout=cfg.dropout)
     if name == "widedeep":
         return WideDeep(data_spec, cfg.embed_dim, cfg.mlp_dims,
                         dropout=cfg.dropout, field_dims=cfg.field_dims or None)

@@ -40,7 +40,7 @@ from tfrec_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_che
 from tfrec_tpu.utils.logging import MetricLogger
 from tfrec_tpu.utils.prefetch import prefetch
 
-CTR_MODELS = ("fm", "dcn", "dcnv2", "deepfm", "widedeep", "dlrm")
+CTR_MODELS = ("fm", "dcn", "dcnv2", "deepfm", "nfm", "widedeep", "dlrm")
 
 
 def _criteo_vocabs(sizes) -> tuple:
