@@ -53,6 +53,14 @@ def _variant_builder(variant: str):
     )
     if variant == "pertable":
         builder.group_dedup = False
+    elif variant == "pertable_packed_off":
+        # A/B partner for pertable: disable the packed-reshape scatter-add
+        # lowering (tracing reads the module global, so this takes effect
+        # at this variant's first jit call).
+        import tfrec_tpu.ops.sparse_optim as so
+
+        so._PACKED_SCATTER = False
+        builder.group_dedup = False
     elif variant == "grouped":
         builder.group_dedup = True
     elif variant == "raw_scatter":
@@ -96,6 +104,35 @@ def _variant_builder(variant: str):
             return new_tables, new_sparse
 
         builder.sparse_update_all = sparse_update_all
+    elif variant == "pertable_pallas_trio":
+        # XLA gathers + Pallas fused RMW trio (one op per table instead of
+        # the take/scatter/scatter chain; touches 8k rows, never sweeps V).
+        # d % 128 == 0 direct; d in {32, 64} needs TFREC_PACK_SUBDIM=1.
+        from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+        builder._fused_scatter_ok = (
+            lambda t: fused_scatter_supported(t.shape[0], t.shape[1])
+        )
+    elif variant == "dedup_only_grouped":
+        import jax.numpy as jnp
+
+        from tfrec_tpu.ops.embedding import combine_duplicate_ids_grouped
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            names = [n for n in grads]
+            ids_st = jnp.stack([ids[n] for n in names])
+            g_st = jnp.stack([grads[n] for n in names])
+            sentinels = [state["tables"][n].shape[0] for n in names]
+            uids, comb = combine_duplicate_ids_grouped(ids_st, g_st, sentinels)
+            for i, name in enumerate(names):
+                new_tables[name] = new_tables[name].at[:1].add(
+                    comb[i, :1] * 1e-30 + uids[i, 0] * 1e-30
+                )
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
     elif variant == "trio_arange":
         import jax.numpy as jnp
 
@@ -126,6 +163,10 @@ def main() -> int:
         ).split(",")
         for variant in variants:
             state, batches, builder = _variant_builder(variant)
+            if variant == "pertable":
+                import tfrec_tpu.ops.sparse_optim as so
+
+                so._PACKED_SCATTER = True  # undo a prior packed_off variant
 
             def stepk(args, k, _b=builder, _batches=batches):
                 st, m = jax.lax.scan(

@@ -93,11 +93,43 @@ EXPERIMENTS = {
     "step_ablate": ["python", "benchmarks/exp_step_ablate.py"],
     "step_ablate_d128": ["env", "BREAKDOWN_DIM=128", "python",
                          "benchmarks/exp_step_ablate.py"],
+    # Packed-reshape scatter-add A/B inside the real step (interleaved
+    # pairs: on, off, on, off — same session).
+    "step_packed_ab": [
+        "env",
+        "ABLATE_VARIANTS=pertable,pertable_packed_off,pertable,pertable_packed_off",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_packed_ab_d64": [
+        "env", "BREAKDOWN_DIM=64",
+        "ABLATE_VARIANTS=pertable,pertable_packed_off,pertable,pertable_packed_off",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     # In-situ attribution of the sparse path's two halves (dedup sorts vs
     # the optimizer take/scatter trio), with pertable as the same-session
     # reference point.
     "step_ablate_parts": [
         "env", "ABLATE_VARIANTS=pertable,dedup_only,trio_arange,no_sparse",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    # In-situ A/B: XLA take/scatter/scatter trio vs ONE Pallas fused RMW
+    # per table (isolated slopes mispredict in-situ cost — measure in the
+    # real step).
+    "step_pallas_trio_ab_d128": [
+        "env", "BREAKDOWN_DIM=128",
+        "ABLATE_VARIANTS=pertable,pertable_pallas_trio,pertable,pertable_pallas_trio",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_pallas_trio_ab_d32": [
+        "env", "TFREC_PACK_SUBDIM=1",
+        "ABLATE_VARIANTS=pertable,pertable_pallas_trio,pertable,pertable_pallas_trio",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    # Where does grouped dedup's in-situ cost go? (one batched sort is
+    # ~30x cheaper in isolation, yet grouped mode lost the full-step A/B)
+    "step_dedup_grouped": [
+        "env",
+        "ABLATE_VARIANTS=dedup_only,dedup_only_grouped,dedup_only,dedup_only_grouped,no_sparse",
         "python", "benchmarks/exp_step_ablate.py",
     ],
     "step_ablate_parts_d128": [

@@ -175,3 +175,32 @@ def test_grouped_step_bit_identical_to_per_table_step():
         jax.tree_util.tree_leaves(finals[1][0]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.parametrize("name", ["sgd", "rowwise_adagrad", "rowwise_adam"])
+@pytest.mark.parametrize("shape", [(96, 32), (100, 16), (97, 32), (64, 64)])
+def test_packed_scatter_bit_identical(name, shape, monkeypatch):
+    """scatter_add_rows' packed-reshape lowering (d < 128, the flagship
+    dims) must be bit-identical to the plain hinted scatter — unique uids
+    touch disjoint lanes of a packed line, so the pre-sum adds only
+    zeros. (97, 32) has V % G != 0 and must fall back unpacked."""
+    import tfrec_tpu.ops.sparse_optim as so
+
+    v, d = shape
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (64,)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(64, d)).astype(np.float32))
+    opt = make_sparse_optimizer(name)
+    state = opt.init(table)
+
+    monkeypatch.setattr(so, "_PACKED_SCATTER", True)
+    t_packed, s_packed = jax.jit(opt.apply)(table, state, ids, grads, 0.05)
+    monkeypatch.setattr(so, "_PACKED_SCATTER", False)
+    t_plain, s_plain = jax.jit(opt.apply)(table, state, ids, grads, 0.05)
+
+    np.testing.assert_array_equal(np.asarray(t_packed), np.asarray(t_plain))
+    for k in s_plain:
+        np.testing.assert_array_equal(
+            np.asarray(s_packed[k]), np.asarray(s_plain[k])
+        )

@@ -103,8 +103,70 @@ def _hints(table) -> Dict[str, Any]:
     return {}
 
 
+# Default OFF on measured evidence: the packed lowering wins the isolated
+# one-table A/B ~5x (60 vs 290 us marginal) but LOSES the real 26-table
+# step by ~4 ms at d=32 AND d=64 (step_packed_ab 2026-08-17, interleaved
+# same-session pairs: 19.1 vs 15.0 ms) — the 26 extra one-hot+segment-sum
+# passes cost more than the full-width sweep saves once 26 update chains
+# share one program. Kept selectable for hardware where they don't.
+_PACKED_SCATTER = _os.environ.get("TFREC_PACKED_SCATTER", "0") == "1"
+
+
+def _packed_groups(table) -> int:
+    """Rows per 128-lane line when the packed scatter-add applies, else 0."""
+    v, d = table.shape
+    if _PACKED_SCATTER and d < 128 and 128 % d == 0 and v % (128 // d) == 0:
+        return 128 // d
+    return 0
+
+
+def scatter_add_rows(table, uids, upd):
+    """``table.at[uids].add(upd, mode='drop')`` for globally-ascending
+    ``uids`` whose in-range entries are unique (the combine_duplicate_ids
+    contract) — lowered by measured cost, not by one fixed scatter shape:
+
+    - small tables, D < 128: XLA's hinted scatter sweeps the table
+      footprint at D-lane rate, wasting 128-D of every lane line at the
+      flagship d=32 (measured 292 us/table vs 64 us full-width). Since
+      [V, D] -> [V/G, 128] is the SAME row-major memory (free reshape),
+      each update row is packed into its lane quarter, rows sharing a
+      packed line are pre-summed (EXACT: unique uids => disjoint lanes,
+      additions against zeros), and ONE full-width hinted scatter runs
+      the sweep at full lane rate. Sentinel/out-of-range uids map to
+      packed id >= V/G and drop, as before. On-chip A/B:
+      docs/PERF.md "Packed-reshape scatter".
+    - small tables, D >= 128: plain hinted scatter (already full-width).
+    - huge tables (> TFREC_SCATTER_HINT_MAX_ELEMS): unhinted serial
+      per-index loop — the sweep would cost more than n_ids * loop cost.
+    """
+    if table.size > _HINT_MAX_ELEMS:
+        return table.at[uids].add(upd, mode="drop")
+    grp = _packed_groups(table)
+    if grp == 0:
+        return table.at[uids].add(
+            upd, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
+    n, d = upd.shape
+    pid = uids // grp  # nondecreasing (uids ascending)
+    quarter = jax.nn.one_hot(uids % grp, grp, dtype=upd.dtype)
+    upd128 = (quarter[:, :, None] * upd[:, None, :]).reshape(n, grp * d)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (pid[1:] != pid[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(starts) - 1
+    upd128 = jax.ops.segment_sum(
+        upd128, seg, num_segments=n, indices_are_sorted=True
+    )
+    vp = table.shape[0] // grp
+    pidc = jnp.full((n,), vp, pid.dtype).at[seg].set(pid)
+    packed = table.reshape(vp, grp * d).at[pidc].add(
+        upd128, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    return packed.reshape(table.shape)
+
+
 def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-    return table.at[uids].add(-lr * g, mode="drop", **_hints(table)), state
+    return scatter_add_rows(table, uids, -lr * g), state
 
 
 def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
@@ -123,11 +185,10 @@ def _adagrad_init_fn(initial_accumulator: float):
 
 def _adagrad_apply_fn(eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-        h = _hints(table)
         g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
         acc_rows = jnp.take(state["acc"], uids, indices_are_sorted=True) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
-        new_table = table.at[uids].add(-scale[:, None] * g, mode="drop", **h)
+        new_table = scatter_add_rows(table, uids, -scale[:, None] * g)
         # The acc is V scalars — always under the crossover.
         new_acc = state["acc"].at[uids].set(
             acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True
@@ -154,7 +215,9 @@ def _adam_init(table: jnp.ndarray) -> State:
 
 def _adam_apply_fn(b1: float, b2: float, eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-        h = _hints(table)
+        h = _hints(table)  # m is [V, D]: scatter-SET cannot pack (it would
+        # zero the other lane quarters of a written line), so it keeps the
+        # plain size-gated hints; the table ADD uses scatter_add_rows.
         h1 = dict(indices_are_sorted=True, unique_indices=True)  # [V] states
         srt = dict(indices_are_sorted=True)
         t_rows = jnp.take(state["t"], uids, **srt) + 1
@@ -167,7 +230,7 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
         v_hat = v_rows / (1.0 - b2**tf)
         update = -lr * m_hat / (jnp.sqrt(v_hat) + eps)[:, None]
         return (
-            table.at[uids].add(update, mode="drop", **h),
+            scatter_add_rows(table, uids, update),
             {
                 "m": state["m"].at[uids].set(m_rows, mode="drop", **h),
                 "v": state["v"].at[uids].set(v_rows, mode="drop", **h1),
