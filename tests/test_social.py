@@ -1,0 +1,86 @@
+"""Social-recommender family (SBPR): trust-graph construction, the
+social triple sampler's invariants, and end-to-end learning."""
+
+import numpy as np
+import pytest
+
+from tfrec_tpu.configs import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+from tfrec_tpu.data.dataset import build_dataset, build_social_overlap
+from tfrec_tpu.data.samplers import SBPRSampler
+from tfrec_tpu.train.trainer import run
+
+DATA = DataConfig(
+    source="synthetic_implicit", num_users=256, num_items=512,
+    interactions_per_user=24, seed=1, social_degree=8,
+)
+
+
+def test_social_overlap_graph_properties():
+    ds = build_dataset(DATA)
+    g = ds.social
+    assert g is not None and g.shape == (ds.num_users, ds.num_users)
+    assert g.diagonal().sum() == 0  # no self-loops
+    assert (g != g.T).nnz == 0  # symmetric
+    deg = np.asarray(g.sum(axis=1)).ravel()
+    assert deg.min() >= 8  # every user got its friends (union can add more)
+    # Taste signal: friends share strictly more train items than random
+    # pairs on average.
+    b = (ds.train_csr > 0).astype(np.float32)
+    co = (b @ b.T).toarray()
+    np.fill_diagonal(co, 0.0)
+    friend_mean = co[g.toarray()].mean()
+    rand_mean = co[~g.toarray()].mean()
+    assert friend_mean > 2 * rand_mean, (friend_mean, rand_mean)
+
+
+def test_sbpr_sampler_invariants():
+    ds = build_dataset(DATA)
+    s = SBPRSampler(ds, batch_size=128, seed=0)
+    train_sets = {}
+    for u, i in zip(ds.train.users, ds.train.items):
+        train_sets.setdefault(int(u), set()).add(int(i))
+    g = ds.social.tolil()
+    batch = next(iter(s.epoch(0)))
+    assert set(batch) == {"user", "pos", "soc", "neg", "suk", "has_social"}
+    for r in range(128):
+        u = int(batch["user"][r])
+        own = train_sets.get(u, set())
+        assert int(batch["pos"][r]) in own
+        neg = int(batch["neg"][r])
+        assert neg not in own
+        if batch["has_social"][r] > 0:
+            soc = int(batch["soc"][r])
+            assert soc not in own  # social feedback excludes own positives
+            friends = g.rows[u]
+            n_friends_consumed = sum(
+                1 for f in friends if soc in train_sets.get(int(f), set())
+            )
+            assert n_friends_consumed >= 1  # some friend consumed it
+            assert int(batch["suk"][r]) == n_friends_consumed
+    # Negatives never fall in the social candidate sets (vectorized over
+    # the sampler's own sorted-key index, which the loop above validated
+    # against a from-scratch reconstruction).
+    assert not s._in_social(batch["user"], batch["neg"]).any()
+
+
+def test_sbpr_requires_social_graph():
+    ds = build_dataset(DataConfig(
+        source="synthetic_implicit", num_users=64, num_items=128,
+        interactions_per_user=8, seed=0,
+    ))
+    with pytest.raises(ValueError, match="social"):
+        SBPRSampler(ds, batch_size=32)
+
+
+def test_sbpr_learns_above_random_and_coerces_loss():
+    cfg = Config(
+        data=DATA,
+        model=ModelConfig(name="sbpr", embed_dim=32),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=256, epochs=10, eval_every_epochs=10,
+                          eval_topk=(20,), loss="bpr"),
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.loss_name == "sbpr"
+    # random recall@20 on 512 items ~ 0.039; measured 0.22
+    assert hist[-1]["recall@20"] > 0.12, hist[-1]

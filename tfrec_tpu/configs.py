@@ -53,13 +53,19 @@ class DataConfig:
     user_features_path: str | None = None
     item_features_path: str | None = None
     synthetic_side_features: bool = False
+    # Social graph (the SBPR family). "social_path": whitespace "u v"
+    # edge file over DENSE user ids (symmetrized on load). "social_degree"
+    # > 0 synthesizes that many friends per user by train-set taste
+    # overlap — built from the TRAIN split only, so no test leakage.
+    social_path: str | None = None
+    social_degree: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
+    name: str = "mf"  # pop | mf | sbpr | fm | gmf | mlp | neumf | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI

@@ -47,6 +47,9 @@ class Dataset:
     test: Interactions
     num_users: int
     num_items: int
+    # Optional user-user trust graph (SBPR family): boolean CSR [U, U],
+    # symmetric, zero diagonal. None when the config carries no graph.
+    social: "sp.csr_matrix | None" = None
 
     @property
     def train_csr(self) -> sp.csr_matrix:
@@ -198,6 +201,55 @@ def split_given(train_raw, test_raw) -> Dataset:
     )
 
 
+def load_social_edges(path: str, num_users: int) -> sp.csr_matrix:
+    """Whitespace "u v" edge lines over DENSE user ids -> symmetric boolean
+    CSR. Out-of-range ids are a config error (silently dropping trust
+    edges would bias the sampler), reported with a count."""
+    raw = np.loadtxt(path, dtype=np.int64, ndmin=2)
+    if raw.shape[1] < 2:
+        raise ValueError(f"social file {path!r} needs 'u v' columns")
+    u, v = raw[:, 0], raw[:, 1]
+    bad = (u < 0) | (u >= num_users) | (v < 0) | (v >= num_users)
+    if bad.any():
+        raise ValueError(
+            f"social file {path!r}: {int(bad.sum())}/{len(u)} edges "
+            f"reference user ids outside [0, {num_users})"
+        )
+    m = sp.csr_matrix(
+        (np.ones(len(u), np.bool_), (u.astype(np.int32), v.astype(np.int32))),
+        shape=(num_users, num_users),
+    )
+    m = (m + m.T).astype(np.bool_).tocsr()
+    m.setdiag(False)
+    m.eliminate_zeros()
+    return m
+
+
+def build_social_overlap(ds: Dataset, degree: int, seed: int = 0) -> sp.csr_matrix:
+    """Synthesize a trust graph with real taste signal: each user's
+    ``degree`` friends are the users sharing the most TRAIN items
+    (co-interaction counts; ties broken by a seeded jitter), symmetrized.
+    Built from the train split only — the held-out test items never
+    influence the graph. O(U^2) intermediate; intended for the synthetic
+    stand-in scales."""
+    rng = np.random.default_rng((seed, 0x50C1A1))
+    b = (ds.train_csr > 0).astype(np.float32)
+    co = (b @ b.T).toarray()
+    np.fill_diagonal(co, -1.0)
+    co += rng.random(co.shape) * 0.5  # tie-break only (< 1 co-count)
+    k = min(degree, ds.num_users - 1)
+    friends = np.argpartition(-co, k - 1, axis=1)[:, :k]
+    rows = np.repeat(np.arange(ds.num_users), k)
+    m = sp.csr_matrix(
+        (np.ones(rows.size, np.bool_), (rows, friends.reshape(-1))),
+        shape=(ds.num_users, ds.num_users),
+    )
+    m = (m + m.T).astype(np.bool_).tocsr()
+    m.setdiag(False)
+    m.eliminate_zeros()
+    return m
+
+
 def build_dataset(cfg: DataConfig) -> Dataset:
     """Config-driven entry: load or generate interactions, then split."""
     if cfg.source == "movielens":
@@ -206,8 +258,9 @@ def build_dataset(cfg: DataConfig) -> Dataset:
         if cfg.splitter == "given":
             if not cfg.test_path:
                 raise ValueError("splitter='given' requires data.test_path")
-            return split_given(
-                load_uirt_raw(cfg.path), load_uirt_raw(cfg.test_path)
+            return _attach_social(
+                split_given(load_uirt_raw(cfg.path), load_uirt_raw(cfg.test_path)),
+                cfg,
             )
         inter = load_uirt(cfg.path)
     elif cfg.source == "synthetic_implicit":
@@ -237,7 +290,18 @@ def build_dataset(cfg: DataConfig) -> Dataset:
     inter = filter_min_interactions(inter, cfg.min_interactions)
 
     if cfg.splitter == "ratio":
-        return split_ratio(inter, cfg.test_fraction, cfg.seed)
-    if cfg.splitter == "leave_one_out":
-        return split_leave_one_out(inter, cfg.seed)
-    raise ValueError(f"unknown splitter {cfg.splitter!r}")
+        ds = split_ratio(inter, cfg.test_fraction, cfg.seed)
+    elif cfg.splitter == "leave_one_out":
+        ds = split_leave_one_out(inter, cfg.seed)
+    else:
+        raise ValueError(f"unknown splitter {cfg.splitter!r}")
+
+    return _attach_social(ds, cfg)
+
+
+def _attach_social(ds: Dataset, cfg: DataConfig) -> Dataset:
+    if cfg.social_path:
+        ds.social = load_social_edges(cfg.social_path, ds.num_users)
+    elif cfg.social_degree > 0:
+        ds.social = build_social_overlap(ds, cfg.social_degree, cfg.seed)
+    return ds

@@ -347,3 +347,107 @@ class SequenceSampler:
                 "seq_len": self.lens[u],
                 "seq_negs": negs,
             }
+
+
+class SBPRSampler:
+    """{user, pos, soc, neg, suk, has_social} batches for social BPR
+    (SBPR): for each train (u, pos), one SOCIAL item — consumed by at
+    least one of u's friends but not by u — with its friend-count
+    coefficient ``suk``, and one negative outside both the user's train
+    set and the social set. Users with no social candidates fall back to
+    plain BPR triples (has_social = 0; soc/suk are dummies the loss
+    masks). Fully vectorized: candidate sets are padded [U, S] arrays
+    built once from social_csr @ train_csr; membership tests reuse the
+    sorted-key design of ``_TrainPairIndex``."""
+
+    def __init__(self, dataset: Dataset, batch_size: int, seed: int = 0,
+                 max_social: int = 512):
+        if dataset.social is None:
+            raise ValueError(
+                "SBPR needs a social graph: set data.social_degree > 0 "
+                "(synthetic taste-overlap friends) or data.social_path"
+            )
+        import scipy.sparse as sp
+
+        self.batch_size = batch_size
+        self.seed = seed
+        self.users = dataset.train.users
+        self.items = dataset.train.items
+        self.num_items = dataset.num_items
+        self.index = _TrainPairIndex(dataset)
+        rng = np.random.default_rng((seed, 0x5B92))
+
+        own = (dataset.train_csr > 0).astype(np.float32)
+        cnt = (dataset.social.astype(np.float32) @ own).tocsr()  # friend counts
+        cnt = (cnt - cnt.multiply(own > 0)).tocsr()  # drop own train items
+        cnt.eliminate_zeros()
+
+        nu, s = dataset.num_users, max_social
+        starts, counts = cnt.indptr[:-1], np.diff(cnt.indptr)
+        self.sp_lens = np.minimum(counts, s).astype(np.int32)
+        cols = np.arange(s)[None, :]
+        valid = cols < self.sp_lens[:, None]
+        flat = np.minimum(starts[:, None] + cols, max(cnt.nnz - 1, 0))
+        if cnt.nnz == 0:
+            self.sp_items = np.full((nu, s), self.num_items, np.int32)
+            self.sp_counts = np.zeros((nu, s), np.float32)
+        else:
+            self.sp_items = np.where(
+                valid, cnt.indices[flat], self.num_items
+            ).astype(np.int32)
+            self.sp_counts = np.where(valid, cnt.data[flat], 0.0).astype(
+                np.float32
+            )
+        # Seeded subsample for users with more than S candidates.
+        for u in np.flatnonzero(counts > s):
+            pick = rng.choice(counts[u], size=s, replace=False)
+            self.sp_items[u] = cnt.indices[starts[u] + pick]
+            self.sp_counts[u] = cnt.data[starts[u] + pick]
+        # Sorted (u, item) keys of the social sets, for neg exclusion.
+        su = np.repeat(np.arange(nu, dtype=np.int64), self.sp_lens)
+        si = np.concatenate(
+            [self.sp_items[u, : self.sp_lens[u]] for u in range(nu)]
+        ) if self.sp_lens.sum() else np.zeros(0, np.int64)
+        self._soc_keys = np.sort(su * self.num_items + si)
+
+    def _in_social(self, users: np.ndarray, items: np.ndarray) -> np.ndarray:
+        if len(self._soc_keys) == 0:
+            return np.zeros(len(users), bool)
+        q = users.astype(np.int64) * self.num_items + items.astype(np.int64)
+        idx = np.minimum(np.searchsorted(self._soc_keys, q),
+                         len(self._soc_keys) - 1)
+        return self._soc_keys[idx] == q
+
+    def num_batches(self) -> int:
+        return len(self.users) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch, 0x5B92))
+        order = rng.permutation(len(self.users))
+        bs = self.batch_size
+        for start in range(0, len(order) - bs + 1, bs):
+            idx = order[start : start + bs]
+            u = self.users[idx]
+            pos = self.items[idx]
+            lens = self.sp_lens[u]
+            has = lens > 0
+            j = rng.integers(0, np.maximum(lens, 1))
+            soc = np.where(has, self.sp_items[u, j], 0).astype(np.int32)
+            suk = np.where(has, self.sp_counts[u, j], 0.0).astype(np.float32)
+            negs = rng.integers(0, self.num_items, size=bs, dtype=np.int64)
+            bad = self.index.contains(u, negs) | self._in_social(u, negs)
+            for _ in range(64):
+                if not bad.any():
+                    break
+                negs[bad] = rng.integers(
+                    0, self.num_items, size=int(bad.sum()), dtype=np.int64
+                )
+                bad = self.index.contains(u, negs) | self._in_social(u, negs)
+            yield {
+                "user": u.astype(np.int32),
+                "pos": pos.astype(np.int32),
+                "soc": soc,
+                "neg": negs.astype(np.int32),
+                "suk": suk,
+                "has_social": has.astype(np.float32),
+            }

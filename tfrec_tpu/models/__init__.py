@@ -24,6 +24,7 @@ from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
 from tfrec_tpu.models.nfm import NFM
 from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.sasrec import SASRec
+from tfrec_tpu.models.sbpr import SBPR
 from tfrec_tpu.models.widedeep import WideDeep
 
 __all__ = [
@@ -63,6 +64,8 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
         return Pop(data_spec)
     if name == "mf":
         return MF(data_spec, cfg.embed_dim)
+    if name == "sbpr":
+        return SBPR(data_spec, cfg.embed_dim)
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":

@@ -85,6 +85,19 @@ def sasrec(out: Dict, batch: Dict) -> jnp.ndarray:
     return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def sbpr(out: Dict, batch: Dict) -> jnp.ndarray:
+    """Social BPR (SBPR): x_pos >= x_soc >= x_neg as two BPR terms, the
+    positive-vs-social gap tempered by the social coefficient suk; rows
+    without social candidates (has == 0) train plain BPR. ``out`` is
+    SBPR.forward's {"pos", "soc", "neg", "suk", "has"} (all [B])."""
+    has = out["has"].astype(out["pos"].dtype)
+    d_ps = (out["pos"] - out["soc"]) / (1.0 + out["suk"])
+    d_sn = out["soc"] - out["neg"]
+    social = jax.nn.softplus(-d_ps) + jax.nn.softplus(-d_sn)
+    plain = jax.nn.softplus(-(out["pos"] - out["neg"]))
+    return jnp.mean(has * social + (1.0 - has) * plain)
+
+
 def cdae(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """CDAE reconstruction: binary cross-entropy of the full-catalog
     logits [B, V] against the user's multi-hot history (sentinel-padded
@@ -120,6 +133,7 @@ _LOSSES: Dict[str, Callable] = {
     "multvae": multvae,
     "cdae": cdae,
     "sasrec": sasrec,
+    "sbpr": sbpr,
 }
 
 PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")

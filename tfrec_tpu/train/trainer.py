@@ -207,6 +207,12 @@ class Trainer:
                               "single-negative pairwise",
                 })
                 loss = "bpr"
+        if c.model.name.lower() == "sbpr" and loss != "sbpr":
+            self.logger.log({
+                "event": "loss_coerced", "from": loss, "to": "sbpr",
+                "reason": "sbpr trains on social triples",
+            })
+            loss = "sbpr"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).
@@ -329,6 +335,10 @@ class Trainer:
             return SequenceSampler(
                 self.dataset, local_bs, c.model.max_history, seed
             )
+        if self.loss_name == "sbpr":
+            from tfrec_tpu.data.samplers import SBPRSampler
+
+            return SBPRSampler(self.dataset, local_bs, seed)
         if self.loss_name in ("multvae", "cdae"):
             from tfrec_tpu.data.samplers import UserHistorySampler
 

@@ -248,6 +248,30 @@ def sasrec_ml1m(path: str | None = None) -> Config:
     )
 
 
+def sbpr_ml100k(path: str | None = None) -> Config:
+    """Social zoo: SBPR on the ML-100K shape. MovieLens has no trust
+    file, so the graph comes from data.social_path (dense-id "u v"
+    lines) when you have one, else taste-overlap synthesis
+    (social_degree) — the same stand-in policy as the synthetic data."""
+    return Config(
+        run_name="sbpr_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio", test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+            social_degree=10,
+        ),
+        model=ModelConfig(name="sbpr", embed_dim=64),
+        optim=OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(
+            batch_size=1024, epochs=40, loss="sbpr", eval_every_epochs=10,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 def gru4rec_ml1m(path: str | None = None) -> Config:
     """Sequential zoo: GRU4Rec next-item prediction, same protocol and
     data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
@@ -308,4 +332,5 @@ ZOO = {
     "sasrec_ml1m": sasrec_ml1m,
     "gru4rec_ml1m": gru4rec_ml1m,
     "caser_ml1m": caser_ml1m,
+    "sbpr_ml100k": sbpr_ml100k,
 }
