@@ -93,6 +93,10 @@ EXPERIMENTS = {
     "step_ablate": ["python", "benchmarks/exp_step_ablate.py"],
     "step_ablate_d128": ["env", "BREAKDOWN_DIM=128", "python",
                          "benchmarks/exp_step_ablate.py"],
+    # Examples/s vs batch size (fixed V-line sweep costs amortize with b).
+    "batch_sweep": ["python", "benchmarks/exp_batch_sweep.py"],
+    "batch_sweep_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                         "benchmarks/exp_batch_sweep.py"],
     # Packed-reshape scatter-add A/B inside the real step (interleaved
     # pairs: on, off, on, off — same session).
     "step_packed_ab": [
