@@ -425,3 +425,45 @@ def test_bf16_wire_format_close_to_f32(mesh8):
         ts, ss, ids_s, gs)
     np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
                                rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize(
+    "name,extra",
+    [
+        ("sasrec", dict(max_history=12, sasrec_blocks=1)),
+        ("gru4rec", dict(max_history=12, gru_hidden=16)),
+        ("caser", dict(max_history=12, caser_h_filters=4,
+                       caser_heights=(2,), caser_v_filters=2)),
+        ("sbpr", {}),
+        ("nfm", {}),
+    ],
+)
+def test_new_families_train_on_mesh(name, extra):
+    """The sequential/social/deep-FM families must ride the sharded step
+    through the generic lookup/sparse_update seams with no model-specific
+    mesh code: 8-device data-parallel run, finite decreasing loss."""
+    from tfrec_tpu.configs import Config, ModelConfig, TrainConfig
+    from tfrec_tpu.train.trainer import run
+
+    is_ctr = name == "nfm"
+    cfg = Config(
+        data=(
+            DataConfig(source="synthetic_ctr", num_examples=4_000,
+                       num_dense_features=3, categorical_vocab_sizes=(40, 30),
+                       test_fraction=0.2, seed=2)
+            if is_ctr
+            else DataConfig(source="synthetic_implicit", num_users=128,
+                            num_items=256, interactions_per_user=12, seed=2,
+                            social_degree=(6 if name == "sbpr" else 0))
+        ),
+        model=ModelConfig(name=name, embed_dim=16,
+                          **({"mlp_dims": (16,)} if is_ctr else {}), **extra),
+        optim=OptimConfig(learning_rate=0.02),
+        train=TrainConfig(batch_size=64, epochs=3, eval_every_epochs=0,
+                          loss=("logloss" if is_ctr else "bpr")),
+        mesh=MeshConfig(data_axis_size=8),
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.mesh is not None and t.mesh.shape["data"] == 8
+    losses = [h["loss"] for h in hist]
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0], losses
