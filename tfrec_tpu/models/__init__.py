@@ -9,6 +9,7 @@ import dataclasses
 
 from tfrec_tpu.configs import ModelConfig
 from tfrec_tpu.models.base import DataSpec, RecModel
+from tfrec_tpu.models.apr import APR
 from tfrec_tpu.models.caser import Caser
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
@@ -66,6 +67,9 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
         return MF(data_spec, cfg.embed_dim)
     if name == "sbpr":
         return SBPR(data_spec, cfg.embed_dim)
+    if name == "apr":
+        return APR(data_spec, cfg.embed_dim, eps=cfg.apr_eps,
+                   adv_lambda=cfg.apr_lambda)
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":

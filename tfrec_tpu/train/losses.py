@@ -85,6 +85,16 @@ def sasrec(out: Dict, batch: Dict) -> jnp.ndarray:
     return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def apr(out: Dict, batch: Dict) -> jnp.ndarray:
+    """Adversarial personalized ranking: clean BPR plus lambda-weighted
+    BPR on the fast-gradient-perturbed embeddings. ``out`` is
+    APR.forward's {"diff" [B], "diff_adv" [B], "adv_weight" scalar}."""
+    return jnp.mean(
+        jax.nn.softplus(-out["diff"])
+        + out["adv_weight"] * jax.nn.softplus(-out["diff_adv"])
+    )
+
+
 def sbpr(out: Dict, batch: Dict) -> jnp.ndarray:
     """Social BPR (SBPR): x_pos >= x_soc >= x_neg as two BPR terms, the
     positive-vs-social gap tempered by the social coefficient suk; rows
@@ -134,9 +144,11 @@ _LOSSES: Dict[str, Callable] = {
     "cdae": cdae,
     "sasrec": sasrec,
     "sbpr": sbpr,
+    "apr": apr,
 }
 
-PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax")
+# "apr" consumes the same (user, pos, neg) triples as bpr/hinge.
+PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax", "apr")
 MULTI_NEG_LOSSES = ("sampled_softmax",)
 # Losses needing only (user, pos) rows; negatives come from the batch itself.
 IN_BATCH_LOSSES = ("in_batch_softmax",)

@@ -213,6 +213,12 @@ class Trainer:
                 "reason": "sbpr trains on social triples",
             })
             loss = "sbpr"
+        if c.model.name.lower() == "apr" and loss != "apr":
+            self.logger.log({
+                "event": "loss_coerced", "from": loss, "to": "apr",
+                "reason": "apr trains on the adversarial objective",
+            })
+            loss = "apr"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).

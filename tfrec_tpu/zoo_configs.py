@@ -272,6 +272,31 @@ def sbpr_ml100k(path: str | None = None) -> Config:
     )
 
 
+def apr_ml100k(path: str | None = None) -> Config:
+    """Adversarial zoo: APR on the ML-100K shape — BPR-MF pretraining is
+    the paper's protocol, approximated by a plain warmup (apr trains the
+    minimax objective from scratch here; resume from an mf_bpr_ml100k
+    checkpoint for the two-phase recipe)."""
+    return Config(
+        run_name="apr_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio", test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="apr", embed_dim=64, apr_eps=0.5,
+                          apr_lambda=1.0),
+        optim=OptimConfig(learning_rate=0.05,
+                          sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(
+            batch_size=1024, epochs=40, loss="apr", eval_every_epochs=10,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 def gru4rec_ml1m(path: str | None = None) -> Config:
     """Sequential zoo: GRU4Rec next-item prediction, same protocol and
     data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
@@ -333,4 +358,5 @@ ZOO = {
     "gru4rec_ml1m": gru4rec_ml1m,
     "caser_ml1m": caser_ml1m,
     "sbpr_ml100k": sbpr_ml100k,
+    "apr_ml100k": apr_ml100k,
 }
