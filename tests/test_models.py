@@ -15,6 +15,7 @@ INTERACTION_MODELS = [
     ModelConfig(name="gmf", gmf_dim=6),
     ModelConfig(name="mlp", mlp_embed_dim=6, mlp_dims=(12, 6)),
     ModelConfig(name="neumf", gmf_dim=4, mlp_embed_dim=6, mlp_dims=(8, 4)),
+    ModelConfig(name="convncf", embed_dim=8, convncf_channels=4),
 ]
 CTR_MODELS = [
     ModelConfig(name="fm", embed_dim=4),

@@ -13,6 +13,7 @@ INTERACTION = [
     ModelConfig(name="pop"),
     ModelConfig(name="gmf", gmf_dim=8),
     ModelConfig(name="mlp", mlp_embed_dim=8, mlp_dims=(16, 8), dropout=0.2),
+    ModelConfig(name="convncf", embed_dim=8, convncf_channels=8, dropout=0.1),
 ]
 CTR = [
     ModelConfig(name="dcnv2", embed_dim=8, num_cross_layers=2, mlp_dims=(16,)),

@@ -11,6 +11,7 @@ from tfrec_tpu.configs import ModelConfig
 from tfrec_tpu.models.base import DataSpec, RecModel
 from tfrec_tpu.models.apr import APR
 from tfrec_tpu.models.caser import Caser
+from tfrec_tpu.models.convncf import ConvNCF
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
 from tfrec_tpu.models.dlrm import DLRM
@@ -75,6 +76,11 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "mlp":
         return MLP(
             data_spec, cfg.mlp_embed_dim or cfg.embed_dim, cfg.mlp_dims,
+            dropout=cfg.dropout,
+        )
+    if name == "convncf":
+        return ConvNCF(
+            data_spec, cfg.embed_dim, channels=cfg.convncf_channels,
             dropout=cfg.dropout,
         )
     if name == "neumf":
