@@ -65,7 +65,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | sbpr | apr | fm | gmf | mlp | neumf | convncf | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
+    name: str = "mf"  # pop | mf | sbpr | apr | fm | gmf | mlp | neumf | convncf | lightgcn | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
@@ -109,6 +109,8 @@ class ModelConfig:
     # (sequence length = max_history; embed_dim is the model width).
     sasrec_blocks: int = 2
     sasrec_heads: int = 1
+    # LightGCN: propagation depth over the user-item bipartite graph.
+    lightgcn_layers: int = 3
     # ConvNCF: feature maps per conv layer (depth = log2(embed_dim)).
     convncf_channels: int = 32
     # APR: adversarial perturbation radius and loss weight.

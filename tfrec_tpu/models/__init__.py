@@ -18,6 +18,7 @@ from tfrec_tpu.models.dlrm import DLRM
 from tfrec_tpu.models.cdae import CDAE
 from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.gru4rec import GRU4Rec
+from tfrec_tpu.models.lightgcn import LightGCN
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.multvae import MultVAE
@@ -78,6 +79,9 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             data_spec, cfg.mlp_embed_dim or cfg.embed_dim, cfg.mlp_dims,
             dropout=cfg.dropout,
         )
+    if name == "lightgcn":
+        return LightGCN(data_spec, cfg.embed_dim,
+                        num_layers=cfg.lightgcn_layers)
     if name == "convncf":
         return ConvNCF(
             data_spec, cfg.embed_dim, channels=cfg.convncf_channels,

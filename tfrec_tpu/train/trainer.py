@@ -170,6 +170,11 @@ class Trainer:
             loss = "logloss"
         # History-conditioned long-tail models: attach the train-history
         # matrix for eval scoring, and coerce incompatible losses loudly.
+        if getattr(self.model, "needs_graph", lambda: False)():
+            # Graph models (LightGCN) propagate over the TRAIN bipartite
+            # graph; attach its edge lists once.
+            self.model.attach_graph(self.dataset.train.users,
+                                    self.dataset.train.items)
         self.needs_history = bool(
             getattr(self.model, "needs_history", lambda: False)()
         )
