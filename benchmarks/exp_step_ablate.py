@@ -53,6 +53,30 @@ def _variant_builder(variant: str):
     )
     if variant == "pertable":
         builder.group_dedup = False
+    elif variant == "flat":
+        # ONE keyed sort over disjoint per-table ranges
+        # (combine_duplicate_ids_multi), statically sliced back.
+        builder.group_dedup = "flat"
+    elif variant == "dedup_only_flat":
+        import jax.numpy as jnp
+
+        from tfrec_tpu.ops.embedding import combine_duplicate_ids_multi
+
+        def sparse_update_all(state, ids, grads, lr, _b=builder):
+            new_tables = dict(state["tables"])
+            new_sparse = dict(state["sparse_opt"])
+            names = [n for n in grads]
+            sentinels = [state["tables"][n].shape[0] for n in names]
+            uids, comb = combine_duplicate_ids_multi(
+                [ids[n] for n in names], [grads[n] for n in names], sentinels
+            )
+            for i, name in enumerate(names):
+                new_tables[name] = new_tables[name].at[:1].add(
+                    comb[i, :1] * 1e-30 + uids[i, 0] * 1e-30
+                )
+            return new_tables, new_sparse
+
+        builder.sparse_update_all = sparse_update_all
     elif variant == "pertable_packed_off":
         # A/B partner for pertable: disable the packed-reshape scatter-add
         # lowering (tracing reads the module global, so this takes effect

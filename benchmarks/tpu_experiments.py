@@ -129,6 +129,18 @@ EXPERIMENTS = {
         "ABLATE_VARIANTS=pertable,pertable_pallas_trio,pertable,pertable_pallas_trio",
         "python", "benchmarks/exp_step_ablate.py",
     ],
+    # Flat keyed-sort dedup (ONE sort over disjoint per-table ranges)
+    # vs per-table, in the dedup half alone and in the full step.
+    "step_flat_ab": [
+        "env",
+        "ABLATE_VARIANTS=dedup_only,dedup_only_flat,dedup_only,dedup_only_flat,pertable,flat,pertable,flat",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_flat_ab_d128": [
+        "env", "BREAKDOWN_DIM=128",
+        "ABLATE_VARIANTS=pertable,flat,pertable,flat",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     # Where does grouped dedup's in-situ cost go? (one batched sort is
     # ~30x cheaper in isolation, yet grouped mode lost the full-step A/B)
     "step_dedup_grouped": [

@@ -138,8 +138,9 @@ def test_apply_deduped_half_matches_apply(name):
 
 
 def test_grouped_step_bit_identical_to_per_table_step():
-    # group_dedup=True (default) vs False on a multi-table CTR model:
-    # identical state after several steps.
+    # All dedup strategies (per-table, grouped batched-argsort, flat
+    # keyed sort) on a multi-table CTR model: identical state after
+    # several steps.
     from tfrec_tpu.configs import ModelConfig, OptimConfig
     from tfrec_tpu.models import DataSpec, build_model
     from tfrec_tpu.train.step import TrainStepBuilder
@@ -162,7 +163,7 @@ def test_grouped_step_bit_identical_to_per_table_step():
         learning_rate=1e-2, dense_optimizer="adam", sparse_optimizer="rowwise_adagrad"
     )
     finals = []
-    for gd in (True, False):
+    for gd in (True, False, "flat"):
         b = TrainStepBuilder(model, "logloss", oc, group_dedup=gd)
         st = b.init_state(jax.random.PRNGKey(0))
         stepf = jax.jit(b.step)
@@ -203,4 +204,32 @@ def test_packed_scatter_bit_identical(name, shape, monkeypatch):
     for k in s_plain:
         np.testing.assert_array_equal(
             np.asarray(s_packed[k]), np.asarray(s_plain[k])
+        )
+
+
+def test_flat_multi_combine_bit_identical_with_sentinels():
+    """combine_duplicate_ids_multi row f == combine_duplicate_ids on
+    table f, including sentinel-padded (multi-hot) id vectors and
+    heterogeneous vocabs."""
+    from tfrec_tpu.ops.embedding import combine_duplicate_ids_multi
+
+    rng = np.random.default_rng(0)
+    vocabs = [50, 80, 50, 17]
+    ids_seq, grads_seq = [], []
+    for v in vocabs:
+        ids_seq.append(jnp.asarray(rng.integers(0, v + 1, 64).astype(np.int32)))
+        grads_seq.append(
+            jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+        )
+    uids, comb = jax.jit(
+        lambda a, b: combine_duplicate_ids_multi(a, b, vocabs)
+    )(ids_seq, grads_seq)
+    for f, v in enumerate(vocabs):
+        ru, rc = jax.jit(
+            lambda i, g, v=v: combine_duplicate_ids(i, g, sentinel=v)
+        )(ids_seq[f], grads_seq[f])
+        np.testing.assert_array_equal(np.asarray(uids[f]), np.asarray(ru))
+        nreal = int((np.asarray(ru) < v).sum())  # tail slots are arbitrary
+        np.testing.assert_array_equal(
+            np.asarray(comb[f][:nreal]), np.asarray(rc[:nreal])
         )

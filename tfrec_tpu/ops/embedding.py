@@ -156,6 +156,75 @@ def combine_duplicate_ids_grouped(
     return uids, combined
 
 
+def combine_duplicate_ids_multi(
+    ids_seq, grads_seq, sentinels
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """F same-shaped dedup problems in ONE flat keyed sort.
+
+    Unlike ``combine_duplicate_ids_grouped`` (a batched argsort over
+    [F, N], which XLA lowers as F sequential minor-dim sorts — measured
+    as slow as F separate combines, docs/PERF.md), this concatenates all
+    tables into ONE [F*N] array keyed by disjoint per-table offset
+    ranges. Disjointness makes the sorted array per-table CONTIGUOUS at
+    STATIC positions [f*N, (f+1)*N), so one sort + one gather + one
+    segment-sum + one scatter-set replace F of each.
+
+    Per-table outputs are bit-identical to ``combine_duplicate_ids``:
+    the flat sort is stable, and keys of table f occupy a disjoint
+    range, so block f's permutation equals the per-table stable argsort;
+    segment members therefore accumulate in the same order.
+
+    Args:
+      ids_seq: sequence of F [N] int32 id vectors (same N).
+      grads_seq: sequence of F [N, D] gradient blocks (same N, D).
+      sentinels: per-table pad id (>= every id the table's vector holds).
+
+    Returns:
+      (uids [F, N], combined [F, N, D]) — row f is exactly
+      ``combine_duplicate_ids(ids_seq[f], grads_seq[f], sentinels[f])``.
+    """
+    import numpy as np
+
+    f = len(ids_seq)
+    n = ids_seq[0].shape[0]
+    spans = [int(s) + 1 for s in sentinels]
+    total = sum(spans)
+    assert total < 2**31, (
+        f"flat dedup key space {total} overflows int32; use per-table"
+    )
+    offs = np.concatenate([[0], np.cumsum(spans)[:-1]]).astype(np.int32)
+    keys = jnp.concatenate(
+        [ids.astype(jnp.int32) + int(offs[i]) for i, ids in enumerate(ids_seq)]
+    )
+    g = jnp.concatenate(list(grads_seq), axis=0)  # [F*N, D]
+    order = jnp.argsort(keys, stable=True)
+    sk = jnp.take(keys, order)
+    sg = jnp.take(g, order, axis=0)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)]
+    )
+    seg_raw = jnp.cumsum(starts) - 1  # global ascending segments
+    # Re-base each table's segments to start at f*N (slot alignment is
+    # what lets callers slice outputs statically). Key ranges are
+    # disjoint, so seg_raw always increments at a block boundary and the
+    # re-based segments stay globally ascending.
+    base = jnp.repeat(seg_raw[np.arange(f) * n], n)
+    slot = jnp.repeat(jnp.arange(f, dtype=seg_raw.dtype) * n, n)
+    seg = seg_raw - base + slot
+    combined = jax.ops.segment_sum(
+        sg, seg, num_segments=f * n, indices_are_sorted=True
+    ).reshape(f, n, -1)
+    sent_keys = jnp.repeat(
+        jnp.asarray([int(s) + int(o) for s, o in zip(sentinels, offs)],
+                    jnp.int32), n
+    )
+    uids = (
+        sent_keys.at[seg].set(sk, indices_are_sorted=True)
+        - jnp.repeat(jnp.asarray(offs), n)
+    ).reshape(f, n)
+    return uids, combined
+
+
 def dedup_ids(ids: jnp.ndarray, sentinel: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static-shape unique-with-inverse.
 

@@ -116,13 +116,17 @@ class TrainStepBuilder:
         group_dedup: bool = False,
     ):
         self.base_rng = jax.random.PRNGKey(seed)
-        # Batch the duplicate-id combine of all same-shaped tables into ONE
-        # sort/segment-sum (ops/embedding.combine_duplicate_ids_grouped).
-        # Bit-identical to the per-table path but measured SLOWER on v5e
-        # at both d=32 and d=128 (step_ablate 2026-08-17: the stacked
-        # [F,B,D] gather/segment-sum moves more HBM bytes than the 26
-        # latency-bound sorts it saves, before and after scatter hints) —
-        # so per-table is the default and grouping stays a tested option.
+        # Duplicate-id combine strategy across same-shaped tables, all
+        # bit-identical (tests/test_sparse_optim.py):
+        #   False      — per table (26 sorts). The measured default.
+        #   True       — ONE batched [F, N] argsort
+        #     (combine_duplicate_ids_grouped). Measured SLOWER on v5e:
+        #     XLA lowers the batched sort as F sequential minor-dim
+        #     sorts, so it saves nothing and adds stack/gather traffic
+        #     (step_ablate + step_dedup_grouped, docs/PERF.md).
+        #   "flat"     — ONE flat keyed sort over disjoint per-table key
+        #     ranges (combine_duplicate_ids_multi): statically sliceable
+        #     blocks, one sort/gather/segsum/scatter total.
         self.group_dedup = group_dedup
         if device_negatives and loss_name not in ("bpr", "hinge"):
             raise ValueError(
@@ -213,14 +217,11 @@ class TrainStepBuilder:
     def sparse_update_all(self, state: State, ids, gathered_grad, lr):
         """Apply the sparse optimizer to every table.
 
-        Default path: tables whose (ids, grads) shapes match are deduped
-        together in ONE batched sort/segment-sum
-        (ops/embedding.combine_duplicate_ids_grouped) — the 26 per-table
-        sorts of a Criteo-shaped step are latency-bound, and batching them
-        removes a fixed per-op cost times the table count. The scatters
-        stay per-table (they are cheap). Falls back to the per-table
-        ``sparse_update`` seam when grouping is off, for 1-table groups,
-        and for non-flat id shapes.
+        ``group_dedup`` selects how same-shaped tables share the
+        duplicate-id combine (see __init__; per-table is the measured
+        default). Grouped/flat modes fall back to the per-table
+        ``sparse_update`` seam for 1-table groups and non-flat id shapes;
+        the optimizer trio is always per table.
         """
         new_tables = dict(state["tables"])
         new_sparse = dict(state["sparse_opt"])
@@ -247,12 +248,20 @@ class TrainStepBuilder:
             if len(members) == 1:
                 per_table(members[0])
                 continue
-            from tfrec_tpu.ops.embedding import combine_duplicate_ids_grouped
-
-            ids_st = jnp.stack([ids[n] for n in members])
-            g_st = jnp.stack([gathered_grad[n] for n in members])
             sentinels = [state["tables"][n].shape[0] for n in members]
-            uids, comb = combine_duplicate_ids_grouped(ids_st, g_st, sentinels)
+            if self.group_dedup == "flat":
+                from tfrec_tpu.ops.embedding import combine_duplicate_ids_multi
+
+                uids, comb = combine_duplicate_ids_multi(
+                    [ids[n] for n in members],
+                    [gathered_grad[n] for n in members], sentinels,
+                )
+            else:
+                from tfrec_tpu.ops.embedding import combine_duplicate_ids_grouped
+
+                ids_st = jnp.stack([ids[n] for n in members])
+                g_st = jnp.stack([gathered_grad[n] for n in members])
+                uids, comb = combine_duplicate_ids_grouped(ids_st, g_st, sentinels)
             for i, name in enumerate(members):
                 new_tables[name], new_sparse[name] = self.sparse_update_deduped(
                     name, state["tables"][name], state["sparse_opt"][name],
