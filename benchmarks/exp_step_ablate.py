@@ -47,6 +47,12 @@ B = int(_os.environ.get("BREAKDOWN_BATCH", "8192"))
 def _variant_builder(variant: str):
     """A fresh bench builder with the variant's sparse path patched in."""
     import bench
+    import tfrec_tpu.ops.sparse_optim as _so
+
+    # Every variant starts from the env-derived packed-scatter default
+    # (a prior packed_on/packed_off variant must not leak forward — the
+    # flag is read at trace time).
+    _so._PACKED_SCATTER = _os.environ.get("TFREC_PACKED_SCATTER", "0") == "1"
 
     _, state, batches, builder = bench.build_dcn_bench(
         B, "xla", D
@@ -77,13 +83,13 @@ def _variant_builder(variant: str):
             return new_tables, new_sparse
 
         builder.sparse_update_all = sparse_update_all
-    elif variant == "pertable_packed_off":
-        # A/B partner for pertable: disable the packed-reshape scatter-add
-        # lowering (tracing reads the module global, so this takes effect
-        # at this variant's first jit call).
+    elif variant in ("pertable_packed_off", "pertable_packed_on"):
+        # A/B partners for pertable: force the packed-reshape scatter-add
+        # lowering off/on (tracing reads the module global, so this takes
+        # effect at this variant's first jit call).
         import tfrec_tpu.ops.sparse_optim as so
 
-        so._PACKED_SCATTER = False
+        so._PACKED_SCATTER = variant.endswith("_on")
         builder.group_dedup = False
     elif variant == "grouped":
         builder.group_dedup = True
@@ -187,10 +193,6 @@ def main() -> int:
         ).split(",")
         for variant in variants:
             state, batches, builder = _variant_builder(variant)
-            if variant == "pertable":
-                import tfrec_tpu.ops.sparse_optim as so
-
-                so._PACKED_SCATTER = True  # undo a prior packed_off variant
 
             def stepk(args, k, _b=builder, _batches=batches):
                 st, m = jax.lax.scan(

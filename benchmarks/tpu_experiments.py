@@ -99,14 +99,16 @@ EXPERIMENTS = {
                          "benchmarks/exp_batch_sweep.py"],
     # Packed-reshape scatter-add A/B inside the real step (interleaved
     # pairs: on, off, on, off — same session).
+    # Since the 2026-08-17 measurement the packed lowering defaults OFF,
+    # so the A/B pairs plain pertable against the forced-on variant.
     "step_packed_ab": [
         "env",
-        "ABLATE_VARIANTS=pertable,pertable_packed_off,pertable,pertable_packed_off",
+        "ABLATE_VARIANTS=pertable,pertable_packed_on,pertable,pertable_packed_on",
         "python", "benchmarks/exp_step_ablate.py",
     ],
     "step_packed_ab_d64": [
         "env", "BREAKDOWN_DIM=64",
-        "ABLATE_VARIANTS=pertable,pertable_packed_off,pertable,pertable_packed_off",
+        "ABLATE_VARIANTS=pertable,pertable_packed_on,pertable,pertable_packed_on",
         "python", "benchmarks/exp_step_ablate.py",
     ],
     # In-situ attribution of the sparse path's two halves (dedup sorts vs

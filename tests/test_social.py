@@ -63,6 +63,25 @@ def test_sbpr_sampler_invariants():
     assert not s._in_social(batch["user"], batch["neg"]).any()
 
 
+def test_sbpr_negative_exclusion_survives_candidate_truncation():
+    """max_social subsamples each user's CANDIDATE array, but the
+    negative-exclusion index must cover the FULL social sets — a
+    truncated index would let negatives collide with social feedback for
+    heavy users."""
+    ds = build_dataset(DATA)
+    s = SBPRSampler(ds, batch_size=128, seed=0, max_social=4)
+    full = SBPRSampler(ds, batch_size=128, seed=0)
+    # Same exclusion keys regardless of truncation.
+    np.testing.assert_array_equal(s._soc_keys, full._soc_keys)
+    batch = next(iter(s.epoch(0)))
+    assert not full._in_social(batch["user"], batch["neg"]).any()
+    # Truncated candidates are still valid social items.
+    assert s._in_social(
+        batch["user"][batch["has_social"] > 0],
+        batch["soc"][batch["has_social"] > 0],
+    ).all()
+
+
 def test_sbpr_requires_social_graph():
     ds = build_dataset(DataConfig(
         source="synthetic_implicit", num_users=64, num_items=128,

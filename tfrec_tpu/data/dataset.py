@@ -301,6 +301,18 @@ def build_dataset(cfg: DataConfig) -> Dataset:
 
 def _attach_social(ds: Dataset, cfg: DataConfig) -> Dataset:
     if cfg.social_path:
+        if cfg.min_interactions > 1 or cfg.binarize_threshold > 0:
+            # Both options re-densify user ids after filtering, so the
+            # edge file's ids would silently point at the WRONG users
+            # (every id above the first dropped one shifts) — the range
+            # check below cannot catch that.
+            raise ValueError(
+                "data.social_path cannot be combined with "
+                "min_interactions > 1 or binarize_threshold > 0: those "
+                "re-densify user ids, scrambling the edge file's id "
+                "space. Pre-filter the ratings and re-export the edges, "
+                "or use social_degree synthesis."
+            )
         ds.social = load_social_edges(cfg.social_path, ds.num_users)
     elif cfg.social_degree > 0:
         ds.social = build_social_overlap(ds, cfg.social_degree, cfg.seed)

@@ -322,11 +322,18 @@ class SequenceSampler:
     large-catalog approximation, same policy as device negatives)."""
 
     def __init__(self, dataset: Dataset, batch_size: int, max_len: int,
-                 seed: int = 0):
+                 seed: int = 0, order_seed: int | None = None):
+        # ``seed`` drives per-epoch shuffling/negatives (per-process in
+        # multi-controller runs); ``order_seed`` drives the tie-breaking
+        # of the TIME ORDERING and must be the GLOBAL seed so every
+        # process — and the trainer's eval-side attach_history — agrees
+        # on each user's sequence when timestamps tie or are absent.
         self.batch_size = batch_size
         self.seed = seed
         self.num_items = dataset.num_items
-        self.seq, self.lens = build_sequences(dataset, max_len, seed)
+        self.seq, self.lens = build_sequences(
+            dataset, max_len, seed if order_seed is None else order_seed
+        )
         self.active = np.flatnonzero(self.lens >= 2).astype(np.int32)
 
     def num_batches(self) -> int:
@@ -367,8 +374,6 @@ class SBPRSampler:
                 "SBPR needs a social graph: set data.social_degree > 0 "
                 "(synthetic taste-overlap friends) or data.social_path"
             )
-        import scipy.sparse as sp
-
         self.batch_size = batch_size
         self.seed = seed
         self.users = dataset.train.users
@@ -381,6 +386,15 @@ class SBPRSampler:
         cnt = (dataset.social.astype(np.float32) @ own).tocsr()  # friend counts
         cnt = (cnt - cnt.multiply(own > 0)).tocsr()  # drop own train items
         cnt.eliminate_zeros()
+
+        # Negative exclusion covers the FULL candidate sets (built from
+        # ``cnt`` before any subsampling): a truncated index would let
+        # negatives collide with social feedback for users with more
+        # than ``max_social`` candidates.
+        coo = cnt.tocoo()
+        self._soc_keys = np.sort(
+            coo.row.astype(np.int64) * self.num_items + coo.col
+        )
 
         nu, s = dataset.num_users, max_social
         starts, counts = cnt.indptr[:-1], np.diff(cnt.indptr)
@@ -403,12 +417,6 @@ class SBPRSampler:
             pick = rng.choice(counts[u], size=s, replace=False)
             self.sp_items[u] = cnt.indices[starts[u] + pick]
             self.sp_counts[u] = cnt.data[starts[u] + pick]
-        # Sorted (u, item) keys of the social sets, for neg exclusion.
-        su = np.repeat(np.arange(nu, dtype=np.int64), self.sp_lens)
-        si = np.concatenate(
-            [self.sp_items[u, : self.sp_lens[u]] for u in range(nu)]
-        ) if self.sp_lens.sum() else np.zeros(0, np.int64)
-        self._soc_keys = np.sort(su * self.num_items + si)
 
     def _in_social(self, users: np.ndarray, items: np.ndarray) -> np.ndarray:
         if len(self._soc_keys) == 0:

@@ -36,15 +36,25 @@ __all__ = [
     "MF",
     "Pop",
     "FM",
+    "NFM",
     "GMF",
     "MLP",
     "NeuMF",
+    "ConvNCF",
     "DCN",
     "DeepFM",
     "WideDeep",
     "DLRM",
     "FISM",
+    "NAIS",
     "MultVAE",
+    "CDAE",
+    "SASRec",
+    "GRU4Rec",
+    "Caser",
+    "SBPR",
+    "APR",
+    "LightGCN",
     "build_model",
 ]
 

@@ -91,12 +91,12 @@ class SASRec(SequentialRecModel):
             )
             logits = jnp.where(mask[:, None, :, :], logits, neg)
             att = jax.nn.softmax(logits, axis=-1)
-            att = drop(att, 10 + blk)
+            att = drop(att, 1 + 2 * blk)
             ctx = jnp.einsum("bhqk,bkhe->bqhe", att, vh).reshape(b, lx, d)
             x = x + ctx @ p["wo"]
             y = _layer_norm(x, p["ln2_scale"], p["ln2_bias"])
             y = jax.nn.relu(y @ p["ffn1"] + p["ffn1_b"])
-            y = drop(y, 20 + blk)
+            y = drop(y, 2 + 2 * blk)
             x = x + y @ p["ffn2"] + p["ffn2_b"]
             # Zero padded query positions so they contribute nothing
             # downstream (their keys are already masked).

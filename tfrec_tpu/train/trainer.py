@@ -181,10 +181,16 @@ class Trainer:
         if self.needs_history:
             if getattr(self.model, "ordered_history", False):
                 # Sequential models need the TIME-ORDERED train sequence.
+                # Eval encodes max_history - 1 positions — the trained
+                # receptive field: training encodes seq[:, :-1], so
+                # length-indexed params at index L-1 (pos_emb, vertical
+                # filter lags) never receive gradients and must not be
+                # read at scoring time.
                 from tfrec_tpu.data.samplers import build_sequences
 
                 hist, lens = build_sequences(
-                    self.dataset, c.model.max_history, seed=c.train.seed
+                    self.dataset, max(c.model.max_history - 1, 1),
+                    seed=c.train.seed,
                 )
             else:
                 from tfrec_tpu.data.samplers import build_history
@@ -344,7 +350,8 @@ class Trainer:
             from tfrec_tpu.data.samplers import SequenceSampler
 
             return SequenceSampler(
-                self.dataset, local_bs, c.model.max_history, seed
+                self.dataset, local_bs, c.model.max_history, seed,
+                order_seed=c.train.seed,
             )
         if self.loss_name == "sbpr":
             from tfrec_tpu.data.samplers import SBPRSampler
