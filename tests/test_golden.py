@@ -110,3 +110,20 @@ def test_config4_dcn_auc_band_proxy():
         final = _run_zoo("dcn_criteo")
         assert 0.8424 <= final["auc"] <= 0.8492, final  # band +- ~5 sigma
         assert 0.478 <= final["logloss"] <= 0.492, final
+
+
+def test_sasrec_quality_band_full():
+    """Sequential zoo (beyond contract): SASRec full-length band,
+    recall@20 0.0560 +- 0.0022 on the sasrec_ml1m stand-in (random =
+    0.0054). ~45 min/run, so gated behind TFREC_FULL_BANDS=1; the
+    always-on CI proxy for the same regression classes is
+    test_history_models.py::test_sasrec_learns_above_random."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("TFREC_FULL_BANDS"):
+        pytest.skip("full-length band run (TFREC_FULL_BANDS=1 to enable)")
+    final = _run_zoo("sasrec_ml1m")
+    assert 0.045 <= final["recall@20"] <= 0.067, final  # band +- ~5 sigma
+    assert 0.019 <= final["ndcg@20"] <= 0.029, final
