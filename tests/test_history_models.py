@@ -255,6 +255,7 @@ SEQ_MODEL_CFGS = {
                     gru_hidden=12, gru_layers=2),
     "caser": dict(name="caser", embed_dim=8, max_history=6,
                   caser_h_filters=4, caser_heights=(2, 3), caser_v_filters=2),
+    "fpmc": dict(name="fpmc", embed_dim=8, max_history=6),
 }
 
 
@@ -298,14 +299,17 @@ def test_sequential_causality(name):
              dropout=0.0),
         dict(name="caser", embed_dim=32, max_history=24, caser_h_filters=8,
              caser_heights=(2, 3), caser_v_filters=2, dropout=0.1),
+        dict(name="fpmc", embed_dim=32, max_history=24, _lr=0.05),
     ],
-    ids=["gru4rec", "caser"],
+    ids=["gru4rec", "caser", "fpmc"],
 )
 def test_sequential_siblings_learn_above_random(model_kwargs):
+    model_kwargs = dict(model_kwargs)
+    lr = model_kwargs.pop("_lr", 0.01)  # FPMC's MF-like user term wants MF's lr
     cfg = Config(
         data=DATA,
         model=ModelConfig(**model_kwargs),
-        optim=OptimConfig(learning_rate=0.01),
+        optim=OptimConfig(learning_rate=lr),
         train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=12,
                           eval_topk=(20,), loss="sasrec"),
     )

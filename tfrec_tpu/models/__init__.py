@@ -20,6 +20,7 @@ from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.gru4rec import GRU4Rec
 from tfrec_tpu.models.lightgcn import LightGCN
 from tfrec_tpu.models.fm import FM
+from tfrec_tpu.models.fpmc import FPMC
 from tfrec_tpu.models.mf import MF
 from tfrec_tpu.models.multvae import MultVAE
 from tfrec_tpu.models.nais import NAIS
@@ -50,6 +51,7 @@ __all__ = [
     "MultVAE",
     "CDAE",
     "SASRec",
+    "FPMC",
     "GRU4Rec",
     "Caser",
     "SBPR",
@@ -148,6 +150,8 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             data_spec, hidden_dim=cfg.vae_hidden, dropout=cfg.dropout,
             max_history=cfg.max_history,
         )
+    if name == "fpmc":
+        return FPMC(data_spec, cfg.embed_dim, max_history=cfg.max_history)
     if name == "sasrec":
         return SASRec(
             data_spec, cfg.embed_dim, num_blocks=cfg.sasrec_blocks,

@@ -73,7 +73,7 @@ class Caser(SequentialRecModel):
             }
         return params
 
-    def _encode(self, dense, rows, seq, user_rows, *, rng):
+    def _encode(self, dense, rows, seq, user_rows, *, rng, gathered=None):
         b, lx, d = rows.shape
         drop = make_dropout(rng, self.dropout)
 

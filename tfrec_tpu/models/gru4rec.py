@@ -53,7 +53,7 @@ class GRU4Rec(SequentialRecModel):
             }
         return params
 
-    def _encode(self, dense, rows, seq, user_rows, *, rng):
+    def _encode(self, dense, rows, seq, user_rows, *, rng, gathered=None):
         v = self.data_spec.num_items
         b, lx, _ = rows.shape
         h = self.hidden_dim

@@ -65,7 +65,7 @@ class SASRec(SequentialRecModel):
             }
         return params
 
-    def _encode(self, dense, rows, seq, user_rows, *, rng):
+    def _encode(self, dense, rows, seq, user_rows, *, rng, gathered=None):
         """Causal attention; sentinel positions are masked as keys (and
         zeroed as values via the key mask)."""
         v = self.data_spec.num_items

@@ -106,10 +106,12 @@ class SequentialRecModel(RecModel):
 
     # ---- encoder (subclass) ----
 
-    def _encode(self, dense, rows, seq, user_rows, *, rng):
+    def _encode(self, dense, rows, seq, user_rows, *, rng, gathered=None):
         """rows [B, Lx, D] item rows for ``seq`` [B, Lx] (sentinel rows
-        already zeroed); user_rows [B, user_dim] or None; returns hidden
-        [B, Lx, D]. MUST be causal in the time axis."""
+        already zeroed); user_rows [B, user_dim] or None; ``gathered`` is
+        the full lookup dict for encoders with extra tables (None on
+        paths that gather their own rows). Returns hidden [B, Lx, D].
+        MUST be causal in the time axis."""
         raise NotImplementedError
 
     def forward(self, dense, gathered, batch, *, rng=None):
@@ -124,7 +126,8 @@ class SequentialRecModel(RecModel):
         seq_rows = jnp.where(valid[:, :, None], seq_rows, 0.0)
         user_rows = gathered.get("user_emb") if self.uses_user else None
         hidden = self._encode(
-            dense, seq_rows[:, :-1], seq[:, :-1], user_rows, rng=rng
+            dense, seq_rows[:, :-1], seq[:, :-1], user_rows, rng=rng,
+            gathered=gathered,
         )  # [B, L-1, D]
         tgt_rows = seq_rows[:, 1:]
         pos_logits = jnp.sum(hidden * tgt_rows, axis=-1)

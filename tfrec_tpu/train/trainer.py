@@ -202,8 +202,8 @@ class Trainer:
             # Reconstruction/sequential models carry their own objective;
             # the item-similarity family (fism/nais) trains pairwise.
             want = {"multvae": "multvae", "cdae": "cdae", "sasrec": "sasrec",
-                    "gru4rec": "sasrec", "caser": "sasrec"}.get(
-                c.model.name.lower())
+                    "gru4rec": "sasrec", "caser": "sasrec",
+                    "fpmc": "sasrec"}.get(c.model.name.lower())
             if want and loss != want:
                 self.logger.log({
                     "event": "loss_coerced", "from": loss, "to": want,
