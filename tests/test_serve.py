@@ -1,6 +1,7 @@
 """Serving surface (predict / recommend), Pop baseline, explicit-rating MSE."""
 
 import numpy as np
+import pytest
 
 from tfrec_tpu.configs import (
     Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
@@ -139,3 +140,40 @@ def test_quantize_rejects_non_mf_models():
     t = _trained_trainer(ModelConfig(name="gmf", gmf_dim=8), loss="bpr", epochs=1)
     with pytest.raises(ValueError, match="MF dot-product"):
         Recommender(t.model, t.params, dataset=t.dataset, quantize=True)
+
+
+@pytest.mark.parametrize(
+    "name,extra",
+    [
+        ("sasrec", dict(max_history=12, sasrec_blocks=1)),
+        ("fpmc", dict(max_history=12)),
+        ("lightgcn", dict(lightgcn_layers=2)),
+        ("sbpr", {}),
+    ],
+)
+def test_new_families_serve_pointwise_matches_catalog(name, extra):
+    """serve.Recommender's predict() (the reference predict(u, i)
+    surface) must agree with score_catalog cells for the sequential /
+    graph / social families — the sequential base encodes the attached
+    ordered history for pointwise scoring."""
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96,
+                        num_items=200, interactions_per_user=10, seed=3,
+                        social_degree=(5 if name == "sbpr" else 0)),
+        model=ModelConfig(name=name, embed_dim=16, **extra),
+        optim=OptimConfig(learning_rate=0.03),
+        train=TrainConfig(batch_size=64, epochs=2, eval_every_epochs=0),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t, _ = run(cfg, quiet=True)
+    r = Recommender(t.model, t.params, dataset=t.dataset)
+    ids, scores = r.recommend(np.asarray([0, 5, 9], np.int32), k=5)
+    assert ids.shape == (3, 5)
+    pt = r.predict(np.asarray([0, 5], np.int32), np.asarray([3, 7], np.int32))
+    cat = r.score_catalog(np.asarray([0, 5], np.int32))
+    np.testing.assert_allclose(
+        np.asarray(pt), np.asarray(cat)[np.arange(2), [3, 7]],
+        rtol=2e-4, atol=1e-5,
+    )

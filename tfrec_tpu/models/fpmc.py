@@ -44,8 +44,10 @@ class FPMC(SequentialRecModel):
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
         ids = super().lookup_ids(batch)
         # Transition factors of the INPUT positions only ([B*L] prefix of
-        # the item lookup; negatives never act as a previous item).
-        ids["trans_emb"] = batch["seq"].reshape(-1)
+        # the item lookup; negatives/pointwise items never act as a
+        # previous item).
+        seq = batch["seq"] if "seq" in batch else self._pointwise_seq(batch)
+        ids["trans_emb"] = seq.reshape(-1)
         return ids
 
     def init_dense(self, rng: jax.Array):
@@ -54,9 +56,11 @@ class FPMC(SequentialRecModel):
     def _encode(self, dense, rows, seq, user_rows, *, rng, gathered=None):
         v = self.data_spec.num_items
         b, lx = seq.shape
-        # Transition rows of the input positions ([B, L] prefix of the
-        # trans_emb lookup, trimmed to this encode's window).
-        trans = gathered["trans_emb"][: b * (lx + 1)].reshape(b, lx + 1, -1)[:, :lx]
+        # Transition rows of the input positions, trimmed to this
+        # encode's window (training looked up L = lx+1 positions,
+        # pointwise exactly lx).
+        flat = gathered["trans_emb"]
+        trans = flat.reshape(b, flat.shape[0] // b, -1)[:, :lx]
         trans = jnp.where((seq < v)[:, :, None], trans, 0.0)
         return user_rows[:, None, :] + trans
 

@@ -96,13 +96,29 @@ class SequentialRecModel(RecModel):
         self._hist_len = jnp.asarray(hist_len)
 
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
-        ids = batch["seq"].reshape(-1)
-        if "seq_negs" in batch:
-            ids = jnp.concatenate([ids, batch["seq_negs"].reshape(-1)])
+        if "seq" not in batch:
+            # Pointwise (user, item) scoring — the reference predict()
+            # surface (serve.Recommender): encode the attached ordered
+            # history, then dot with the requested item rows.
+            seq = self._pointwise_seq(batch)
+            ids = jnp.concatenate([seq.reshape(-1), batch["item"]])
+        else:
+            ids = batch["seq"].reshape(-1)
+            if "seq_negs" in batch:
+                ids = jnp.concatenate([ids, batch["seq_negs"].reshape(-1)])
         out = {"item_emb": ids}
         if self.uses_user:
             out["user_emb"] = batch["user"]
         return out
+
+    def _pointwise_seq(self, batch) -> jnp.ndarray:
+        if self._hist is None:
+            raise ValueError(
+                f"{type(self).__name__} pointwise scoring needs "
+                "attach_history(seq, seq_len) (the trainer does this from "
+                "the time-ordered train split)"
+            )
+        return jnp.take(self._hist, batch["user"], axis=0)
 
     # ---- encoder (subclass) ----
 
@@ -115,6 +131,23 @@ class SequentialRecModel(RecModel):
         raise NotImplementedError
 
     def forward(self, dense, gathered, batch, *, rng=None):
+        if "seq" not in batch:
+            v = self.data_spec.num_items
+            seq = self._pointwise_seq(batch)
+            lens = jnp.take(self._hist_len, batch["user"])
+            b, l = seq.shape
+            rows_all = gathered["item_emb"]
+            seq_rows = rows_all[: b * l].reshape(b, l, -1)
+            item_rows = rows_all[b * l :]
+            seq_rows = jnp.where((seq < v)[:, :, None], seq_rows, 0.0)
+            user_rows = gathered.get("user_emb") if self.uses_user else None
+            hidden = self._encode(
+                dense, seq_rows, seq, user_rows, rng=None, gathered=gathered
+            )
+            last = jnp.take_along_axis(
+                hidden, jnp.maximum(lens - 1, 0)[:, None, None], axis=1
+            )[:, 0]
+            return jnp.sum(last * item_rows, axis=-1)
         seq = batch["seq"]  # [B, L]
         negs = batch["seq_negs"]  # [B, L-1]
         v = self.data_spec.num_items
