@@ -127,3 +127,19 @@ def test_sasrec_quality_band_full():
     final = _run_zoo("sasrec_ml1m")
     assert 0.045 <= final["recall@20"] <= 0.067, final  # band +- ~5 sigma
     assert 0.019 <= final["ndcg@20"] <= 0.029, final
+
+
+def test_sequential_sibling_bands_full():
+    """GRU4Rec / Caser full-length bands (TFREC_FULL_BANDS=1; ~30-45 min
+    each). The measured family ordering SASRec > GRU4Rec > Caser on the
+    ml1m stand-in is part of the record (BASELINE.md)."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("TFREC_FULL_BANDS"):
+        pytest.skip("full-length band run (TFREC_FULL_BANDS=1 to enable)")
+    final = _run_zoo("gru4rec_ml1m")
+    assert 0.040 <= final["recall@20"] <= 0.060, final  # band +- ~5 sigma
+    final = _run_zoo("caser_ml1m")
+    assert 0.028 <= final["recall@20"] <= 0.050, final
