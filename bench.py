@@ -359,6 +359,20 @@ def main(argv=None) -> int:
             print("bench: device probe failed/hung; falling back to CPU",
                   file=sys.stderr)
             args.devices = "cpu"
+            # Make the fallback self-explaining in the JSON record: the
+            # CPU number is NOT the chip's capability, and the last
+            # recorded strict TPU measurement for this config is quoted
+            # alongside (the tunnel in this environment has multi-hour
+            # outages — CLAUDE.md gotcha #2).
+            _fallback_note = {
+                "tpu_probe": "failed_or_hung",
+                "note": "CPU fallback; see tpu_last_recorded for the "
+                        "strict on-chip number at this config",
+            }
+        else:
+            _fallback_note = None
+    else:
+        _fallback_note = None
     if args.devices == "cpu":
         import jax
 
@@ -502,6 +516,14 @@ def main(argv=None) -> int:
                 json.dump(base, f, indent=1)
         except OSError:
             pass
+
+    if _fallback_note is not None:
+        extra.update(_fallback_note)
+        tpu_key = key.replace(f"-{platform}-", "-tpu-")
+        if tpu_key in base:
+            # vs_baseline stays 1.0 (neutral — no CPU baseline exists);
+            # the strict on-chip number rides along for the record.
+            extra["tpu_last_recorded"] = base[tpu_key]
 
     if platform == "tpu":
         try:
