@@ -332,3 +332,28 @@ def test_sasrec_learns_above_random():
     assert t.loss_name == "sasrec"
     # random recall@20 on 512 items ~ 0.039; measured 0.20
     assert hist[-1]["recall@20"] > 0.10, hist[-1]
+
+
+def test_sequential_score_user_items_matches_score_all():
+    """The sampled-eval fast path (encode once per user, dot the
+    candidate rows) must agree with score_all cells."""
+    spec = DataSpec.interaction(8, 60)
+    for name, kw in (("sasrec", dict(sasrec_blocks=1)),
+                     ("fpmc", {})):
+        m = build_model(
+            ModelConfig(name=name, embed_dim=8, max_history=6, **kw), spec
+        )
+        params = m.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        hist = np.full((8, 6), 60, np.int32)
+        lens = np.zeros(8, np.int32)
+        for u in range(8):
+            lens[u] = rng.integers(1, 7)
+            hist[u, : lens[u]] = rng.choice(60, size=lens[u], replace=False)
+        m.attach_history(hist, lens)
+        users = jnp.asarray([0, 3, 7], jnp.int32)
+        cands = jnp.asarray(rng.integers(0, 60, (3, 9)).astype(np.int32))
+        got = np.asarray(m.score_user_items(params, users, cands))
+        sa = np.asarray(m.score_all(params, users))
+        want = sa[np.arange(3)[:, None], np.asarray(cands)]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -146,6 +146,9 @@ def test_quantize_rejects_non_mf_models():
     "name,extra",
     [
         ("sasrec", dict(max_history=12, sasrec_blocks=1)),
+        ("gru4rec", dict(max_history=12, gru_hidden=20)),
+        ("caser", dict(max_history=12, caser_h_filters=4,
+                       caser_heights=(2,), caser_v_filters=2)),
         ("fpmc", dict(max_history=12)),
         ("lightgcn", dict(lightgcn_layers=2)),
         ("sbpr", {}),

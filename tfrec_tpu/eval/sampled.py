@@ -95,20 +95,26 @@ class SampledEvaluator:
 
         def rank_batch(params, users, cands):  # [B], [B, 1+N]
             b = users.shape[0]
-            flat_users = jnp.repeat(users, width)
-            flat_items = cands.reshape(-1)
-            batch = {
-                "user": flat_users,
-                "item": flat_items,
-                "label": jnp.zeros_like(flat_users, jnp.float32),
-            }
-            ids = self.model.lookup_ids(batch)
-            gathered = {
-                k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
-                for k, v in ids.items()
-            }
-            scores = self.model.forward(params["dense"], gathered, batch)
-            scores = scores.reshape(b, width)
+            if hasattr(self.model, "score_user_items"):
+                # Per-user candidate fast path (sequential family): the
+                # user representation is computed ONCE per user instead
+                # of once per candidate.
+                scores = self.model.score_user_items(params, users, cands)
+            else:
+                flat_users = jnp.repeat(users, width)
+                flat_items = cands.reshape(-1)
+                batch = {
+                    "user": flat_users,
+                    "item": flat_items,
+                    "label": jnp.zeros_like(flat_users, jnp.float32),
+                }
+                ids = self.model.lookup_ids(batch)
+                gathered = {
+                    k: jnp.take(params["tables"][k], v, axis=0, mode="clip")
+                    for k, v in ids.items()
+                }
+                scores = self.model.forward(params["dense"], gathered, batch)
+                scores = scores.reshape(b, width)
             # rank of the positive (column 0): #candidates scoring strictly
             # higher (ties resolved in the positive's favor, family style)
             return jnp.sum(

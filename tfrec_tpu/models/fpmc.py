@@ -64,20 +64,17 @@ class FPMC(SequentialRecModel):
         trans = jnp.where((seq < v)[:, :, None], trans, 0.0)
         return user_rows[:, None, :] + trans
 
-    def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+    def _last_hidden(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        # No full-sequence encode needed: the query is the user vector
+        # plus the LAST valid item's transition vector.
         if self._hist is None:
-            raise ValueError(
-                "FPMC.score_all needs attach_history(seq, seq_len)"
-            )
+            raise ValueError("FPMC eval needs attach_history(seq, seq_len)")
         t = params["tables"]
         v = self.data_spec.num_items
         seq = jnp.take(self._hist, user_ids, axis=0)
         lens = jnp.take(self._hist_len, user_ids)
-        # Last valid item's transition vector + the user vector.
         last_idx = jnp.maximum(lens - 1, 0)
         last_item = jnp.take_along_axis(seq, last_idx[:, None], axis=1)[:, 0]
         trans = jnp.take(t["trans_emb"], jnp.minimum(last_item, v - 1), axis=0)
         trans = jnp.where((last_item < v)[:, None], trans, 0.0)
-        u = jnp.take(t["user_emb"], user_ids, axis=0)
-        q = u + trans
-        return jnp.dot(q, t["item_emb"].T, preferred_element_type=jnp.float32)
+        return jnp.take(t["user_emb"], user_ids, axis=0) + trans

@@ -10,6 +10,7 @@ per-position hidden states [B, Lx, D]:
 - SASRec  — causal self-attention (models/sasrec.py)
 - GRU4Rec — gated recurrence via ``lax.scan`` (models/gru4rec.py)
 - Caser   — causal horizontal/vertical convolutions (models/caser.py)
+- FPMC    — user + factorized last-item transition (models/fpmc.py)
 
 TPU-native framing shared by the family:
 - ONE item table on the sparse path serves input embeddings, positive
@@ -58,8 +59,10 @@ class SequentialRecModel(RecModel):
 
     Subclasses set ``embed_dim``/``max_history`` (+ ``uses_user`` and
     ``user_dim`` if they carry a user table) and implement
-    ``_encode(dense, rows, seq, user_rows, rng) -> [B, Lx, D]`` as a
-    CAUSAL map (position t may depend only on positions <= t).
+    ``_encode(dense, rows, seq, user_rows, *, rng, gathered=None)
+    -> [B, Lx, D]`` as a CAUSAL map (position t may depend only on
+    positions <= t); ``gathered`` carries the full lookup dict for
+    encoders with extra tables.
     """
 
     # Trainer: attach time-ordered sequences (build_sequences), not the
@@ -112,6 +115,13 @@ class SequentialRecModel(RecModel):
         return out
 
     def _pointwise_seq(self, batch) -> jnp.ndarray:
+        # Prefer history rows carried IN the batch (serve passes them as
+        # jit ARGUMENTS via pointwise_batch_extras — a [U, L] closure
+        # constant would be baked into the compiled executable and go
+        # stale if history is re-attached); fall back to the attached
+        # matrix for direct/internal callers.
+        if "hist_seq" in batch:
+            return batch["hist_seq"]
         if self._hist is None:
             raise ValueError(
                 f"{type(self).__name__} pointwise scoring needs "
@@ -119,6 +129,26 @@ class SequentialRecModel(RecModel):
                 "the time-ordered train split)"
             )
         return jnp.take(self._hist, batch["user"], axis=0)
+
+    def _pointwise_lens(self, batch) -> jnp.ndarray:
+        if "hist_len" in batch:
+            return batch["hist_len"]
+        return jnp.take(self._hist_len, batch["user"])
+
+    def pointwise_batch_extras(self, user_ids) -> Dict[str, jnp.ndarray]:
+        """Host-side batch extras for pointwise scoring: the per-user
+        history rows, so jitted callers (serve.predict) pass them as
+        arguments instead of baking the full [U, L] matrix in as a
+        compile-time constant."""
+        if self._hist is None:
+            raise ValueError(
+                f"{type(self).__name__} pointwise scoring needs "
+                "attach_history(seq, seq_len)"
+            )
+        return {
+            "hist_seq": jnp.take(self._hist, user_ids, axis=0),
+            "hist_len": jnp.take(self._hist_len, user_ids),
+        }
 
     # ---- encoder (subclass) ----
 
@@ -134,7 +164,7 @@ class SequentialRecModel(RecModel):
         if "seq" not in batch:
             v = self.data_spec.num_items
             seq = self._pointwise_seq(batch)
-            lens = jnp.take(self._hist_len, batch["user"])
+            lens = self._pointwise_lens(batch)
             b, l = seq.shape
             rows_all = gathered["item_emb"]
             seq_rows = rows_all[: b * l].reshape(b, l, -1)
@@ -168,10 +198,12 @@ class SequentialRecModel(RecModel):
         mask = valid[:, :-1] & valid[:, 1:]
         return {"pos": pos_logits, "neg": neg_logits, "mask": mask}
 
-    def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+    def _last_hidden(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, D] last-valid-position hidden state of each user's
+        attached ordered history — the query vector of every eval path."""
         if self._hist is None:
             raise ValueError(
-                f"{type(self).__name__}.score_all needs attach_history(seq, "
+                f"{type(self).__name__} eval needs attach_history(seq, "
                 "seq_len) (the trainer does this from the time-ordered "
                 "train split)"
             )
@@ -189,7 +221,24 @@ class SequentialRecModel(RecModel):
             else None
         )
         hidden = self._encode(params["dense"], rows, seq, user_rows, rng=None)
-        last = jnp.take_along_axis(
+        return jnp.take_along_axis(
             hidden, jnp.maximum(lens - 1, 0)[:, None, None], axis=1
         )[:, 0]  # [B, D]
+
+    def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
+        last = self._last_hidden(params, user_ids)
+        t = params["tables"]["item_emb"]
         return jnp.dot(last, t.T, preferred_element_type=jnp.float32)
+
+    def score_user_items(self, params, user_ids: jnp.ndarray,
+                         item_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, W] scores of per-user candidate lists: encode each user's
+        history ONCE and dot with the W candidate rows — the sampled-eval
+        fast path (flattening through pointwise forward would re-run the
+        encoder W times per user)."""
+        last = self._last_hidden(params, user_ids)
+        t = params["tables"]["item_emb"]
+        rows = jnp.take(t, item_ids.reshape(-1), axis=0, mode="clip").reshape(
+            item_ids.shape + (-1,)
+        )
+        return jnp.einsum("bd,bwd->bw", last, rows)

@@ -101,11 +101,12 @@ class Recommender:
 
     # ---- pointwise scoring ----
 
-    def _predict_impl(self, params, user_ids, item_ids):
+    def _predict_impl(self, params, user_ids, item_ids, extras):
         batch = {
             "user": user_ids,
             "item": item_ids,
             "label": jnp.zeros(user_ids.shape[0], jnp.float32),
+            **extras,
         }
         ids = self.model.lookup_ids(batch)
         gathered = {
@@ -118,7 +119,13 @@ class Recommender:
         """Scores for (user, item) pairs — the reference predict() surface."""
         u = jnp.asarray(np.asarray(user_ids, np.int32))
         i = jnp.asarray(np.asarray(item_ids, np.int32))
-        return np.asarray(self._predict_jit(self.params, u, i))
+        # History-carrying models (the sequential family) provide their
+        # per-user rows as jit ARGUMENTS — a closure over the [U, L]
+        # matrix would be baked into the executable as a constant (the
+        # same rule the quantized table follows above) and would go stale
+        # if history were re-attached.
+        extras = getattr(self.model, "pointwise_batch_extras", lambda _u: {})(u)
+        return np.asarray(self._predict_jit(self.params, u, i, extras))
 
     def predict_ctr(self, dense, cat) -> np.ndarray:
         """CTR logits for feature-interaction models: dense [N, Dd] f32
