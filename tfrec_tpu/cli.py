@@ -42,6 +42,12 @@ def main(argv=None) -> int:
         help="zoo config name (see tfrec_tpu.zoo_configs.ZOO)",
     )
     parser.add_argument("--data_path", default=None, help="dataset path (MovieLens UIRT / Criteo TSV)")
+    parser.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform list (e.g. 'cpu') before backend init — "
+        "takes effect even where site hooks override the JAX_PLATFORMS env "
+        "var (jax.config wins over both)",
+    )
     parser.add_argument("--list_configs", action="store_true")
     parser.add_argument(
         "overrides", nargs="*",
@@ -58,6 +64,10 @@ def main(argv=None) -> int:
     if args.config not in ZOO:
         raise SystemExit(f"unknown config {args.config!r}; options: {sorted(ZOO)}")
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if os.environ.get("JAX_COORDINATOR"):
         import jax
 

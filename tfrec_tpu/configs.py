@@ -116,6 +116,9 @@ class ModelConfig:
     # APR: adversarial perturbation radius and loss weight.
     apr_eps: float = 0.5
     apr_lambda: float = 1.0
+    # IRGAN: generator sampling temperature over the negative pool
+    # (pool size = train.num_negatives).
+    irgan_temperature: float = 1.0
     # GRU4Rec: recurrent width (0 = embed_dim) and stack depth.
     gru_hidden: int = 0
     gru_layers: int = 1

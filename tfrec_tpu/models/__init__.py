@@ -18,6 +18,7 @@ from tfrec_tpu.models.dlrm import DLRM
 from tfrec_tpu.models.cdae import CDAE
 from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.gru4rec import GRU4Rec
+from tfrec_tpu.models.irgan import IRGAN
 from tfrec_tpu.models.lightgcn import LightGCN
 from tfrec_tpu.models.fm import FM
 from tfrec_tpu.models.fpmc import FPMC
@@ -56,6 +57,7 @@ __all__ = [
     "Caser",
     "SBPR",
     "APR",
+    "IRGAN",
     "LightGCN",
     "build_model",
 ]
@@ -84,6 +86,9 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "apr":
         return APR(data_spec, cfg.embed_dim, eps=cfg.apr_eps,
                    adv_lambda=cfg.apr_lambda)
+    if name == "irgan":
+        return IRGAN(data_spec, cfg.embed_dim,
+                     temperature=cfg.irgan_temperature)
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":

@@ -108,6 +108,20 @@ def sbpr(out: Dict, batch: Dict) -> jnp.ndarray:
     return jnp.mean(has * social + (1.0 - has) * plain)
 
 
+def irgan(out: Dict, batch: Dict) -> jnp.ndarray:
+    """IRGAN minimax step: discriminator BCE (true positive up, the
+    generator's sampled item down) plus the generator's REINFORCE term
+    (batch-mean baseline for variance reduction). ``out`` is
+    IRGAN.forward's {"d_pos", "d_sel", "logp", "reward"} (all [B];
+    "reward" is already stop_gradient-ed by the model). The two players'
+    gradient flows are disjoint, so one simultaneous step equals one
+    D-phase + one G-phase on the same batch (models/irgan.py)."""
+    d_loss = jax.nn.softplus(-out["d_pos"]) + jax.nn.softplus(out["d_sel"])
+    advantage = out["reward"] - jnp.mean(out["reward"])
+    g_loss = -(advantage * out["logp"])
+    return jnp.mean(d_loss) + jnp.mean(g_loss)
+
+
 def cdae(logits: jnp.ndarray, batch: Dict) -> jnp.ndarray:
     """CDAE reconstruction: binary cross-entropy of the full-catalog
     logits [B, V] against the user's multi-hot history (sentinel-padded
@@ -145,11 +159,14 @@ _LOSSES: Dict[str, Callable] = {
     "sasrec": sasrec,
     "sbpr": sbpr,
     "apr": apr,
+    "irgan": irgan,
 }
 
-# "apr" consumes the same (user, pos, neg) triples as bpr/hinge.
-PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax", "apr")
-MULTI_NEG_LOSSES = ("sampled_softmax",)
+# "apr" consumes the same (user, pos, neg) triples as bpr/hinge;
+# "irgan" consumes multi-negative pools like sampled_softmax.
+PAIRWISE_LOSSES = ("bpr", "hinge", "sampled_softmax", "in_batch_softmax",
+                   "apr", "irgan")
+MULTI_NEG_LOSSES = ("sampled_softmax", "irgan")
 # Losses needing only (user, pos) rows; negatives come from the batch itself.
 IN_BATCH_LOSSES = ("in_batch_softmax",)
 

@@ -230,6 +230,12 @@ class Trainer:
                 "reason": "apr trains on the adversarial objective",
             })
             loss = "apr"
+        if c.model.name.lower() == "irgan" and loss != "irgan":
+            self.logger.log({
+                "event": "loss_coerced", "from": loss, "to": "irgan",
+                "reason": "irgan trains on the minimax objective",
+            })
+            loss = "irgan"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).

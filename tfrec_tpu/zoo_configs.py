@@ -297,6 +297,30 @@ def apr_ml100k(path: str | None = None) -> Config:
     )
 
 
+def irgan_ml100k(path: str | None = None) -> Config:
+    """Adversarial zoo: IRGAN minimax retrieval on the ML-100K shape.
+    The generator samples from a 16-item uniform pool per positive
+    (train.num_negatives — the large-scale pool approximation,
+    models/irgan.py); eval scores with the generator."""
+    return Config(
+        run_name="irgan_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio", test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="irgan", embed_dim=64, irgan_temperature=0.5),
+        optim=OptimConfig(learning_rate=0.05,
+                          sparse_optimizer="rowwise_adagrad"),
+        train=TrainConfig(
+            batch_size=1024, epochs=40, loss="irgan", num_negatives=16,
+            eval_every_epochs=10, eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 def gru4rec_ml1m(path: str | None = None) -> Config:
     """Sequential zoo: GRU4Rec next-item prediction, same protocol and
     data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
@@ -359,4 +383,5 @@ ZOO = {
     "caser_ml1m": caser_ml1m,
     "sbpr_ml100k": sbpr_ml100k,
     "apr_ml100k": apr_ml100k,
+    "irgan_ml100k": irgan_ml100k,
 }
