@@ -119,6 +119,10 @@ class ModelConfig:
     # IRGAN: generator sampling temperature over the negative pool
     # (pool size = train.num_negatives).
     irgan_temperature: float = 1.0
+    # WRMF: implicit-feedback confidence weight (c = 1 + alpha on
+    # observed pairs) and the ALS ridge regularizer.
+    wrmf_alpha: float = 10.0
+    wrmf_reg: float = 0.05
     # GRU4Rec: recurrent width (0 = embed_dim) and stack depth.
     gru_hidden: int = 0
     gru_layers: int = 1

@@ -31,6 +31,7 @@ from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.sasrec import SASRec
 from tfrec_tpu.models.sbpr import SBPR
 from tfrec_tpu.models.widedeep import WideDeep
+from tfrec_tpu.models.wrmf import WRMF
 
 __all__ = [
     "DataSpec",
@@ -58,6 +59,7 @@ __all__ = [
     "SBPR",
     "APR",
     "IRGAN",
+    "WRMF",
     "LightGCN",
     "build_model",
 ]
@@ -89,6 +91,9 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "irgan":
         return IRGAN(data_spec, cfg.embed_dim,
                      temperature=cfg.irgan_temperature)
+    if name == "wrmf":
+        return WRMF(data_spec, cfg.embed_dim, alpha=cfg.wrmf_alpha,
+                    reg=cfg.wrmf_reg)
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":

@@ -236,11 +236,49 @@ class Trainer:
                 "reason": "irgan trains on the minimax objective",
             })
             loss = "irgan"
+        # Closed-form path: WRMF trains by alternating least squares
+        # (train/als.py) — no SGD step, no sampler, no mesh builder (the
+        # sweeps are whole-table computations; replicated on multi-device).
+        self.als = None
+        if getattr(self.model, "trains_by_als", False):
+            if loss != "wrmf":
+                self.logger.log({
+                    "event": "loss_coerced", "from": loss, "to": "wrmf",
+                    "reason": "wrmf trains by alternating least squares "
+                              "(closed-form sweeps, not SGD)",
+                })
+            loss = "wrmf"
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).
         self.mesh = None
-        if c.mesh.data_axis_size != 0 and (
+        if getattr(self.model, "trains_by_als", False):
+            from tfrec_tpu.train.als import ALSTrainer
+
+            self.builder = None
+            self.jit_step = None
+            self.als = ALSTrainer(
+                self.dataset, c.model.embed_dim,
+                alpha=self.model.alpha, reg=self.model.reg,
+                batch=min(c.train.batch_size, 4096), seed=c.train.seed,
+            )
+            self.state = {
+                "step": jnp.zeros((), jnp.int32),
+                "tables": dict(self.als.tables()),
+                "dense": {},
+            }
+            self.start_epoch = 0
+            if c.train.resume and c.train.checkpoint_dir:
+                step = latest_step(c.train.checkpoint_dir)
+                if step is not None:
+                    self.state = restore_checkpoint(
+                        c.train.checkpoint_dir, self.state
+                    )
+                    self.als.x = self.state["tables"]["user_emb"]
+                    self.als.y = self.state["tables"]["item_emb"]
+                    self.start_epoch = step
+                    self.logger.log({"event": "resumed", "epoch": step})
+        elif c.mesh.data_axis_size != 0 and (
             jax.device_count() > 1 or c.mesh.table_axis_size > 1
         ):
             from tfrec_tpu.parallel.mesh import make_mesh
@@ -270,17 +308,18 @@ class Trainer:
                 num_items=getattr(self.dataset, "num_items", 0),
             )
             self.jit_step = None  # compiled lazily (single- or multi-step)
-        self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
-        self.start_epoch = 0
-        if c.train.resume and c.train.checkpoint_dir:
-            step = latest_step(c.train.checkpoint_dir)
-            if step is not None:
-                self.state = restore_checkpoint(c.train.checkpoint_dir, self.state)
-                self.start_epoch = step
-                self.logger.log({"event": "resumed", "epoch": step})
+        if self.als is None:
+            self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
+            self.start_epoch = 0
+            if c.train.resume and c.train.checkpoint_dir:
+                step = latest_step(c.train.checkpoint_dir)
+                if step is not None:
+                    self.state = restore_checkpoint(c.train.checkpoint_dir, self.state)
+                    self.start_epoch = step
+                    self.logger.log({"event": "resumed", "epoch": step})
 
         # ---- sampler + profiler ----
-        self.sampler = self._make_sampler()
+        self.sampler = None if self.als is not None else self._make_sampler()
         from tfrec_tpu.utils.profile import StepProfiler
 
         self.profiler = StepProfiler(c.train.profile_steps)
@@ -608,9 +647,50 @@ class Trainer:
 
     # ---- training ----
 
+    def _train_als(self) -> List[Dict[str, float]]:
+        """WRMF: one epoch = one full ALS sweep (users half, items half);
+        the reported loss is the EXACT weighted objective, which the
+        closed-form solves decrease monotonically (tests/test_wrmf.py)."""
+        c = self.config
+        history: List[Dict[str, float]] = []
+        nnz = len(self.dataset.train.users)
+        for epoch in range(self.start_epoch, c.train.epochs):
+            t0 = time.monotonic()
+            metrics = self.als.epoch()
+            jax.block_until_ready(self.als.y)
+            dt = time.monotonic() - t0
+            self.state = {
+                "step": jnp.asarray(epoch + 1, jnp.int32),
+                "tables": dict(self.als.tables()),
+                "dense": {},
+            }
+            rec: Dict[str, float] = {
+                "epoch": epoch,
+                "loss": metrics["loss"],
+                # interactions re-solved per sweep-second (the ALS analog
+                # of examples/s: every sweep refits all nnz observations).
+                "examples_per_s": nnz / max(dt, 1e-9),
+            }
+            is_last = epoch + 1 == c.train.epochs
+            if c.train.eval_every_epochs and (
+                (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
+            ):
+                rec.update(self.evaluate())
+            self.logger.log(rec)
+            history.append(rec)
+            if (
+                c.train.checkpoint_dir
+                and c.train.checkpoint_every_epochs
+                and (epoch + 1) % c.train.checkpoint_every_epochs == 0
+            ):
+                save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+        return history
+
     def train(self) -> List[Dict[str, float]]:
         c = self.config
         history: List[Dict[str, float]] = []
+        if self.als is not None:
+            return self._train_als()
         if self.stream is None and self.sampler.num_batches() == 0:
             raise ValueError(
                 "0 train batches per epoch: the (remainder-dropping) "

@@ -321,6 +321,29 @@ def irgan_ml100k(path: str | None = None) -> Config:
     )
 
 
+def wrmf_ml100k(path: str | None = None) -> Config:
+    """Classic zoo: WRMF (implicit ALS) on the ML-100K shape. Epochs are
+    full alternating-least-squares sweeps (closed-form, ~15 suffice);
+    the logged loss is the exact weighted objective and must decrease
+    monotonically."""
+    return Config(
+        run_name="wrmf_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio", test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="wrmf", embed_dim=64, wrmf_alpha=10.0,
+                          wrmf_reg=0.05),
+        train=TrainConfig(
+            batch_size=1024, epochs=15, loss="wrmf", eval_every_epochs=5,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 def gru4rec_ml1m(path: str | None = None) -> Config:
     """Sequential zoo: GRU4Rec next-item prediction, same protocol and
     data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
@@ -384,4 +407,5 @@ ZOO = {
     "sbpr_ml100k": sbpr_ml100k,
     "apr_ml100k": apr_ml100k,
     "irgan_ml100k": irgan_ml100k,
+    "wrmf_ml100k": wrmf_ml100k,
 }
