@@ -129,6 +129,23 @@ def test_sasrec_quality_band_full():
     assert 0.019 <= final["ndcg@20"] <= 0.029, final
 
 
+def test_gan_als_bands_full():
+    """IRGAN / WRMF full-length bands on the 943x1682 stand-in
+    (TFREC_FULL_BANDS=1; minutes each). Both sit below BPR-MF on this
+    synthetic generator — recorded honestly in BASELINE.md; the bands
+    exist to catch regressions, not to claim lift."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("TFREC_FULL_BANDS"):
+        pytest.skip("full-length band run (TFREC_FULL_BANDS=1 to enable)")
+    final = _run_zoo("irgan_ml100k")
+    assert 0.070 <= final["recall@20"] <= 0.087, final  # band +- ~5 sigma
+    final = _run_zoo("wrmf_ml100k")
+    assert 0.063 <= final["recall@20"] <= 0.072, final
+
+
 def test_sequential_sibling_bands_full():
     """GRU4Rec / Caser full-length bands (TFREC_FULL_BANDS=1; ~30-45 min
     each). The measured family ordering SASRec > GRU4Rec > Caser on the

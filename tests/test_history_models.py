@@ -110,6 +110,39 @@ def test_multvae_learns_above_random():
     assert hist[-1]["recall@20"] > 0.12, hist[-1]
 
 
+def test_multdae_learns_above_random_and_has_no_kl():
+    """Mult-DAE (variational=False): deterministic bottleneck — the KL
+    head must be exactly zero and the denoiser must still learn."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfrec_tpu.models import DataSpec, build_model
+
+    mcfg = ModelConfig(name="multdae", vae_hidden=64, vae_latent=16,
+                       dropout=0.5, max_history=32)
+    m = build_model(mcfg, DataSpec.interaction(64, 128))
+    params = m.init(jax.random.PRNGKey(0))
+    # deterministic head: w_enc2 maps to latent_dim, not 2*latent_dim
+    assert params["dense"]["w_enc2"].shape == (64, 16)
+    batch = {"hist": jnp.asarray([[1, 5, 128, 128], [2, 128, 128, 128]],
+                                 jnp.int32)}
+    g = {"enc1": jnp.take(params["tables"]["enc1"],
+                          batch["hist"].reshape(-1), axis=0, mode="clip")}
+    out = m.forward(params["dense"], g, batch, rng=jax.random.PRNGKey(1))
+    assert float(jnp.abs(out["kl"]).max()) == 0.0
+
+    cfg = Config(
+        data=DATA,
+        model=mcfg,
+        optim=OptimConfig(learning_rate=0.003),
+        train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=12,
+                          eval_topk=(20,), loss="bpr"),  # coerced
+    )
+    t, hist = run(cfg, quiet=True)
+    assert t.loss_name == "multvae"
+    assert hist[-1]["recall@20"] > 0.12, hist[-1]
+
+
 def test_multvae_coerces_wrong_loss():
     cfg = Config(
         data=DATA,

@@ -152,6 +152,8 @@ def test_quantize_rejects_non_mf_models():
         ("fpmc", dict(max_history=12)),
         ("lightgcn", dict(lightgcn_layers=2)),
         ("sbpr", {}),
+        ("irgan", {}),
+        ("wrmf", {}),
     ],
 )
 def test_new_families_serve_pointwise_matches_catalog(name, extra):

@@ -144,11 +144,12 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             data_spec, cfg.embed_dim, alpha=cfg.fism_alpha,
             max_history=cfg.max_history,
         )
-    if name == "multvae":
+    if name in ("multvae", "multdae"):
         return MultVAE(
             data_spec, hidden_dim=cfg.vae_hidden, latent_dim=cfg.vae_latent,
             beta=cfg.vae_beta, dropout=cfg.dropout,
             max_history=cfg.max_history,
+            variational=(name == "multvae"),
         )
     if name == "nais":
         return NAIS(

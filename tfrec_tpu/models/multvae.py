@@ -36,7 +36,8 @@ from tfrec_tpu.ops.embedding import TableSpec
 class MultVAE(RecModel):
     def __init__(self, data_spec: DataSpec, hidden_dim: int = 256,
                  latent_dim: int = 64, beta: float = 0.2,
-                 dropout: float = 0.5, max_history: int = 50):
+                 dropout: float = 0.5, max_history: int = 50,
+                 variational: bool = True):
         assert data_spec.kind == "interaction"
         self.data_spec = data_spec
         self.hidden_dim = hidden_dim
@@ -44,6 +45,10 @@ class MultVAE(RecModel):
         self.beta = beta
         self.dropout = dropout
         self.max_history = max_history
+        # variational=False is Mult-DAE (Liang et al. 2018's denoising
+        # sibling): deterministic bottleneck, no KL — the input dropout
+        # alone provides the denoising signal. model.name="multdae".
+        self.variational = variational
         self._hist = None
         self._hist_len = None
 
@@ -60,10 +65,11 @@ class MultVAE(RecModel):
             lim = jnp.sqrt(6.0 / (fan_in + fan_out))
             return jax.random.uniform(k, (fan_in, fan_out), jnp.float32, -lim, lim)
 
+        z_out = 2 * z if self.variational else z
         return {
             "b_enc1": jnp.zeros((h,)),
-            "w_enc2": glorot(ks[0], h, 2 * z),
-            "b_enc2": jnp.zeros((2 * z,)),
+            "w_enc2": glorot(ks[0], h, z_out),
+            "b_enc2": jnp.zeros((z_out,)),
             "w_dec1": glorot(ks[1], z, h),
             "b_dec1": jnp.zeros((h,)),
             "w_out": glorot(ks[2], h, v),
@@ -101,19 +107,23 @@ class MultVAE(RecModel):
         x = jnp.einsum("bh,bhd->bd", valid, rows) / jnp.sqrt(n)[:, None]
         h1 = jnp.tanh(x + dense["b_enc1"])
         stats = jnp.dot(h1, dense["w_enc2"]) + dense["b_enc2"]
-        mu, logvar = jnp.split(stats, 2, axis=-1)
-        logvar = jnp.clip(logvar, -10.0, 10.0)
-        if rng is not None:
-            eps = jax.random.normal(rng, mu.shape, mu.dtype)
-            z = mu + eps * jnp.exp(0.5 * logvar)
-        else:
-            z = mu
+        if self.variational:
+            mu, logvar = jnp.split(stats, 2, axis=-1)
+            logvar = jnp.clip(logvar, -10.0, 10.0)
+            if rng is not None:
+                eps = jax.random.normal(rng, mu.shape, mu.dtype)
+                z = mu + eps * jnp.exp(0.5 * logvar)
+            else:
+                z = mu
+            kl = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+        else:  # Mult-DAE: deterministic tanh bottleneck, no KL
+            z = jnp.tanh(stats)
+            kl = jnp.zeros(stats.shape[0], stats.dtype)
         h3 = jnp.tanh(jnp.dot(z, dense["w_dec1"]) + dense["b_dec1"])
         logits = (
             jnp.dot(h3, dense["w_out"], preferred_element_type=jnp.float32)
             + dense["b_out"]
         )
-        kl = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
         return logits, kl
 
     def forward(self, dense, gathered, batch, *, rng=None):

@@ -201,7 +201,8 @@ class Trainer:
             self.model.attach_history(hist, lens)
             # Reconstruction/sequential models carry their own objective;
             # the item-similarity family (fism/nais) trains pairwise.
-            want = {"multvae": "multvae", "cdae": "cdae", "sasrec": "sasrec",
+            want = {"multvae": "multvae", "multdae": "multvae",
+                    "cdae": "cdae", "sasrec": "sasrec",
                     "gru4rec": "sasrec", "caser": "sasrec",
                     "fpmc": "sasrec"}.get(c.model.name.lower())
             if want and loss != want:
