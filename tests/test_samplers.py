@@ -82,3 +82,90 @@ def test_ctr_batcher():
     np.testing.assert_array_equal(batches[0]["cat"], b2[0]["cat"])
     b3 = list(b.epoch(1))
     assert not np.array_equal(batches[0]["cat"], b3[0]["cat"])
+
+
+def test_popularity_negative_sampling_distribution_and_exclusion():
+    """popularity^beta proposal: sampled-negative frequencies must track
+    train-count^beta (chi-square-loose ratio check over a skewed catalog),
+    train positives stay excluded, and beta=0 recovers uniform over the
+    full catalog."""
+    from tfrec_tpu.data.samplers import popularity_cdf
+
+    ds = _ds(seed=3)
+    pairs = _train_pairs(ds)
+    beta = 0.75
+    cdf = popularity_cdf(ds, beta)
+    s = PairwiseSampler(ds, batch_size=128, num_negatives=4, seed=7,
+                        neg_cdf=cdf)
+    negs = np.concatenate(
+        [b["neg"] for e in range(30) for b in s.epoch(e)]
+    )
+    counts = np.bincount(ds.train.items, minlength=ds.num_items)
+    freq = np.bincount(negs, minlength=ds.num_items).astype(np.float64)
+    # Never-trained items are never proposed (beta > 0 semantics).
+    assert freq[counts == 0].sum() == 0
+    for u, n in zip(
+        np.concatenate([b["user"] for b in s.epoch(0)]).tolist(),
+        np.concatenate([b["neg"] for b in s.epoch(0)]).tolist(),
+    ):
+        assert (u, n) not in pairs
+    # Per-item frequency under accept-reject: proposal c_i^beta thinned by
+    # the acceptance probability (1 - c_i/U) — item i is rejected for
+    # exactly the c_i users holding it as a train positive. Compare the
+    # head/tail group-mean ratio of that full expectation; 20% rel err.
+    order = np.argsort(-counts)
+    head, tail = order[:10], order[-40:-10]
+    tail = tail[counts[tail] > 0]
+    w = counts**beta * (1.0 - counts / ds.num_users)
+    expect = w[head].mean() / w[tail].mean()
+    got = freq[head].mean() / max(freq[tail].mean(), 1e-9)
+    assert abs(got - expect) / expect < 0.20, (got, expect)
+
+    # beta=0: uniform over the whole catalog (numpy 0^0 == 1).
+    cdf0 = popularity_cdf(ds, 0.0)
+    np.testing.assert_allclose(np.diff(cdf0), 1.0 / ds.num_items, rtol=1e-9)
+
+
+def test_popularity_knob_plumbs_and_refuses_wrong_paths():
+    import pytest
+
+    from tfrec_tpu.configs import Config, MeshConfig, ModelConfig, OptimConfig, TrainConfig
+    from tfrec_tpu.train.trainer import Trainer
+
+    base = dict(
+        data=DataConfig(source="synthetic_implicit", num_users=64,
+                        num_items=128, interactions_per_user=8, seed=0),
+        optim=OptimConfig(learning_rate=0.05),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t = Trainer(Config(
+        model=ModelConfig(name="mf", embed_dim=8),
+        train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=0,
+                          neg_sampling="popularity", loss="bpr"),
+        **base,
+    ), quiet=True)
+    assert t.sampler.neg_cdf is not None
+
+    with pytest.raises(ValueError, match="device_negatives"):
+        Trainer(Config(
+            model=ModelConfig(name="mf", embed_dim=8),
+            train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=0,
+                              neg_sampling="popularity", loss="bpr",
+                              device_negatives=True),
+            **base,
+        ), quiet=True)
+    with pytest.raises(ValueError, match="neg_sampling"):
+        Trainer(Config(
+            model=ModelConfig(name="multvae", vae_hidden=16, vae_latent=4,
+                              max_history=8),
+            train=TrainConfig(batch_size=32, epochs=1, eval_every_epochs=0,
+                              neg_sampling="popularity", loss="multvae"),
+            **base,
+        ), quiet=True)
+    with pytest.raises(ValueError, match="unknown train.neg_sampling"):
+        Trainer(Config(
+            model=ModelConfig(name="mf", embed_dim=8),
+            train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=0,
+                              neg_sampling="nope", loss="bpr"),
+            **base,
+        ), quiet=True)

@@ -197,10 +197,18 @@ class TrainConfig:
     # BPR-style pairwise sampling: negatives drawn per positive, resampled
     # each epoch (TFRec-family convention, SURVEY.md §3a).
     num_negatives: int = 1
+    # Negative-proposal distribution for the host samplers:
+    # "uniform" (default) or "popularity" (item drawn ∝ train-count^beta,
+    # the word2vec exponent — harder negatives for head-heavy catalogs).
+    # Train-positive rejection applies to both.
+    neg_sampling: str = "uniform"
+    neg_sampling_beta: float = 0.75
     # Draw negatives ON DEVICE inside the jitted step (uniform over the
     # catalog, no train-positive exclusion — the standard large-catalog
     # approximation; false-negative rate ~ interactions/user / num_items).
     # Removes host-side sampling from the input pipeline entirely.
+    # Incompatible with neg_sampling="popularity" (device draws are
+    # uniform by construction) — the trainer refuses the combination.
     device_negatives: bool = False
     loss: str = "bpr"  # bpr | hinge | logloss | mse | sampled_softmax | in_batch_softmax
     seed: int = 42

@@ -35,19 +35,50 @@ class _TrainPairIndex:
         return self.keys[idx] == q
 
 
+def popularity_cdf(dataset: Dataset, beta: float = 0.75) -> np.ndarray:
+    """Inverse-CDF table for popularity-biased negative sampling: item i
+    drawn with probability ∝ train_count(i)^beta (the word2vec exponent;
+    beta=0 degrades to uniform since 0^0 == 1 under numpy). Items absent
+    from the train split are never drawn for beta > 0 — the standard
+    popularity-sampling semantics (they contribute no gradient signal a
+    popularity sampler is after)."""
+    counts = np.bincount(
+        dataset.train.items, minlength=dataset.num_items
+    ).astype(np.float64)
+    w = np.power(counts, beta)
+    total = w.sum()
+    if total <= 0:  # empty train split: degenerate, fall back to uniform
+        w = np.ones_like(w)
+        total = w.sum()
+    return np.cumsum(w / total)
+
+
+def _draw_items(
+    rng: np.random.Generator, n: int, num_items: int,
+    cdf: np.ndarray | None,
+) -> np.ndarray:
+    if cdf is None:
+        return rng.integers(0, num_items, size=n, dtype=np.int64)
+    return np.minimum(
+        np.searchsorted(cdf, rng.random(n), side="right"), num_items - 1
+    ).astype(np.int64)
+
+
 def _sample_negatives(
     rng: np.random.Generator,
     index: _TrainPairIndex,
     users: np.ndarray,
     num_items: int,
     max_rounds: int = 64,
+    cdf: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Draw one negative per row, rejecting train positives (vectorized)."""
-    negs = rng.integers(0, num_items, size=len(users), dtype=np.int64)
+    """Draw one negative per row, rejecting train positives (vectorized).
+    ``cdf`` switches the proposal from uniform to popularity^beta."""
+    negs = _draw_items(rng, len(users), num_items, cdf)
     bad = index.contains(users, negs)
     rounds = 0
     while bad.any() and rounds < max_rounds:
-        negs[bad] = rng.integers(0, num_items, size=int(bad.sum()), dtype=np.int64)
+        negs[bad] = _draw_items(rng, int(bad.sum()), num_items, cdf)
         bad = index.contains(users, negs)
         rounds += 1
     # Pathological users interacting with the whole catalog keep the last
@@ -141,6 +172,7 @@ class PairwiseSampler:
         multi_neg: bool = False,
         no_negatives: bool = False,
         with_history: int = 0,
+        neg_cdf: "np.ndarray | None" = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -148,6 +180,7 @@ class PairwiseSampler:
         self.seed = seed
         self.multi_neg = multi_neg
         self.no_negatives = no_negatives  # in-batch losses: (user, pos) only
+        self.neg_cdf = neg_cdf  # popularity^beta proposal (None = uniform)
         self.index = _TrainPairIndex(dataset)
         self.hist = self.lens = None
         if with_history:
@@ -179,7 +212,8 @@ class PairwiseSampler:
             users, pos = train.users, train.items
             flat_users = np.repeat(users, self.num_negatives)
             negs = _sample_negatives(
-                rng, self.index, flat_users, self.dataset.num_items
+                rng, self.index, flat_users, self.dataset.num_items,
+                cdf=self.neg_cdf,
             ).reshape(-1, self.num_negatives)
             perm = rng.permutation(len(users))
             users, pos, negs = users[perm], pos[perm], negs[perm]
@@ -191,7 +225,9 @@ class PairwiseSampler:
             return
         users = np.repeat(train.users, self.num_negatives)
         pos = np.repeat(train.items, self.num_negatives)
-        negs = _sample_negatives(rng, self.index, users, self.dataset.num_items)
+        negs = _sample_negatives(
+            rng, self.index, users, self.dataset.num_items, cdf=self.neg_cdf
+        )
         perm = rng.permutation(len(users))
         users, pos, negs = users[perm], pos[perm], negs[perm]
         for start in range(0, len(users) - self.batch_size + 1, self.batch_size):
@@ -212,11 +248,13 @@ class PointwiseSampler:
         batch_size: int,
         num_negatives: int = 4,
         seed: int = 0,
+        neg_cdf: "np.ndarray | None" = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_negatives = num_negatives
         self.seed = seed
+        self.neg_cdf = neg_cdf
         self.index = _TrainPairIndex(dataset)
 
     def num_batches(self) -> int:
@@ -229,7 +267,8 @@ class PointwiseSampler:
         n_pos = len(train)
         neg_users = np.repeat(train.users, self.num_negatives)
         neg_items = _sample_negatives(
-            rng, self.index, neg_users, self.dataset.num_items
+            rng, self.index, neg_users, self.dataset.num_items,
+            cdf=self.neg_cdf,
         )
         users = np.concatenate([train.users, neg_users])
         items = np.concatenate([train.items, neg_items])

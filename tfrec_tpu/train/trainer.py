@@ -387,6 +387,17 @@ class Trainer:
             c.train.batch_size, n_proc,
         )
         seed = c.train.seed * max(n_proc, 1) + jax.process_index()
+        if c.train.neg_sampling != "uniform" and (
+            self.dataset is None
+            or self.loss_name in ("sasrec", "sbpr", "multvae", "cdae")
+        ):
+            # The knob only reaches the pairwise/pointwise interaction
+            # samplers; refusing here beats silently training uniform.
+            raise ValueError(
+                f"train.neg_sampling={c.train.neg_sampling!r} applies to "
+                "the pairwise/pointwise interaction samplers, not the "
+                f"{self.loss_name!r} data path"
+            )
         if self.stream is not None:
             return self.stream  # already constructed per-process sharded
         if self.ctr_arrays is not None:
@@ -409,6 +420,22 @@ class Trainer:
             return UserHistorySampler(
                 self.dataset, local_bs, c.model.max_history, seed
             )
+        neg_cdf = None
+        if c.train.neg_sampling == "popularity":
+            if self._use_device_negs(self.loss_name):
+                raise ValueError(
+                    "train.neg_sampling='popularity' is a host-sampler "
+                    "proposal; device_negatives draws uniformly on device — "
+                    "disable one of the two"
+                )
+            from tfrec_tpu.data.samplers import popularity_cdf
+
+            neg_cdf = popularity_cdf(self.dataset, c.train.neg_sampling_beta)
+        elif c.train.neg_sampling != "uniform":
+            raise ValueError(
+                f"unknown train.neg_sampling {c.train.neg_sampling!r}; "
+                "options: uniform, popularity"
+            )
         if self.loss_name in PAIRWISE_LOSSES:
             return PairwiseSampler(
                 self.dataset, local_bs, c.train.num_negatives, seed,
@@ -418,9 +445,11 @@ class Trainer:
                     or self._use_device_negs(self.loss_name)
                 ),
                 with_history=(c.model.max_history if self.needs_history else 0),
+                neg_cdf=neg_cdf,
             )
         return PointwiseSampler(
-            self.dataset, local_bs, max(c.train.num_negatives, 1), seed
+            self.dataset, local_bs, max(c.train.num_negatives, 1), seed,
+            neg_cdf=neg_cdf,
         )
 
     def _host_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
