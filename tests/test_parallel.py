@@ -436,6 +436,8 @@ def test_bf16_wire_format_close_to_f32(mesh8):
                        caser_heights=(2,), caser_v_filters=2)),
         ("sbpr", {}),
         ("nfm", {}),
+        ("irgan", {}),
+        ("ngcf", dict(lightgcn_layers=2, dropout=0.0)),
     ],
 )
 def test_new_families_train_on_mesh(name, extra):

@@ -151,6 +151,7 @@ def test_quantize_rejects_non_mf_models():
                        caser_heights=(2,), caser_v_filters=2)),
         ("fpmc", dict(max_history=12)),
         ("lightgcn", dict(lightgcn_layers=2)),
+        ("ngcf", dict(lightgcn_layers=2, dropout=0.0)),
         ("sbpr", {}),
         ("irgan", {}),
         ("wrmf", {}),

@@ -27,6 +27,7 @@ from tfrec_tpu.models.multvae import MultVAE
 from tfrec_tpu.models.nais import NAIS
 from tfrec_tpu.models.ncf import GMF, MLP, NeuMF
 from tfrec_tpu.models.nfm import NFM
+from tfrec_tpu.models.ngcf import NGCF
 from tfrec_tpu.models.pop import Pop
 from tfrec_tpu.models.sasrec import SASRec
 from tfrec_tpu.models.sbpr import SBPR
@@ -61,6 +62,7 @@ __all__ = [
     "IRGAN",
     "WRMF",
     "LightGCN",
+    "NGCF",
     "build_model",
 ]
 
@@ -104,6 +106,9 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "lightgcn":
         return LightGCN(data_spec, cfg.embed_dim,
                         num_layers=cfg.lightgcn_layers)
+    if name == "ngcf":
+        return NGCF(data_spec, cfg.embed_dim,
+                    num_layers=cfg.lightgcn_layers, dropout=cfg.dropout)
     if name == "convncf":
         return ConvNCF(
             data_spec, cfg.embed_dim, channels=cfg.convncf_channels,
