@@ -123,6 +123,8 @@ class ModelConfig:
     # observed pairs) and the ALS ridge regularizer.
     wrmf_alpha: float = 10.0
     wrmf_reg: float = 0.05
+    # EASE: ridge regularizer of the closed-form item-item solve.
+    ease_reg: float = 100.0
     # GRU4Rec: recurrent width (0 = embed_dim) and stack depth.
     gru_hidden: int = 0
     gru_layers: int = 1

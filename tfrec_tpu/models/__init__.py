@@ -15,6 +15,7 @@ from tfrec_tpu.models.convncf import ConvNCF
 from tfrec_tpu.models.dcn import DCN
 from tfrec_tpu.models.deepfm import DeepFM
 from tfrec_tpu.models.dlrm import DLRM
+from tfrec_tpu.models.ease import EASE
 from tfrec_tpu.models.cdae import CDAE
 from tfrec_tpu.models.fism import FISM
 from tfrec_tpu.models.gru4rec import GRU4Rec
@@ -61,6 +62,7 @@ __all__ = [
     "APR",
     "IRGAN",
     "WRMF",
+    "EASE",
     "LightGCN",
     "NGCF",
     "build_model",
@@ -96,6 +98,8 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
     if name == "wrmf":
         return WRMF(data_spec, cfg.embed_dim, alpha=cfg.wrmf_alpha,
                     reg=cfg.wrmf_reg)
+    if name == "ease":
+        return EASE(data_spec, reg=cfg.ease_reg)
     if name == "gmf":
         return GMF(data_spec, cfg.gmf_dim or cfg.embed_dim)
     if name == "mlp":

@@ -21,7 +21,10 @@ from tfrec_tpu.models.base import DataSpec, DotRetrieval, RecModel
 from tfrec_tpu.ops.embedding import TableSpec
 
 class WRMF(RecModel):
-    trains_by_als = True
+    # Closed-form training hook (train/trainer.py): no SGD step exists
+    # for this model; the Trainer calls make_solver and drives epochs
+    # through it. solver_loss_name is the coerced train.loss label.
+    solver_loss_name = "wrmf"
 
     def __init__(self, data_spec: DataSpec, embed_dim: int,
                  alpha: float = 10.0, reg: float = 0.05):
@@ -30,6 +33,12 @@ class WRMF(RecModel):
         self.embed_dim = embed_dim
         self.alpha = alpha
         self.reg = reg
+
+    def make_solver(self, dataset, *, batch: int, seed: int):
+        from tfrec_tpu.train.als import ALSTrainer
+
+        return ALSTrainer(dataset, self.embed_dim, alpha=self.alpha,
+                          reg=self.reg, batch=batch, seed=seed)
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         u, v, d = self.data_spec.num_users, self.data_spec.num_items, self.embed_dim

@@ -147,3 +147,8 @@ class ALSTrainer:
 
     def tables(self) -> Dict[str, jnp.ndarray]:
         return {"user_emb": self.x, "item_emb": self.y}
+
+    def load(self, tables: Dict[str, jnp.ndarray]) -> None:
+        """Checkpoint-resume hook (train/trainer.py closed-form path)."""
+        self.x = tables["user_emb"]
+        self.y = tables["item_emb"]

@@ -237,35 +237,35 @@ class Trainer:
                 "reason": "irgan trains on the minimax objective",
             })
             loss = "irgan"
-        # Closed-form path: WRMF trains by alternating least squares
-        # (train/als.py) — no SGD step, no sampler, no mesh builder (the
-        # sweeps are whole-table computations; replicated on multi-device).
-        self.als = None
-        if getattr(self.model, "trains_by_als", False):
-            if loss != "wrmf":
+        # Closed-form path: models exposing ``make_solver`` (WRMF's ALS
+        # sweeps, EASE's one-shot ridge solve) train without SGD — no
+        # sampler, no step builder, no mesh (the solves are whole-table
+        # computations; replicated on multi-device).
+        self.solver = None
+        make_solver = getattr(self.model, "make_solver", None)
+        if make_solver is not None:
+            want = self.model.solver_loss_name
+            if loss != want:
                 self.logger.log({
-                    "event": "loss_coerced", "from": loss, "to": "wrmf",
-                    "reason": "wrmf trains by alternating least squares "
-                              "(closed-form sweeps, not SGD)",
+                    "event": "loss_coerced", "from": loss, "to": want,
+                    "reason": f"{c.model.name} trains closed-form "
+                              "(solver sweeps, not SGD)",
                 })
-            loss = "wrmf"
+            loss = want
         self.loss_name = loss
         # Mesh path: sharded tables + explicit collectives whenever more
         # than one device is visible (or a table axis is requested).
         self.mesh = None
-        if getattr(self.model, "trains_by_als", False):
-            from tfrec_tpu.train.als import ALSTrainer
-
+        if make_solver is not None:
             self.builder = None
             self.jit_step = None
-            self.als = ALSTrainer(
-                self.dataset, c.model.embed_dim,
-                alpha=self.model.alpha, reg=self.model.reg,
-                batch=min(c.train.batch_size, 4096), seed=c.train.seed,
+            self.solver = make_solver(
+                self.dataset, batch=min(c.train.batch_size, 4096),
+                seed=c.train.seed,
             )
             self.state = {
                 "step": jnp.zeros((), jnp.int32),
-                "tables": dict(self.als.tables()),
+                "tables": dict(self.solver.tables()),
                 "dense": {},
             }
             self.start_epoch = 0
@@ -275,8 +275,7 @@ class Trainer:
                     self.state = restore_checkpoint(
                         c.train.checkpoint_dir, self.state
                     )
-                    self.als.x = self.state["tables"]["user_emb"]
-                    self.als.y = self.state["tables"]["item_emb"]
+                    self.solver.load(self.state["tables"])
                     self.start_epoch = step
                     self.logger.log({"event": "resumed", "epoch": step})
         elif c.mesh.data_axis_size != 0 and (
@@ -309,7 +308,7 @@ class Trainer:
                 num_items=getattr(self.dataset, "num_items", 0),
             )
             self.jit_step = None  # compiled lazily (single- or multi-step)
-        if self.als is None:
+        if self.solver is None:
             self.state = self.builder.init_state(jax.random.PRNGKey(c.train.seed))
             self.start_epoch = 0
             if c.train.resume and c.train.checkpoint_dir:
@@ -320,7 +319,7 @@ class Trainer:
                     self.logger.log({"event": "resumed", "epoch": step})
 
         # ---- sampler + profiler ----
-        self.sampler = None if self.als is not None else self._make_sampler()
+        self.sampler = None if self.solver is not None else self._make_sampler()
         from tfrec_tpu.utils.profile import StepProfiler
 
         self.profiler = StepProfiler(c.train.profile_steps)
@@ -677,21 +676,22 @@ class Trainer:
 
     # ---- training ----
 
-    def _train_als(self) -> List[Dict[str, float]]:
-        """WRMF: one epoch = one full ALS sweep (users half, items half);
-        the reported loss is the EXACT weighted objective, which the
-        closed-form solves decrease monotonically (tests/test_wrmf.py)."""
+    def _train_closed_form(self) -> List[Dict[str, float]]:
+        """Closed-form solvers (WRMF ALS, EASE): one epoch = one solver
+        sweep; the reported loss is the solver's EXACT objective (ALS
+        decreases it monotonically — tests/test_wrmf.py)."""
         c = self.config
         history: List[Dict[str, float]] = []
         nnz = len(self.dataset.train.users)
         for epoch in range(self.start_epoch, c.train.epochs):
             t0 = time.monotonic()
-            metrics = self.als.epoch()
-            jax.block_until_ready(self.als.y)
+            metrics = self.solver.epoch()
+            tables = dict(self.solver.tables())
+            jax.block_until_ready(tables)
             dt = time.monotonic() - t0
             self.state = {
                 "step": jnp.asarray(epoch + 1, jnp.int32),
-                "tables": dict(self.als.tables()),
+                "tables": tables,
                 "dense": {},
             }
             rec: Dict[str, float] = {
@@ -719,8 +719,8 @@ class Trainer:
     def train(self) -> List[Dict[str, float]]:
         c = self.config
         history: List[Dict[str, float]] = []
-        if self.als is not None:
-            return self._train_als()
+        if self.solver is not None:
+            return self._train_closed_form()
         if self.stream is None and self.sampler.num_batches() == 0:
             raise ValueError(
                 "0 train batches per epoch: the (remainder-dropping) "

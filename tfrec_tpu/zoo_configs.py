@@ -344,6 +344,26 @@ def wrmf_ml100k(path: str | None = None) -> Config:
     )
 
 
+def ease_ml100k(path: str | None = None) -> Config:
+    """Closed-form zoo: EASE item-item solve on the ML-100K shape. ONE
+    epoch = the entire training run (a single [V,V] ridge solve)."""
+    return Config(
+        run_name="ease_ml100k",
+        data=DataConfig(
+            source="movielens" if path else "synthetic_implicit",
+            path=path,
+            splitter="ratio", test_fraction=0.2,
+            binarize_threshold=1.0 if path else 0.0,
+            num_users=943, num_items=1682, interactions_per_user=64,
+        ),
+        model=ModelConfig(name="ease", ease_reg=100.0),
+        train=TrainConfig(
+            batch_size=1024, epochs=1, loss="ease", eval_every_epochs=1,
+            eval_topk=(10, 20, 50),
+        ),
+    )
+
+
 def gru4rec_ml1m(path: str | None = None) -> Config:
     """Sequential zoo: GRU4Rec next-item prediction, same protocol and
     data shape as sasrec_ml1m (time-ordered sequences, per-position BCE)."""
@@ -408,4 +428,5 @@ ZOO = {
     "apr_ml100k": apr_ml100k,
     "irgan_ml100k": irgan_ml100k,
     "wrmf_ml100k": wrmf_ml100k,
+    "ease_ml100k": ease_ml100k,
 }
