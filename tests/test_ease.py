@@ -93,3 +93,22 @@ def test_ease_serve_predict_matches_catalog():
         np.asarray(pt), np.asarray(cat)[np.arange(2), [3, 7]],
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_ease_sampled_eval_protocol_works():
+    """The sampled NCF protocol must work for EASE through the
+    score_user_items fast path (review finding: the generic pointwise
+    fallback cannot supply hist_x inside the evaluator's jit)."""
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96,
+                        num_items=200, interactions_per_user=10, seed=3),
+        model=ModelConfig(name="ease", ease_reg=20.0),
+        train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=1,
+                          eval_protocol="sampled", eval_num_candidates=50,
+                          eval_topk=(10,)),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert "hr@10" in hist[-1], hist[-1]
+    # random HR@10 over 51 candidates = 10/51 ~ 0.196; measured 0.41
+    assert hist[-1]["hr@10"] > 0.30, hist[-1]

@@ -144,6 +144,9 @@ def test_gan_als_bands_full():
     assert 0.070 <= final["recall@20"] <= 0.087, final  # band +- ~5 sigma
     final = _run_zoo("wrmf_ml100k")
     assert 0.063 <= final["recall@20"] <= 0.072, final
+    # EASE is deterministic given the split (zero seed spread).
+    final = _run_zoo("ease_ml100k")
+    assert 0.105 <= final["recall@20"] <= 0.116, final
 
 
 def test_sequential_sibling_bands_full():

@@ -47,10 +47,15 @@ class EASETrainer:
         self.x = jnp.asarray(x)
         self.b = jnp.zeros((ni, ni), jnp.float32)
         model.attach_history_matrix(self.x)
+        # HIGHEST matmul precision: the solve feeds a matrix inverse, and
+        # TPU's default bf16 MXU inputs would perturb the normal equations
+        # (CLAUDE.md gotcha 5); these are one-shot ops, the cost is nil.
+        hi = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def solve(x_mat):
-            gram = jnp.dot(x_mat.T, x_mat, preferred_element_type=jnp.float32)
+            gram = jnp.dot(x_mat.T, x_mat, precision=hi,
+                           preferred_element_type=jnp.float32)
             gram = gram + reg * jnp.eye(gram.shape[0], dtype=gram.dtype)
             # P = gram^-1 via Cholesky (gram is SPD for reg > 0).
             c, low = jax.scipy.linalg.cho_factor(gram)
@@ -58,7 +63,8 @@ class EASETrainer:
                 (c, low), jnp.eye(gram.shape[0], dtype=gram.dtype)
             )
             b = jnp.eye(p.shape[0], dtype=p.dtype) - p / jnp.diag(p)[None, :]
-            recon = jnp.dot(x_mat, b, preferred_element_type=jnp.float32)
+            recon = jnp.dot(x_mat, b, precision=hi,
+                            preferred_element_type=jnp.float32)
             loss = (
                 jnp.sum((x_mat - recon) ** 2) + reg * jnp.sum(b * b)
             )
@@ -72,24 +78,42 @@ class EASETrainer:
         return {"loss": float(loss)}
 
     def tables(self) -> Dict[str, jnp.ndarray]:
-        return {"ease_bt": self.b.T}
+        # ease_x (the binary train matrix) rides in the state so eval
+        # programs receive it as a jit ARGUMENT (never a trace-time
+        # closure constant) and checkpoints are self-contained.
+        return {"ease_bt": self.b.T, "ease_x": self.x}
 
     def load(self, tables: Dict[str, jnp.ndarray]) -> None:
         self.b = tables["ease_bt"].T
+        self.x = tables["ease_x"]
         self.model.attach_solution(self.b)
+        self.model.attach_history_matrix(self.x)
 
 
 class EASE(RecModel):
     solver_loss_name = "ease"
 
+    # Dense-matrix budgets, refused loudly (f32 elements): the [V,V]
+    # solve and the [U,V] train matrix BOTH must fit.
+    MAX_ITEMS = 32768
+    MAX_ELEMENTS = 1 << 28  # ~1 GB f32 for the [U,V] matrix
+
     def __init__(self, data_spec: DataSpec, reg: float = 100.0,
-                 max_items: int = 32768):
+                 max_items: int | None = None):
         assert data_spec.kind == "interaction"
+        max_items = self.MAX_ITEMS if max_items is None else max_items
         if data_spec.num_items > max_items:
             raise ValueError(
                 f"EASE holds a dense [V, V] item matrix; V="
                 f"{data_spec.num_items} exceeds max_items={max_items} "
                 "(V^2 memory). Use wrmf/mf for large catalogs."
+            )
+        if data_spec.num_users * data_spec.num_items > self.MAX_ELEMENTS:
+            raise ValueError(
+                f"EASE builds a dense [U, V] train matrix; "
+                f"{data_spec.num_users} x {data_spec.num_items} exceeds "
+                f"{self.MAX_ELEMENTS} f32 elements (~1 GB). Use wrmf/mf "
+                "for this scale."
             )
         self.data_spec = data_spec
         self.reg = reg
@@ -130,13 +154,12 @@ class EASE(RecModel):
         return {}
 
     def _scores(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
-        if self._x is None:
-            raise ValueError(
-                "EASE scoring needs the train matrix; run the Trainer "
-                "(its solver attaches it) before evaluate/serve"
-            )
-        x = jnp.take(self._x, user_ids, axis=0)  # [B, V] multi-hot
+        # ease_x arrives through params (a jit argument), never through
+        # self._x (a [U,V] trace-time constant would be baked into the
+        # compiled eval program — the repo's jit-closure bug class).
+        x = jnp.take(params["tables"]["ease_x"], user_ids, axis=0)
         return jnp.dot(x, params["tables"]["ease_bt"].T,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
 
     def forward(self, dense, gathered, batch, *, rng=None) -> jnp.ndarray:
@@ -147,3 +170,9 @@ class EASE(RecModel):
 
     def score_all(self, params, user_ids: jnp.ndarray) -> jnp.ndarray:
         return self._scores(params, user_ids)
+
+    def score_user_items(self, params, user_ids, item_ids) -> jnp.ndarray:
+        """Sampled-eval fast path (eval/sampled.py): full-catalog row per
+        user (one [B,V]x[V,V] matmul), then gather the candidates."""
+        scores = self._scores(params, user_ids)  # [B, V]
+        return jnp.take_along_axis(scores, item_ids, axis=1)

@@ -69,7 +69,16 @@ class IRGAN(RecModel):
         return {}
 
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
-        items = self.pair_item_ids(batch) if self.is_pairwise(batch) else batch["item"]
+        if not self.is_pairwise(batch):
+            # Eval/serving score with the generator only — gathering the
+            # discriminator tables here would double eval lookup traffic
+            # (and a2a volume on the sharded path) for rows forward never
+            # reads.
+            ids = {"user_g": batch["user"], "item_g": batch["item"]}
+            if self.use_bias:
+                ids["bias_g"] = batch["item"]
+            return ids
+        items = self.pair_item_ids(batch)
         ids = {
             "user_g": batch["user"], "item_g": items,
             "user_d": batch["user"], "item_d": items,

@@ -16,8 +16,8 @@ exactly the shape the MXU likes:
   pass over the nnz positives — O(nnz·D + (U+V)·D²), no U×V matrix —
   and must decrease monotonically (pinned by tests/test_wrmf.py).
 
-No SGD, no sampler, no sparse-optimizer state: the Trainer routes
-``model.trains_by_als`` models here (train/trainer.py).
+No SGD, no sampler, no sparse-optimizer state: the Trainer's
+closed-form hook (``WRMF.make_solver``) routes here (train/trainer.py).
 """
 
 from __future__ import annotations
@@ -45,6 +45,14 @@ def padded_lists(rows: np.ndarray, cols: np.ndarray, num_rows: int,
     return hist, lens.astype(np.int32)
 
 
+# HIGHEST matmul precision throughout: these products feed matrix
+# inverses and the exact-objective trace identity; TPU's default bf16
+# MXU inputs would perturb the normal equations and could break the
+# monotone-objective invariant tests pin (CLAUDE.md gotcha 5). The
+# solver is a tiny fraction of sweep cost, so this is nearly free.
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _solve_batch(other: jnp.ndarray, gram: jnp.ndarray, hist: jnp.ndarray,
                  alpha: float, reg: float) -> jnp.ndarray:
     """Closed-form rows for one batch: hist [B, H] indexes ``other`` [N, D]
@@ -54,7 +62,7 @@ def _solve_batch(other: jnp.ndarray, gram: jnp.ndarray, hist: jnp.ndarray,
     y = jnp.take(other, jnp.minimum(hist, n - 1), axis=0) * valid  # [B, H, D]
     a = (
         gram[None]
-        + alpha * jnp.einsum("bhd,bhe->bde", y, y,
+        + alpha * jnp.einsum("bhd,bhe->bde", y, y, precision=_HI,
                              preferred_element_type=jnp.float32)
         + reg * jnp.eye(d, dtype=other.dtype)[None]
     )
@@ -68,7 +76,8 @@ def make_sweep(alpha: float, reg: float):
 
     @jax.jit
     def sweep(other: jnp.ndarray, hist_batches: jnp.ndarray) -> jnp.ndarray:
-        gram = jnp.dot(other.T, other, preferred_element_type=jnp.float32)
+        gram = jnp.dot(other.T, other, precision=_HI,
+                       preferred_element_type=jnp.float32)
 
         def body(_, h):
             return None, _solve_batch(other, gram, h, alpha, reg)
@@ -87,8 +96,10 @@ def make_objective(alpha: float, reg: float):
     @jax.jit
     def objective(x: jnp.ndarray, y: jnp.ndarray, pos_u: jnp.ndarray,
                   pos_i: jnp.ndarray) -> jnp.ndarray:
-        gx = jnp.dot(x.T, x, preferred_element_type=jnp.float32)
-        gy = jnp.dot(y.T, y, preferred_element_type=jnp.float32)
+        gx = jnp.dot(x.T, x, precision=_HI,
+                     preferred_element_type=jnp.float32)
+        gy = jnp.dot(y.T, y, precision=_HI,
+                     preferred_element_type=jnp.float32)
         all_sq = jnp.sum(gx * gy)  # Σ over ALL (u,i) of (xᵤᵀy_i)²
         s = jnp.sum(jnp.take(x, pos_u, axis=0) * jnp.take(y, pos_i, axis=0),
                     axis=-1)

@@ -244,6 +244,13 @@ class Trainer:
         self.solver = None
         make_solver = getattr(self.model, "make_solver", None)
         if make_solver is not None:
+            if c.train.neg_sampling != "uniform":
+                # The closed-form path has no sampler at all; a silently
+                # dead knob would read as "trained with popularity".
+                raise ValueError(
+                    f"train.neg_sampling={c.train.neg_sampling!r} has no "
+                    f"effect on closed-form models ({c.model.name})"
+                )
             want = self.model.solver_loss_name
             if loss != want:
                 self.logger.log({
@@ -426,6 +433,12 @@ class Trainer:
                     "train.neg_sampling='popularity' is a host-sampler "
                     "proposal; device_negatives draws uniformly on device — "
                     "disable one of the two"
+                )
+            if self.loss_name in IN_BATCH_LOSSES:
+                raise ValueError(
+                    "train.neg_sampling='popularity' has no effect under "
+                    f"{self.loss_name!r}: in-batch losses take negatives "
+                    "from the batch's other positives, not from a sampler"
                 )
             from tfrec_tpu.data.samplers import popularity_cdf
 
@@ -701,20 +714,27 @@ class Trainer:
                 # of examples/s: every sweep refits all nnz observations).
                 "examples_per_s": nnz / max(dt, 1e-9),
             }
-            is_last = epoch + 1 == c.train.epochs
-            if c.train.eval_every_epochs and (
-                (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
-            ):
-                rec.update(self.evaluate())
-            self.logger.log(rec)
-            history.append(rec)
-            if (
-                c.train.checkpoint_dir
-                and c.train.checkpoint_every_epochs
-                and (epoch + 1) % c.train.checkpoint_every_epochs == 0
-            ):
-                save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+            self._post_epoch(epoch, rec, history)
+        self.profiler.close()
         return history
+
+    def _post_epoch(self, epoch: int, rec: Dict[str, float], history) -> None:
+        """Shared per-epoch bookkeeping (SGD and closed-form loops): eval
+        cadence (always on the final epoch), logging, checkpointing."""
+        c = self.config
+        is_last = epoch + 1 == c.train.epochs
+        if c.train.eval_every_epochs and (
+            (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
+        ):
+            rec.update(self.evaluate())
+        self.logger.log(rec)
+        history.append(rec)
+        if (
+            c.train.checkpoint_dir
+            and c.train.checkpoint_every_epochs
+            and (epoch + 1) % c.train.checkpoint_every_epochs == 0
+        ):
+            save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
 
     def train(self) -> List[Dict[str, float]]:
         c = self.config
@@ -801,19 +821,7 @@ class Trainer:
                 "loss": float(metrics["loss"]),
                 "examples_per_s": n_examples / max(dt, 1e-9),
             }
-            is_last = epoch + 1 == c.train.epochs
-            if c.train.eval_every_epochs and (
-                (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
-            ):
-                rec.update(self.evaluate())
-            self.logger.log(rec)
-            history.append(rec)
-            if (
-                c.train.checkpoint_dir
-                and c.train.checkpoint_every_epochs
-                and (epoch + 1) % c.train.checkpoint_every_epochs == 0
-            ):
-                save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+            self._post_epoch(epoch, rec, history)
         self.profiler.close()
         return history
 
