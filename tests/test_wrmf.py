@@ -98,3 +98,52 @@ def test_wrmf_learns_above_random_and_coerces_loss():
     assert losses[-1] < losses[0], losses
     # random recall@20 on 512 items ~ 0.039
     assert hist[-1]["recall@20"] > 0.12, hist[-1]
+
+
+def test_als_sweep_sharded_equals_single_device():
+    """Data-parallel ALS: the sweep with solve batches sharded over the
+    8-device 'data' axis must reproduce the single-device solution (the
+    per-row solves are independent; GSPMD only adds the final
+    all-gather). Also the end-to-end mesh run matches the forced
+    single-device run epoch by epoch."""
+    import jax
+
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.train.als import ALSTrainer
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    ds = _tiny(seed=9, nu=70, ni=90, nnz=800)
+    mesh = make_mesh(8, 1)
+    a = ALSTrainer(ds, embed_dim=8, alpha=ALPHA, reg=REG, batch=16, seed=3)
+    b = ALSTrainer(ds, embed_dim=8, alpha=ALPHA, reg=REG, batch=16, seed=3,
+                   mesh=mesh)
+    for _ in range(3):
+        la = a.epoch()["loss"]
+        lb = b.epoch()["loss"]
+        np.testing.assert_allclose(lb, la, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.y), np.asarray(a.y),
+                               rtol=2e-5, atol=1e-6)
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=128,
+                        num_items=256, interactions_per_user=12, seed=2),
+        model=ModelConfig(name="wrmf", embed_dim=8),
+        train=TrainConfig(batch_size=64, epochs=2, eval_every_epochs=2,
+                          eval_topk=(10,), loss="wrmf"),
+        mesh=MeshConfig(data_axis_size=8),
+    )
+    _, hist_mesh = run(cfg, quiet=True)
+    import dataclasses
+
+    cfg1 = dataclasses.replace(
+        cfg, mesh=MeshConfig(data_axis_size=0))
+    _, hist_1 = run(cfg1, quiet=True)
+    np.testing.assert_allclose(hist_mesh[-1]["loss"], hist_1[-1]["loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        hist_mesh[-1]["recall@10"], hist_1[-1]["recall@10"], rtol=1e-6)

@@ -120,7 +120,10 @@ class EASE(RecModel):
         self._x = None  # [U, V] binary train matrix (solver attaches)
         self._b = None  # solved [V, V] (solver attaches; info only)
 
-    def make_solver(self, dataset, *, batch: int, seed: int):
+    def make_solver(self, dataset, *, batch: int, seed: int, mesh=None):
+        # mesh ignored: the [V,V] solve is one dense op; XLA/GSPMD can
+        # shard it internally if the arrays are ever sharded, but at the
+        # guarded sizes replication is optimal.
         return EASETrainer(dataset, self, self.reg)
 
     def attach_history_matrix(self, x: jnp.ndarray) -> None:

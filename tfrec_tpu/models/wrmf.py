@@ -34,11 +34,11 @@ class WRMF(RecModel):
         self.alpha = alpha
         self.reg = reg
 
-    def make_solver(self, dataset, *, batch: int, seed: int):
+    def make_solver(self, dataset, *, batch: int, seed: int, mesh=None):
         from tfrec_tpu.train.als import ALSTrainer
 
         return ALSTrainer(dataset, self.embed_dim, alpha=self.alpha,
-                          reg=self.reg, batch=batch, seed=seed)
+                          reg=self.reg, batch=batch, seed=seed, mesh=mesh)
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
         u, v, d = self.data_spec.num_users, self.data_spec.num_items, self.embed_dim

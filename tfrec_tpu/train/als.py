@@ -70,11 +70,17 @@ def _solve_batch(other: jnp.ndarray, gram: jnp.ndarray, hist: jnp.ndarray,
     return jnp.linalg.solve(a, b[..., None])[..., 0]
 
 
-def make_sweep(alpha: float, reg: float):
+def make_sweep(alpha: float, reg: float, mesh=None):
     """One jitted half-sweep: re-solve every row of one side against the
-    frozen other side, scanning [num_batches, batch]-padded histories."""
+    frozen other side, scanning [num_batches, batch]-padded histories.
 
-    @jax.jit
+    ``mesh``: the per-row solves are embarrassingly parallel, so on a
+    device mesh the batch dimension shards over the 'data' axis (frozen
+    side replicated) and GSPMD inserts ONE all-gather for the returned
+    table — the closed-form family's multi-chip form. Equivalence with
+    the single-device sweep is pinned on the 8-device virtual mesh
+    (tests/test_wrmf.py)."""
+
     def sweep(other: jnp.ndarray, hist_batches: jnp.ndarray) -> jnp.ndarray:
         gram = jnp.dot(other.T, other, precision=_HI,
                        preferred_element_type=jnp.float32)
@@ -85,7 +91,13 @@ def make_sweep(alpha: float, reg: float):
         _, out = jax.lax.scan(body, None, hist_batches)
         return out.reshape(-1, other.shape[1])
 
-    return sweep
+    if mesh is None:
+        return jax.jit(sweep)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    rows = NamedSharding(mesh, PartitionSpec(None, "data", None))
+    return jax.jit(sweep, in_shardings=(rep, rows), out_shardings=rep)
 
 
 def make_objective(alpha: float, reg: float):
@@ -121,17 +133,22 @@ class ALSTrainer:
     """
 
     def __init__(self, dataset, embed_dim: int, alpha: float, reg: float,
-                 batch: int = 1024, seed: int = 0):
+                 batch: int = 1024, seed: int = 0, mesh=None):
         nu, ni = dataset.num_users, dataset.num_items
         tr = dataset.train
         self.num_users, self.num_items = nu, ni
+        if mesh is not None:
+            # Solve-batch rows shard over 'data'; round the batch up so
+            # every shard is equal (padding rows solve to 0 regardless).
+            n_data = mesh.shape["data"]
+            batch = -(-batch // n_data) * n_data
         u_hist, _ = padded_lists(tr.users, tr.items, nu, sentinel=ni)
         i_hist, _ = padded_lists(tr.items, tr.users, ni, sentinel=nu)
         self.u_hist = self._batched(u_hist, batch, ni)
         self.i_hist = self._batched(i_hist, batch, nu)
         self.pos_u = jnp.asarray(tr.users.astype(np.int32))
         self.pos_i = jnp.asarray(tr.items.astype(np.int32))
-        self.sweep = make_sweep(alpha, reg)
+        self.sweep = make_sweep(alpha, reg, mesh=mesh)
         self.objective = make_objective(alpha, reg)
         k = jax.random.PRNGKey(seed)
         ku, ki = jax.random.split(k)

@@ -266,9 +266,17 @@ class Trainer:
         if make_solver is not None:
             self.builder = None
             self.jit_step = None
+            # Solvers that parallelize (ALS row solves) get a data mesh;
+            # Trainer.mesh itself stays None (eval reads replicated
+            # tables — solver outputs are replicated by construction).
+            solver_mesh = None
+            if c.mesh.data_axis_size != 0 and jax.device_count() > 1:
+                from tfrec_tpu.parallel.mesh import make_mesh
+
+                solver_mesh = make_mesh(c.mesh.data_axis_size, 1)
             self.solver = make_solver(
                 self.dataset, batch=min(c.train.batch_size, 4096),
-                seed=c.train.seed,
+                seed=c.train.seed, mesh=solver_mesh,
             )
             self.state = {
                 "step": jnp.zeros((), jnp.int32),
