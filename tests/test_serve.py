@@ -183,3 +183,55 @@ def test_new_families_serve_pointwise_matches_catalog(name, extra):
         np.asarray(pt), np.asarray(cat)[np.arange(2), [3, 7]],
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_from_checkpoint_cold_start_serving(tmp_path):
+    """Deploy path: rebuild + restore from disk with no training run;
+    recommendations must match the live trainer's, and missing
+    checkpoints must refuse loudly (never serve random tables)."""
+    import dataclasses
+
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=96,
+                        num_items=200, interactions_per_user=10, seed=3),
+        model=ModelConfig(name="mf", embed_dim=16),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=64, epochs=3, eval_every_epochs=0,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          checkpoint_every_epochs=1),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    t, _ = run(cfg, quiet=True)
+    live = Recommender.from_trainer(t)
+    cold = Recommender.from_checkpoint(cfg)
+    users = np.asarray([0, 5, 9], np.int32)
+    ids_live, sc_live = live.recommend(users, k=5)
+    ids_cold, sc_cold = cold.recommend(users, k=5)
+    np.testing.assert_array_equal(ids_cold, ids_live)
+    np.testing.assert_allclose(sc_cold, sc_live, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="no checkpoint found"):
+        Recommender.from_checkpoint(cfg, checkpoint_dir=str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="needs a checkpoint_dir"):
+        Recommender.from_checkpoint(
+            dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, checkpoint_dir=None)
+            )
+        )
+
+    # Closed-form family roundtrip (solver.load path): EASE.
+    cfg_e = dataclasses.replace(
+        cfg,
+        model=ModelConfig(name="ease", ease_reg=20.0),
+        train=TrainConfig(batch_size=64, epochs=1, eval_every_epochs=0,
+                          checkpoint_dir=str(tmp_path / "ckpt_ease"),
+                          checkpoint_every_epochs=1),
+    )
+    te, _ = run(cfg_e, quiet=True)
+    live_e = Recommender.from_trainer(te)
+    cold_e = Recommender.from_checkpoint(cfg_e)
+    np.testing.assert_allclose(
+        cold_e.score_catalog(users), live_e.score_catalog(users), rtol=1e-6
+    )

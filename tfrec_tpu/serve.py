@@ -87,6 +87,32 @@ class Recommender:
         self._predict_ctr_jit = None
 
     @classmethod
+    def from_checkpoint(cls, config, checkpoint_dir: str | None = None) -> "Recommender":
+        """Cold-start serving from disk: rebuild the model (and its
+        dataset-derived attachments — histories, graphs, sequences)
+        from the config, restore the LATEST checkpoint, and serve. No
+        training step runs; this is the deploy path when the training
+        job is gone. Raises if no checkpoint exists — silently serving
+        fresh random tables would be a production incident."""
+        import dataclasses
+
+        from tfrec_tpu.train.trainer import Trainer
+
+        ckpt = checkpoint_dir or config.train.checkpoint_dir
+        if not ckpt:
+            raise ValueError("from_checkpoint needs a checkpoint_dir")
+        cfg = dataclasses.replace(
+            config,
+            train=dataclasses.replace(
+                config.train, resume=True, checkpoint_dir=ckpt
+            ),
+        )
+        trainer = Trainer(cfg, quiet=True)
+        if trainer.start_epoch == 0:
+            raise ValueError(f"no checkpoint found under {ckpt!r}")
+        return cls.from_trainer(trainer)
+
+    @classmethod
     def from_trainer(cls, trainer) -> "Recommender":
         if trainer.mesh is not None:
             # Serve from the live sharded state: params view keeps the
