@@ -28,18 +28,33 @@ def _sniff_separator(line: str) -> str:
     raise ValueError(f"cannot determine UIRT separator from line {line!r}")
 
 
-def load_uirt_raw(path: str):
+def load_uirt_raw(path: str, native: bool = True):
     """(raw_users, raw_items, ratings, times) WITHOUT id densification —
-    for the 'given' splitter, which densifies over the train+test union."""
+    for the 'given' splitter, which densifies over the train+test union.
+
+    ``native=True`` routes the (header-stripped) buffer through the
+    threaded C++ parser (csrc/uirt_native.cpp — the per-line Python loop
+    dominates startup at ML-20M scale), bit-identical to the fallback
+    loop below; falls back automatically when no toolchain exists."""
     if path is None or not os.path.exists(path):
         raise FileNotFoundError(f"rating file not found: {path}")
-    with open(path, "r", encoding="latin-1") as f:
-        first = f.readline()
-        sep = _sniff_separator(first)
-        has_header = not first.split(sep)[0].strip().lstrip("-").isdigit()
-        rows = [] if has_header else [first]
-        rows.extend(f.readlines())
+    with open(path, "rb") as f:
+        data = f.read()
+    nl = data.find(b"\n")
+    first = (data if nl < 0 else data[: nl + 1]).decode("latin-1")
+    sep = _sniff_separator(first)
+    has_header = not first.split(sep)[0].strip().lstrip("-").isdigit()
+    body = data[nl + 1 :] if (has_header and nl >= 0) else data
 
+    if native:
+        from tfrec_tpu.data.uirt_native import NativeUnavailable, parse_buffer
+
+        try:
+            return parse_buffer(body, sep)
+        except NativeUnavailable:
+            pass  # toolchain-free host: the Python loop below is exact
+
+    rows = body.decode("latin-1").splitlines()
     n = len(rows)
     raw_u = np.empty(n, dtype=np.int64)
     raw_i = np.empty(n, dtype=np.int64)
@@ -47,7 +62,7 @@ def load_uirt_raw(path: str):
     times = np.zeros(n, dtype=np.float64)
     count = 0
     for line in rows:
-        parts = line.rstrip("\n").split(sep)
+        parts = line.split(sep)
         if len(parts) < 2 or not parts[0].strip():
             continue
         raw_u[count] = int(float(parts[0]))
