@@ -188,6 +188,58 @@ def build_mf_bench(batch_size: int, kernels: str):
     return step, state, batches, builder
 
 
+def build_wrmf_bench(embed_dim: int = 64, small: bool = False):
+    """WRMF/ALS sweep bench: uniform 100k-user x 20k-item catalog, 40
+    interactions/user (4M observations refit per sweep; ``small`` shrinks
+    it 40x for the CPU smoke path). One "step" = one FULL sweep (users
+    half + items half); the headline unit is observations refit per
+    second. Returns (step, state, batch, nnz, multi) where multi(k)
+    builds a k-sweep chained program for the slope protocol (histories
+    ride as batch ARGUMENTS, never closure constants)."""
+    import jax
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from tfrec_tpu.train.als import ALSTrainer, sweep_body
+
+    nu, ni, per_u = (5_000, 1_000, 20) if small else (100_000, 20_000, 40)
+    rng = np.random.default_rng(0)
+    users = np.repeat(np.arange(nu, dtype=np.int32), per_u)
+    items = rng.integers(0, ni, nu * per_u).astype(np.int32)
+    ds = SimpleNamespace(
+        num_users=nu, num_items=ni,
+        train=SimpleNamespace(users=users, items=items),
+    )
+    trainer = ALSTrainer(ds, embed_dim, alpha=10.0, reg=0.05, batch=1024)
+    raw = sweep_body(10.0, 0.05)
+
+    def one_pair(x, y, u_hist, i_hist):
+        x = raw(y, u_hist)[:nu]
+        y = raw(x, i_hist)[:ni]
+        return x, y
+
+    def step_fn(state, batch):
+        x, y = one_pair(state["x"], state["y"], batch["u"], batch["i"])
+        return {"x": x, "y": y}, {"loss": x[0, 0]}
+
+    def multi(k):
+        def fn(state, batch):
+            def body(c, _):
+                x, y = one_pair(c["x"], c["y"], batch["u"], batch["i"])
+                return {"x": x, "y": y}, None
+
+            c, _ = jax.lax.scan(body, state, None, length=k)
+            return c, {"loss": c["x"][0, 0]}
+
+        return fn
+
+    state = {"x": trainer.x, "y": trainer.y}
+    batch = {"u": trainer.u_hist, "i": trainer.i_hist}
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    return step, state, batch, len(users), multi
+
+
 def _stack(batches, k):
     import jax.numpy as jnp
 
@@ -297,7 +349,8 @@ def run_slope_protocol(make_k, batch_size, k_small, k_big, reps, rounds):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="dcn", choices=["dcn", "mf", "topk"])
+    parser.add_argument("--model", default="dcn",
+                        choices=["dcn", "mf", "topk", "wrmf"])
     parser.add_argument("--protocol", default="slope",
                         choices=["slope", "fetch", "freerun"])
     parser.add_argument("--steps", type=int, default=30,
@@ -386,6 +439,10 @@ def main(argv=None) -> int:
     key_dim = 64 if args.model == "mf" else args.embed_dim
     # topk scores a (clamped) user batch against the catalog.
     eff_batch = min(args.batch, 1024) if args.model == "topk" else args.batch
+    wrmf_nnz = None
+    if args.model == "wrmf":
+        # One "step" refits every observation once; --batch is ignored.
+        eff_batch = 100_000 * 40 if platform == "tpu" else 5_000 * 20
 
     def build(kernels):
         if args.model == "dcn":
@@ -396,6 +453,11 @@ def main(argv=None) -> int:
             step, state, batches, builder, multi = build_topk_bench(
                 eff_batch, args.embed_dim, sharded=args.sharded,
                 method=args.topk_method)
+        elif args.model == "wrmf":
+            step, state, batch, nnz, multi = build_wrmf_bench(
+                args.embed_dim, small=platform != "tpu")
+            assert nnz == eff_batch, (nnz, eff_batch)
+            batches, builder = [batch], None
         else:
             step, state, batches, builder = build_mf_bench(args.batch, kernels)
             multi = None
@@ -406,16 +468,20 @@ def main(argv=None) -> int:
         if platform == "tpu":
             # Big enough that (k_big - k_small) steps of real chip work
             # dominate dispatch noise; small enough to fit HBM.
-            k_small = args.k_small or (8 if args.model != "topk" else 2)
-            k_big = args.k_big or (256 if args.model != "topk" else 32)
+            k_small = args.k_small or {"topk": 2, "wrmf": 1}.get(args.model, 8)
+            k_big = args.k_big or {"topk": 32, "wrmf": 8}.get(args.model, 256)
         else:  # CPU smoke: keep the driver run fast
-            k_small, k_big = args.k_small or 1, args.k_big or 4
+            k_small, k_big = args.k_small or 1, args.k_big or (
+                2 if args.model == "wrmf" else 4)
 
         def make_k(k):
             step, state, batches, builder, multi = build(args.kernels)
             if args.model == "topk":
                 fn = jax.jit(multi)
                 return fn, state, _stack(batches, k)
+            if args.model == "wrmf":
+                fn = jax.jit(multi(k), donate_argnums=(0,))
+                return fn, state, batches[0]
             fn = jax.jit(builder.multi_step, donate_argnums=(0,))
             return fn, state, _stack(batches, k)
 
@@ -455,10 +521,13 @@ def main(argv=None) -> int:
         if k_disp > 1:
             if args.model == "topk":
                 step = jax.jit(multi)
+                batches = [_stack(batches, k_disp)]
+            elif args.model == "wrmf":
+                step = jax.jit(multi(k_disp), donate_argnums=(0,))
             else:
                 assert builder is not None
                 step = jax.jit(builder.multi_step, donate_argnums=(0,))
-            batches = [_stack(batches, k_disp)]
+                batches = [_stack(batches, k_disp)]
         warmup = max(args.warmup, 1)
         try:
             for i in range(warmup):
@@ -534,6 +603,7 @@ def main(argv=None) -> int:
     desc = {
         "dcn": "CTR train", "mf": "BPR train",
         "topk": "top-100 retrieval vs 1M items, users/s",
+        "wrmf": "ALS full sweep, observations refit/s",
     }[args.model]
     print(json.dumps({
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "

@@ -70,16 +70,9 @@ def _solve_batch(other: jnp.ndarray, gram: jnp.ndarray, hist: jnp.ndarray,
     return jnp.linalg.solve(a, b[..., None])[..., 0]
 
 
-def make_sweep(alpha: float, reg: float, mesh=None):
-    """One jitted half-sweep: re-solve every row of one side against the
-    frozen other side, scanning [num_batches, batch]-padded histories.
-
-    ``mesh``: the per-row solves are embarrassingly parallel, so on a
-    device mesh the batch dimension shards over the 'data' axis (frozen
-    side replicated) and GSPMD inserts ONE all-gather for the returned
-    table — the closed-form family's multi-chip form. Equivalence with
-    the single-device sweep is pinned on the 8-device virtual mesh
-    (tests/test_wrmf.py)."""
+def sweep_body(alpha: float, reg: float):
+    """Raw (unjitted) half-sweep — for callers composing sweeps inside a
+    larger program (bench.py's chained-sweep slope protocol)."""
 
     def sweep(other: jnp.ndarray, hist_batches: jnp.ndarray) -> jnp.ndarray:
         gram = jnp.dot(other.T, other, precision=_HI,
@@ -91,6 +84,20 @@ def make_sweep(alpha: float, reg: float, mesh=None):
         _, out = jax.lax.scan(body, None, hist_batches)
         return out.reshape(-1, other.shape[1])
 
+    return sweep
+
+
+def make_sweep(alpha: float, reg: float, mesh=None):
+    """One jitted half-sweep: re-solve every row of one side against the
+    frozen other side, scanning [num_batches, batch]-padded histories.
+
+    ``mesh``: the per-row solves are embarrassingly parallel, so on a
+    device mesh the batch dimension shards over the 'data' axis (frozen
+    side replicated) and GSPMD inserts ONE all-gather for the returned
+    table — the closed-form family's multi-chip form. Equivalence with
+    the single-device sweep is pinned on the 8-device virtual mesh
+    (tests/test_wrmf.py)."""
+    sweep = sweep_body(alpha, reg)
     if mesh is None:
         return jax.jit(sweep)
     from jax.sharding import NamedSharding, PartitionSpec
