@@ -163,3 +163,56 @@ def test_final_epoch_always_evaluated():
     assert "recall@20" in hist[-1], hist[-1]
     assert "recall@20" in hist[1]      # the regular cadence point
     assert "recall@20" not in hist[0]  # off-cadence epoch stays cheap
+
+
+def test_early_stopping_stops_on_plateau_and_not_on_progress():
+    """lr=0 makes every eval identical: the monitor never improves after
+    the first eval, so training stops after `patience` more evals. A
+    normally-improving run with the same patience reaches full length."""
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import run
+
+    base = dict(
+        data=DataConfig(source="synthetic_implicit", num_users=96,
+                        num_items=200, interactions_per_user=10, seed=3),
+        model=ModelConfig(name="mf", embed_dim=16),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    frozen = Config(
+        optim=OptimConfig(learning_rate=0.0,
+                          sparse_learning_rate=0.0),
+        train=TrainConfig(batch_size=64, epochs=12, eval_every_epochs=1,
+                          eval_topk=(10, 20), early_stop_patience=2),
+        **base,
+    )
+    t, hist = run(frozen, quiet=True)
+    # eval 0 sets best; evals 1..2 stall -> stop after epoch 2 of 12.
+    assert len(hist) == 3, [h["epoch"] for h in hist]
+    assert t._es_stall == 2
+
+    improving = Config(
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=64, epochs=6, eval_every_epochs=1,
+                          eval_topk=(10, 20), early_stop_patience=3),
+        **base,
+    )
+    _, hist2 = run(improving, quiet=True)
+    assert len(hist2) == 6, [h["epoch"] for h in hist2]
+
+    # Explicit minimize-metric monitor: logloss on a CTR run.
+    ctr = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=6000,
+                        num_dense_features=3, categorical_vocab_sizes=(40, 30),
+                        test_fraction=0.25, seed=5),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                          mlp_dims=(16,)),
+        optim=OptimConfig(learning_rate=0.0),
+        train=TrainConfig(batch_size=256, epochs=8, eval_every_epochs=1,
+                          loss="logloss", early_stop_patience=2,
+                          early_stop_metric="logloss"),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    _, hist3 = run(ctr, quiet=True)
+    assert len(hist3) == 3, [h["epoch"] for h in hist3]

@@ -225,6 +225,14 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 0  # 0 = off
     resume: bool = False
+    # Early stopping (reference-family convention: stop when the eval
+    # metric stops improving). Counts EVALS without improvement (eval
+    # cadence = eval_every_epochs); 0 disables. The monitored metric
+    # defaults to "auto": auc > recall@max(k) > hr@max(k) > loss,
+    # whichever the eval emits; loss/logloss minimize, others maximize.
+    early_stop_patience: int = 0
+    early_stop_metric: str = "auto"
+    early_stop_min_delta: float = 0.0
     # Kernel backend: "pallas" (fused TPU kernels) or "xla" (jnp reference).
     kernels: str = "xla"
     # jax_default_matmul_precision: "default" leaves XLA's choice (f32

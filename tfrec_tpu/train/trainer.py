@@ -339,6 +339,8 @@ class Trainer:
 
         self.profiler = StepProfiler(c.train.profile_steps)
         self.global_step = 0
+        self._es_best = None   # early-stopping monitor state
+        self._es_stall = 0
         # Compile-once eval caches.
         self._retrieval_eval = None
         self._fwd_jit = None
@@ -722,19 +724,23 @@ class Trainer:
                 # of examples/s: every sweep refits all nnz observations).
                 "examples_per_s": nnz / max(dt, 1e-9),
             }
-            self._post_epoch(epoch, rec, history)
+            if self._post_epoch(epoch, rec, history):
+                break
         self.profiler.close()
         return history
 
-    def _post_epoch(self, epoch: int, rec: Dict[str, float], history) -> None:
+    def _post_epoch(self, epoch: int, rec: Dict[str, float], history) -> bool:
         """Shared per-epoch bookkeeping (SGD and closed-form loops): eval
-        cadence (always on the final epoch), logging, checkpointing."""
+        cadence (always on the final epoch), logging, checkpointing,
+        early stopping. Returns True when training should stop now."""
         c = self.config
         is_last = epoch + 1 == c.train.epochs
+        evaluated = False
         if c.train.eval_every_epochs and (
             (epoch + 1) % c.train.eval_every_epochs == 0 or is_last
         ):
             rec.update(self.evaluate())
+            evaluated = True
         self.logger.log(rec)
         history.append(rec)
         if (
@@ -743,6 +749,46 @@ class Trainer:
             and (epoch + 1) % c.train.checkpoint_every_epochs == 0
         ):
             save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+        if not (c.train.early_stop_patience > 0 and evaluated):
+            return False
+        name, value, sign = self._early_stop_monitor(rec)
+        if value is None:
+            return False
+        improved = (
+            self._es_best is None
+            or sign * (value - self._es_best) > c.train.early_stop_min_delta
+        )
+        if improved:
+            self._es_best = value
+            self._es_stall = 0
+            return False
+        self._es_stall += 1
+        if self._es_stall >= c.train.early_stop_patience:
+            self.logger.log({
+                "event": "early_stopped", "epoch": epoch, "metric": name,
+                "best": float(self._es_best), "last": float(value),
+                "stalled_evals": self._es_stall,
+            })
+            return True
+        return False
+
+    def _early_stop_monitor(self, rec: Dict[str, float]):
+        """(name, value, sign) of the monitored metric in this eval
+        record; sign +1 maximizes, -1 minimizes. "auto" picks the most
+        decision-relevant metric the eval emits."""
+        want = self.config.train.early_stop_metric
+        if want != "auto":
+            sign = -1.0 if want in ("loss", "logloss") else 1.0
+            return want, rec.get(want), sign
+        if "auc" in rec:
+            return "auc", rec["auc"], 1.0
+        for family in ("recall@", "hr@"):
+            ks = [int(k.split("@")[1]) for k in rec if k.startswith(family)
+                  and k.split("@")[1].isdigit()]
+            if ks:
+                name = f"{family}{max(ks)}"
+                return name, rec[name], 1.0
+        return "loss", rec.get("loss"), -1.0
 
     def train(self) -> List[Dict[str, float]]:
         c = self.config
@@ -829,7 +875,8 @@ class Trainer:
                 "loss": float(metrics["loss"]),
                 "examples_per_s": n_examples / max(dt, 1e-9),
             }
-            self._post_epoch(epoch, rec, history)
+            if self._post_epoch(epoch, rec, history):
+                break
         self.profiler.close()
         return history
 
