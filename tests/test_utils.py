@@ -102,3 +102,32 @@ def test_cli_as_real_process():
     )
     assert bad.returncode != 0
     assert "unknown config" in bad.stderr + bad.stdout
+
+
+def test_run_config_is_first_log_record(tmp_path):
+    """SURVEY §5: the full run config opens every metric stream, so a run
+    is reproducible from its own logs."""
+    import json
+
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=32,
+                        num_items=64, interactions_per_user=6, seed=0),
+        model=ModelConfig(name="mf", embed_dim=8),
+        train=TrainConfig(batch_size=32, epochs=1, eval_every_epochs=0,
+                          checkpoint_dir=str(tmp_path)),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    Trainer(cfg, quiet=True)
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / f"{cfg.run_name}.metrics.jsonl")
+    ]
+    first = lines[0]
+    assert first["event"] == "run_config"
+    assert first["config"]["model"]["name"] == "mf"
+    assert first["config"]["train"]["batch_size"] == 32

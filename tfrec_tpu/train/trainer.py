@@ -76,6 +76,12 @@ class Trainer:
         self.logger = MetricLogger(
             c.run_name, out_dir=c.train.checkpoint_dir, quiet=quiet
         )
+        # Full run config as the stream's first record (SURVEY.md §5:
+        # "run config dumped alongside") — runs stay reproducible from
+        # their own logs.
+        import dataclasses as _dc
+
+        self.logger.log({"event": "run_config", "config": _dc.asdict(c)})
 
         # ---- data ----
         self.stream = None
