@@ -36,7 +36,8 @@ import time
 
 
 def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
-                    stack_tables: bool = False, vocab: int = 100_000):
+                    stack_tables: bool = False, vocab: int = 100_000,
+                    lane_pack: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +50,8 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
     vocabs = (vocab,) * 26  # Criteo-DAC shape (default 100k per field)
     model = build_model(
         ModelConfig(name="dcn", embed_dim=embed_dim, num_cross_layers=3,
-                    mlp_dims=(512, 256, 128), stack_tables=stack_tables),
+                    mlp_dims=(512, 256, 128), stack_tables=stack_tables,
+                    lane_pack=lane_pack),
         DataSpec.ctr(vocabs, num_dense),
         backend=kernels,
     )

@@ -138,6 +138,20 @@ EXPERIMENTS = {
         "ABLATE_VARIANTS=dedup_only,dedup_only_flat,dedup_only,dedup_only_flat,pertable,flat,pertable,flat",
         "python", "benchmarks/exp_step_ablate.py",
     ],
+    # Lane-packed tables (128/d fields per physical table) vs per-table,
+    # at the flagship d=32 and at d=64 — the predicted big lever: the
+    # optimizer sweep is dim-independent (lane padding), so packing cuts
+    # swept tables 4x / 2x. Flip model.lane_pack default only on a win.
+    "step_lanepack_ab": [
+        "env",
+        "ABLATE_VARIANTS=pertable,lanepack,pertable,lanepack",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_lanepack_ab_d64": [
+        "env", "BREAKDOWN_DIM=64",
+        "ABLATE_VARIANTS=pertable,lanepack,pertable,lanepack",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     "step_flat_ab_d128": [
         "env", "BREAKDOWN_DIM=128",
         "ABLATE_VARIANTS=pertable,flat,pertable,flat",

@@ -1,0 +1,177 @@
+"""Lane-packed CTR tables (model.lane_pack): P = 128/d fields share one
+physical table's lane lines. The update math must be EXACTLY the
+per-table rule (per-group accumulators), multi-hot bags and linear
+tables must survive the layout change, the mesh path must agree with
+the single-device path, and invalid combinations must refuse loudly."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfrec_tpu.configs import (
+    Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+)
+from tfrec_tpu.models import DataSpec, build_model
+from tfrec_tpu.train.step import TrainStepBuilder
+from tfrec_tpu.train.trainer import run
+
+OPT = OptimConfig(learning_rate=0.01, dense_optimizer="adam",
+                  sparse_optimizer="rowwise_adagrad",
+                  sparse_learning_rate=0.05, adagrad_init=0.1)
+
+
+def _ctr_batch(rng, spec, b):
+    cols = []
+    for v, w in zip(spec.field_vocabs, spec.field_widths):
+        ids = rng.integers(0, v, (b, w)).astype(np.int32)
+        if w > 1:  # sentinel-pad a random tail of each bag
+            keep = rng.integers(1, w + 1, b)
+            ids[np.arange(w)[None, :] >= keep[:, None]] = v
+        cols.append(ids)
+    return {
+        "dense": jnp.asarray(rng.normal(size=(b, spec.num_dense)).astype(np.float32)),
+        "cat": jnp.asarray(np.concatenate(cols, axis=1)),
+        "label": jnp.asarray(rng.integers(0, 2, b).astype(np.float32)),
+    }
+
+
+def _copy_into_packed(model_u, model_p, state_u, state_p):
+    """Write the unpacked per-field tables + accumulators into the packed
+    layout so both steps start from identical logical parameters."""
+    d = model_p.field_dims[0]
+    tables = dict(state_p["tables"])
+    sparse = {k: dict(v) for k, v in state_p["sparse_opt"].items()}
+    for f in range(model_p.num_fields):
+        vf = model_p.data_spec.field_vocabs[f]
+        k, slot = model_p._pack_of[f]
+        tables[f"pack_{k}"] = (
+            tables[f"pack_{k}"]
+            .at[:vf, slot * d : (slot + 1) * d]
+            .set(state_u["tables"][f"field_{f}"])
+        )
+        sparse[f"pack_{k}"]["acc"] = (
+            sparse[f"pack_{k}"]["acc"]
+            .at[:vf, slot]
+            .set(state_u["sparse_opt"][f"field_{f}"]["acc"])
+        )
+        if model_p.use_linear_tables:
+            lk, ls = model_p._lin_pack_of[f]
+            tables[f"linpack_{lk}"] = (
+                tables[f"linpack_{lk}"]
+                .at[:vf, ls : ls + 1]
+                .set(state_u["tables"][f"lin_{f}"])
+            )
+            sparse[f"linpack_{lk}"]["acc"] = (
+                sparse[f"linpack_{lk}"]["acc"]
+                .at[:vf, ls]
+                .set(state_u["sparse_opt"][f"lin_{f}"]["acc"])
+            )
+    # Dense tower params/opt are layout-independent: share them too.
+    return {
+        **state_p, "tables": tables, "sparse_opt": sparse,
+        "dense": state_u["dense"], "dense_opt": state_u["dense_opt"],
+    }
+
+
+def _assert_steps_match(name, spec, batch, steps=3, **model_kw):
+    cfg_u = ModelConfig(name=name, embed_dim=32, mlp_dims=(16,), **model_kw)
+    cfg_p = dataclasses.replace(cfg_u, lane_pack=True)
+    m_u = build_model(cfg_u, spec)
+    m_p = build_model(cfg_p, spec)
+    b_u = TrainStepBuilder(m_u, "logloss", OPT, seed=3)
+    b_p = TrainStepBuilder(m_p, "logloss", OPT, seed=3)
+    s_u = b_u.init_state(jax.random.PRNGKey(0))
+    s_p = _copy_into_packed(m_u, m_p, s_u, b_p.init_state(jax.random.PRNGKey(1)))
+    step_u = jax.jit(b_u.step)
+    step_p = jax.jit(b_p.step)
+    for i in range(steps):
+        s_u, mu = step_u(s_u, batch)
+        s_p, mp = step_p(s_p, batch)
+        np.testing.assert_allclose(
+            float(mp["loss"]), float(mu["loss"]), rtol=1e-6
+        ), i
+    d = m_p.field_dims[0]
+    for f in range(m_p.num_fields):
+        vf = spec.field_vocabs[f]
+        k, slot = m_p._pack_of[f]
+        np.testing.assert_allclose(
+            np.asarray(s_p["tables"][f"pack_{k}"][:vf, slot * d : (slot + 1) * d]),
+            np.asarray(s_u["tables"][f"field_{f}"]),
+            rtol=1e-6, atol=1e-7, err_msg=f"field {f} table",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_p["sparse_opt"][f"pack_{k}"]["acc"][:vf, slot]),
+            np.asarray(s_u["sparse_opt"][f"field_{f}"]["acc"]),
+            rtol=1e-6, err_msg=f"field {f} acc",
+        )
+        if m_p.use_linear_tables:
+            lk, ls = m_p._lin_pack_of[f]
+            np.testing.assert_allclose(
+                np.asarray(s_p["tables"][f"linpack_{lk}"][:vf, ls : ls + 1]),
+                np.asarray(s_u["tables"][f"lin_{f}"]),
+                rtol=1e-6, atol=1e-7, err_msg=f"field {f} linear",
+            )
+
+
+def test_lane_pack_dcn_updates_match_per_table_exactly():
+    # Mixed vocabs exercise the max-vocab pack rows + sentinel remap.
+    spec = DataSpec.ctr((300, 120, 80, 50, 200, 64, 33), num_dense=3)
+    batch = _ctr_batch(np.random.default_rng(0), spec, 64)
+    _assert_steps_match("dcn", spec, batch, num_cross_layers=2)
+
+
+def test_lane_pack_fm_multihot_and_linear_match():
+    spec = DataSpec.ctr((200, 90, 70), num_dense=0, field_widths=(1, 3, 2))
+    batch = _ctr_batch(np.random.default_rng(1), spec, 48)
+    _assert_steps_match("fm", spec, batch)
+
+
+def test_lane_pack_trains_end_to_end_and_on_mesh():
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=6_000,
+                        num_dense_features=4,
+                        categorical_vocab_sizes=(60, 40, 30, 20, 50),
+                        test_fraction=0.2, seed=1),
+        model=ModelConfig(name="dcn", embed_dim=16, num_cross_layers=2,
+                          mlp_dims=(16,), lane_pack=True),
+        optim=OptimConfig(learning_rate=0.01, dense_optimizer="adam"),
+        train=TrainConfig(batch_size=256, epochs=4, eval_every_epochs=4,
+                          loss="logloss"),
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    _, hist = run(cfg, quiet=True)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert 0.0 < hist[-1]["auc"] <= 1.0
+
+    if jax.device_count() >= 8:
+        mesh_cfg = dataclasses.replace(cfg, mesh=MeshConfig(data_axis_size=8))
+        _, hist_m = run(mesh_cfg, quiet=True)
+        np.testing.assert_allclose(hist_m[-1]["loss"], hist[-1]["loss"],
+                                   rtol=2e-4)
+        np.testing.assert_allclose(hist_m[-1]["auc"], hist[-1]["auc"],
+                                   rtol=2e-4)
+
+
+def test_lane_pack_refusals():
+    spec = DataSpec.ctr((100, 80), num_dense=2)
+    with pytest.raises(ValueError, match="rowwise_adam"):
+        m = build_model(
+            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                        lane_pack=True), spec)
+        TrainStepBuilder(
+            m, "logloss",
+            dataclasses.replace(OPT, sparse_optimizer="rowwise_adam"),
+        ).init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="dividing 128"):
+        build_model(ModelConfig(name="dcn", embed_dim=48, mlp_dims=(8,),
+                                lane_pack=True), spec)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                                lane_pack=True, stack_tables=True), spec)
+    with pytest.raises(ValueError, match="equal per-field"):
+        build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                                field_dims=(32, 16), lane_pack=True), spec)

@@ -90,6 +90,14 @@ class ModelConfig:
     # dims; math-equivalent to per-field tables (rowwise optimizers are
     # row-local; id spaces disjoint after offsetting).
     stack_tables: bool = False
+    # CTR models with embed_dim < 128: pack 128/d fields side by side in
+    # each physical table's dead lanes (TPU pads the minor dim to 128
+    # lanes, so a d=32 table's optimizer sweep pays for 128 — measured
+    # dim-independent, docs/PERF.md). Divides swept-table count and table
+    # HBM by 128/d; per-group optimizer state keeps the math exactly the
+    # per-table rule (rowwise_adagrad/sgd only). Mutually exclusive with
+    # stack_tables.
+    lane_pack: bool = False
     # History-conditioned models (fism / multvae): max train-history ids
     # carried per batch row (sentinel-padded; seeded subsample beyond it).
     max_history: int = 50

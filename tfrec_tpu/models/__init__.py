@@ -71,18 +71,24 @@ __all__ = [
 
 def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") -> RecModel:
     name = cfg.name.lower()
-    if cfg.stack_tables:
+    if cfg.stack_tables or cfg.lane_pack:
         from tfrec_tpu.models.ctr_base import CTRBase
 
+        which = "stack_tables" if cfg.stack_tables else "lane_pack"
         model = build_model(
-            dataclasses.replace(cfg, stack_tables=False), data_spec,
-            backend=backend,
+            dataclasses.replace(cfg, stack_tables=False, lane_pack=False),
+            data_spec, backend=backend,
         )
         if not isinstance(model, CTRBase):
             raise ValueError(
-                f"model.stack_tables applies to CTR models, not {cfg.name!r}"
+                f"model.{which} applies to CTR models, not {cfg.name!r}"
             )
-        return model.enable_stacked_tables()
+        if cfg.stack_tables and cfg.lane_pack:
+            raise ValueError("stack_tables and lane_pack are mutually exclusive")
+        return (
+            model.enable_stacked_tables() if cfg.stack_tables
+            else model.enable_lane_packing()
+        )
     if name == "pop":
         return Pop(data_spec)
     if name == "mf":

@@ -55,6 +55,7 @@ class CTRBase(RecModel):
         # for all fields — model.stack_tables): field f's row r lives at
         # global row _voffsets[f] + r; the global sentinel is total_vocab.
         self.stack_tables = False
+        self.lane_pack = False
         self._voffsets = []
         voff = 0
         for v in data_spec.field_vocabs:
@@ -75,8 +76,71 @@ class CTRBase(RecModel):
                 "model.stack_tables requires equal per-field embedding "
                 f"dims, got {self.field_dims}"
             )
+        if self.lane_pack:
+            raise ValueError("stack_tables and lane_pack are mutually exclusive")
         self.stack_tables = True
         return self
+
+    def enable_lane_packing(self) -> "CTRBase":
+        """Pack P = 128 // d fields side by side in one [maxV, P*d]
+        physical table (plus all linear tables in <=128-lane packs).
+
+        Why: TPU physical layout pads the minor (lane) dim to 128, so a
+        d<128 table's rowwise-optimizer sweep costs the FULL 128 lanes —
+        measured dim-independent ~270-290 us/table (docs/PERF.md "In-situ
+        step attribution"). Packing P logical tables into the dead lanes
+        divides the number of swept tables by P (the dominant sparse-path
+        term at the flagship d=32) and the physical HBM footprint with it.
+
+        Exactness: each pack keeps PER-GROUP rowwise optimizer state
+        ([V, P] accumulators — TableSpec.lane_groups); a row touched by
+        one field contributes exactly 0 gradient and 0 accumulator gain
+        to its pack-mates (adagrad accumulation of zero is a no-op), so
+        the update math is bit-for-bit the per-table rule. rowwise_adam
+        is refused (its EMA decays on zero-grad updates) —
+        ops/sparse_optim.py. Unlike the row-level packed-reshape scatter
+        (measured loser: 26 extra per-table passes), packing is a pure
+        LAYOUT change: no extra per-step work exists to pay for.
+        """
+        if self.stack_tables:
+            raise ValueError("stack_tables and lane_pack are mutually exclusive")
+        if len(set(self.field_dims)) > 1:
+            raise ValueError(
+                "model.lane_pack requires equal per-field embedding dims, "
+                f"got {self.field_dims}"
+            )
+        d = self.field_dims[0]
+        if d >= 128 or 128 % d != 0:
+            raise ValueError(
+                f"model.lane_pack needs embed_dim < 128 dividing 128 "
+                f"(got {d}); at d >= 128 rows already fill their lane "
+                "lines and packing buys nothing"
+            )
+        p = 128 // d
+        # Group by descending vocab so pack row counts (max over the
+        # group) waste the least memory under mixed vocabs.
+        order = sorted(
+            range(self.num_fields),
+            key=lambda f: -self.data_spec.field_vocabs[f],
+        )
+        self._packs = [order[i : i + p] for i in range(0, len(order), p)]
+        self._pack_of = {}
+        for k, grp in enumerate(self._packs):
+            for slot, f in enumerate(grp):
+                self._pack_of[f] = (k, slot)
+        if self.use_linear_tables:
+            self._lin_packs = [
+                order[i : i + 128] for i in range(0, len(order), 128)
+            ]
+            self._lin_pack_of = {}
+            for k, grp in enumerate(self._lin_packs):
+                for slot, f in enumerate(grp):
+                    self._lin_pack_of[f] = (k, slot)
+        self.lane_pack = True
+        return self
+
+    def _pack_vocab(self, grp) -> int:
+        return max(self.data_spec.field_vocabs[f] for f in grp)
 
     @property
     def num_fields(self) -> int:
@@ -87,6 +151,27 @@ class CTRBase(RecModel):
         return any(w > 1 for w in self.widths)
 
     def table_specs(self) -> Tuple[TableSpec, ...]:
+        if self.lane_pack:
+            d = self.field_dims[0]
+            specs = [
+                TableSpec(
+                    f"pack_{k}", self._pack_vocab(grp), len(grp) * d,
+                    lane_groups=len(grp),
+                    # Per-field init scale (the spec default 1/sqrt(dim)
+                    # would shrink with the PACKED width).
+                    init_scale=1.0 / (d ** 0.5),
+                )
+                for k, grp in enumerate(self._packs)
+            ]
+            if self.use_linear_tables:
+                specs += [
+                    TableSpec(
+                        f"linpack_{k}", self._pack_vocab(grp), len(grp),
+                        lane_groups=len(grp), initializer="zeros",
+                    )
+                    for k, grp in enumerate(self._lin_packs)
+                ]
+            return tuple(specs)
         if self.stack_tables:
             specs = [TableSpec("fields", self.total_vocab, self.field_dims[0])]
             if self.use_linear_tables:
@@ -126,7 +211,31 @@ class CTRBase(RecModel):
             )
         return jnp.concatenate(parts, axis=1).reshape(-1)
 
+    def _pack_ids(self, batch, grp) -> jnp.ndarray:
+        """Concat of the group's per-field flat ids, per-field sentinels
+        remapped to the PACK vocab (>= every member's V_f) so clamp-gather
+        and drop-scatter semantics carry over."""
+        vp = self._pack_vocab(grp)
+        parts = []
+        for f in grp:
+            ids = self._field_ids(batch, f)
+            parts.append(
+                jnp.where(ids < self.data_spec.field_vocabs[f], ids, vp)
+            )
+        return jnp.concatenate(parts)
+
     def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
+        if self.lane_pack:
+            ids = {
+                f"pack_{k}": self._pack_ids(batch, grp)
+                for k, grp in enumerate(self._packs)
+            }
+            if self.use_linear_tables:
+                ids.update({
+                    f"linpack_{k}": self._pack_ids(batch, grp)
+                    for k, grp in enumerate(self._lin_packs)
+                })
+            return ids
         if self.stack_tables:
             gids = self._global_ids(batch)
             ids = {"fields": gids}
@@ -160,7 +269,20 @@ class CTRBase(RecModel):
         return out
 
     def _field_rows(self, gathered, batch, f: int, prefix: str = "field"):
-        """[B*W_f, d] gathered rows for field f in either table layout."""
+        """[B*W_f, d] gathered rows for field f in any table layout."""
+        if self.lane_pack:
+            b = batch["cat"].shape[0]
+            if prefix == "field":
+                k, slot = self._pack_of[f]
+                grp, d = self._packs[k], self.field_dims[0]
+                rows = gathered[f"pack_{k}"]
+            else:
+                k, slot = self._lin_pack_of[f]
+                grp, d = self._lin_packs[k], 1
+                rows = gathered[f"linpack_{k}"]
+            start = b * sum(self.widths[g] for g in grp[:slot])
+            n = b * self.widths[f]
+            return rows[start : start + n, slot * d : (slot + 1) * d]
         if self.stack_tables:
             key = "fields" if prefix == "field" else "lin"
             b = batch["cat"].shape[0]

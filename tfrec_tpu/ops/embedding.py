@@ -33,6 +33,12 @@ class TableSpec:
     # Initializer: "normal" (std = init_scale or 1/sqrt(dim)) | "zeros".
     initializer: str = "normal"
     init_scale: float | None = None
+    # Lane-packed tables (models/ctr_base.py enable_lane_packing): this
+    # physical table holds `lane_groups` logical sub-tables side by side
+    # along the lane dim (dim = G * d_logical). Rowwise sparse-optimizer
+    # statistics are kept PER GROUP ([V, G] accumulators) so the math is
+    # exactly the per-table update rule (ops/sparse_optim.py).
+    lane_groups: int = 1
 
     @property
     def shape(self) -> Tuple[int, int]:

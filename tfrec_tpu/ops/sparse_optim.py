@@ -34,14 +34,30 @@ from tfrec_tpu.ops.embedding import combine_duplicate_ids
 State = Dict[str, jnp.ndarray]
 
 
-def _row_stat(g: jnp.ndarray, stat_axis: str | None, full_dim: int | None):
+def _row_stat(g: jnp.ndarray, stat_axis: str | None, full_dim: int | None,
+              lane_groups: int = 1):
     """Rowwise mean-square gradient. On a column-sharded table each shard
     holds only D/T features of a row, so the rowwise statistic must be
     psum'd over the feature-shard axis (``stat_axis``) and divided by the
     FULL row width — otherwise sharded Adagrad/Adam would diverge from the
     single-device update rule. Duplicate-id combination (argsort) is
     deterministic and identical on every feature shard, so segments align
-    across the psum."""
+    across the psum.
+
+    ``lane_groups`` G > 1 (lane-packed tables): the row holds G logical
+    sub-rows of d = D/G lanes each; returns PER-GROUP stats [n, G] so
+    each packed sub-table follows exactly its own per-table update rule.
+    """
+    if lane_groups > 1:
+        if stat_axis is not None:
+            raise ValueError(
+                "lane-packed tables do not support column sharding (the "
+                "feature split would cut across lane groups)"
+            )
+        n, d_all = g.shape
+        return jnp.mean(
+            (g * g).reshape(n, lane_groups, d_all // lane_groups), axis=-1
+        )
     s = jnp.sum(g * g, axis=-1)
     if stat_axis is not None:
         s = jax.lax.psum(s, stat_axis)
@@ -77,7 +93,7 @@ def _dedup(table: jnp.ndarray, ids: jnp.ndarray, grads: jnp.ndarray):
     return uids, g
 
 
-def _sgd_init(table: jnp.ndarray) -> State:
+def _sgd_init(table: jnp.ndarray, lane_groups: int = 1) -> State:
     return {}
 
 
@@ -175,22 +191,40 @@ def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
 
 
 def _adagrad_init_fn(initial_accumulator: float):
-    def init(table: jnp.ndarray) -> State:
-        return {
-            "acc": jnp.full((table.shape[0],), initial_accumulator, jnp.float32)
-        }
+    def init(table: jnp.ndarray, lane_groups: int = 1) -> State:
+        # Lane-packed tables keep one accumulator PER GROUP [V, G]; the
+        # apply path infers G from this shape (no parameter threading
+        # through the sharded planners).
+        shape = (
+            (table.shape[0],) if lane_groups <= 1
+            else (table.shape[0], lane_groups)
+        )
+        return {"acc": jnp.full(shape, initial_accumulator, jnp.float32)}
 
     return init
 
 
 def _adagrad_apply_fn(eps: float):
     def apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
-        g2 = _row_stat(g, stat_axis, full_dim)  # rowwise scalar accumulator
-        acc_rows = jnp.take(state["acc"], uids, indices_are_sorted=True) + g2
+        acc = state["acc"]
+        groups = acc.shape[1] if acc.ndim == 2 else 1
+        g2 = _row_stat(g, stat_axis, full_dim, groups)  # [n] or [n, G]
+        acc_rows = jnp.take(acc, uids, axis=0, indices_are_sorted=True) + g2
         scale = lr / (jnp.sqrt(acc_rows) + eps)
-        new_table = scatter_add_rows(table, uids, -scale[:, None] * g)
-        # The acc is V scalars — always under the crossover.
-        new_acc = state["acc"].at[uids].set(
+        if groups > 1:
+            # Per-group scale broadcast over that group's d lanes. Groups
+            # the row's batch never touched have g == 0 there, so their
+            # table delta is exactly 0 and their acc gains exactly 0 —
+            # bit-for-bit the per-table rule (tests/test_lane_pack.py).
+            n, d_all = g.shape
+            scale = jnp.broadcast_to(
+                scale[:, :, None], (n, groups, d_all // groups)
+            ).reshape(n, d_all)
+            new_table = scatter_add_rows(table, uids, -scale * g)
+        else:
+            new_table = scatter_add_rows(table, uids, -scale[:, None] * g)
+        # The acc is V (or V*G) scalars — always under the crossover.
+        new_acc = acc.at[uids].set(
             acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True
         )
         return new_table, {"acc": new_acc}
@@ -204,7 +238,14 @@ def _adagrad_apply_fn(eps: float):
     return apply, apply_deduped
 
 
-def _adam_init(table: jnp.ndarray) -> State:
+def _adam_init(table: jnp.ndarray, lane_groups: int = 1) -> State:
+    if lane_groups > 1:
+        raise ValueError(
+            "rowwise_adam is not exact under lane packing: its EMA decays "
+            "a row's moments on every update, so a zero-grad packed group "
+            "would spuriously decay — use rowwise_adagrad (accumulation "
+            "of zero is a no-op) for lane-packed tables"
+        )
     v, d = table.shape
     return {
         "m": jnp.zeros((v, d), jnp.float32),

@@ -252,7 +252,13 @@ class RowShardedTable:
             lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
             flat_g = recv_g.reshape(n_sh * cap, -1)
             fused_ok = False
-            if self.kernels == "pallas" and sparse_opt.name == "rowwise_adagrad":
+            if (
+                self.kernels == "pallas"
+                and sparse_opt.name == "rowwise_adagrad"
+                # lane-packed tables ([V, G] accumulator) need per-group
+                # stats; the fused kernel keeps one rowwise scalar.
+                and ostate["acc"].ndim == 1
+            ):
                 from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
 
                 fused_ok = fused_scatter_supported(tbl.shape[0], tbl.shape[1])

@@ -68,6 +68,13 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         self.plans: Dict[str, object] = {}
         self._gspmd_row = mode == "gspmd"
         for spec in model.table_specs():
+            if spec.lane_groups > 1 and mode == "col":
+                raise ValueError(
+                    f"table {spec.name!r} is lane-packed "
+                    f"(lane_groups={spec.lane_groups}); column sharding "
+                    "would split across lane groups — use row/gspmd/"
+                    "replicated table_sharding"
+                )
             if mode == "row":
                 wire = (
                     jnp.bfloat16

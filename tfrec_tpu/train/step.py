@@ -164,12 +164,17 @@ class TrainStepBuilder:
 
     def init_state(self, rng: jax.Array) -> State:
         params = self.model.init(rng)
+        # Lane-packed tables (TableSpec.lane_groups > 1) keep per-group
+        # rowwise optimizer state; the apply path infers the grouping
+        # from the state shape.
+        groups = {s.name: s.lane_groups for s in self.model.table_specs()}
         return {
             "step": jnp.zeros((), jnp.int32),
             "tables": params["tables"],
             "dense": params["dense"],
             "sparse_opt": {
-                name: self.sparse_opt.init(t) for name, t in params["tables"].items()
+                name: self.sparse_opt.init(t, lane_groups=groups.get(name, 1))
+                for name, t in params["tables"].items()
             },
             "dense_opt": self.dense_tx.init(params["dense"]),
         }
@@ -184,19 +189,30 @@ class TrainStepBuilder:
 
     def sparse_update(self, name: str, table, opt_state, ids, grads, lr):
         """One table's sparse-optimizer application. Returns (table, state)."""
-        if self._fused_scatter_ok(table):
+        if self._fused_scatter_ok(table, name):
             from tfrec_tpu.ops.embedding import combine_duplicate_ids
 
             uids, g = combine_duplicate_ids(ids, grads, sentinel=table.shape[0])
             return self._fused_apply(table, opt_state, uids, g, lr)
         return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
 
-    def _fused_scatter_ok(self, table) -> bool:
+    def _fused_scatter_ok(self, table, name: str = "") -> bool:
+        if self._lane_groups().get(name, 1) > 1:
+            # The fused kernel keeps ONE rowwise accumulator; lane-packed
+            # tables need per-group stats — XLA path only.
+            return False
         if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
             from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
 
             return fused_scatter_supported(table.shape[0], table.shape[1])
         return False
+
+    def _lane_groups(self):
+        if not hasattr(self, "_lane_groups_cache"):
+            self._lane_groups_cache = {
+                s.name: s.lane_groups for s in self.model.table_specs()
+            }
+        return self._lane_groups_cache
 
     def _fused_apply(self, table, opt_state, uids, g, lr):
         # Fused single-pass RMW kernel (kernels/scatter_pallas.py);
@@ -210,7 +226,7 @@ class TrainStepBuilder:
 
     def sparse_update_deduped(self, name: str, table, opt_state, uids, g, lr):
         """Post-combine half of ``sparse_update`` (uids/g already deduped)."""
-        if self._fused_scatter_ok(table):
+        if self._fused_scatter_ok(table, name):
             return self._fused_apply(table, opt_state, uids, g, lr)
         return self.sparse_opt.apply_deduped(table, opt_state, uids, g, lr)
 
