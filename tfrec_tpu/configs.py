@@ -241,6 +241,13 @@ class TrainConfig:
     early_stop_patience: int = 0
     early_stop_metric: str = "auto"
     early_stop_min_delta: float = 0.0
+    # Warm start (the reference family's pretraining protocol — NeuMF
+    # from GMF, APR/IRGAN from BPR-MF): copy matching embedding tables
+    # from a previous run's checkpoint dir before training. Name mapping
+    # comes from the model's warm_start_aliases(); shape mismatches are
+    # skipped LOUDLY (warm_start log event). Ignored when resume=True
+    # restores a checkpoint of THIS run (resume wins).
+    init_from: str | None = None
     # Kernel backend: "pallas" (fused TPU kernels) or "xla" (jnp reference).
     kernels: str = "xla"
     # jax_default_matmul_precision: "default" leaves XLA's choice (f32

@@ -132,6 +132,11 @@ class RecModel(abc.ABC):
         tables without materializing them (BASELINE.json R7)."""
         return None
 
+    def warm_start_aliases(self) -> Dict[str, str]:
+        """target-table-name -> source-table-name map for cross-model
+        warm starts (train.init_from). Unmapped tables match by name."""
+        return {}
+
     # ---- helpers shared by pairwise-capable models ----
 
     @staticmethod

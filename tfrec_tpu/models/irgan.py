@@ -146,6 +146,15 @@ class IRGAN(RecModel):
         return {"d_pos": d_pos, "d_sel": d_sel, "logp": logp, "reward": reward,
                 "sample": j}
 
+    def warm_start_aliases(self):
+        # Paper protocol: BOTH players pretrain from BPR-MF
+        # (train.init_from = an mf run's checkpoint dir).
+        return {
+            "user_g": "user_emb", "item_g": "item_emb",
+            "user_d": "user_emb", "item_d": "item_emb",
+            "bias_g": "item_bias", "bias_d": "item_bias",
+        }
+
     def dot_decomposition(self) -> DotRetrieval:
         return DotRetrieval("user_g", "item_g", "bias_g" if self.use_bias else None)
 

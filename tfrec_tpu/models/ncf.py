@@ -195,6 +195,15 @@ class NeuMF(_NCFBase):
             TableSpec("item_mlp", v, self.mlp_embed_dim),
         )
 
+    def warm_start_aliases(self):
+        # The paper's pretraining protocol: both towers seed from a
+        # pretrained factorization's user_emb/item_emb (GMF or MF run —
+        # train.init_from); dims that don't match are skipped loudly.
+        return {
+            "user_gmf": "user_emb", "item_gmf": "item_emb",
+            "user_mlp": "user_emb", "item_mlp": "item_emb",
+        }
+
     def init_dense(self, rng: jax.Array):
         k_mlp, k_out = jax.random.split(rng)
         head_in = self.gmf_dim + self.mlp_dims[-1]

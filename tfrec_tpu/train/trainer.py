@@ -339,6 +339,17 @@ class Trainer:
                     self.start_epoch = step
                     self.logger.log({"event": "resumed", "epoch": step})
 
+        # ---- warm start (reference-family pretraining protocol) ----
+        if c.train.init_from:
+            if self.start_epoch == 0:
+                self._warm_start(c.train.init_from)
+            else:
+                self.logger.log({
+                    "event": "warm_start_skipped",
+                    "reason": "resume restored this run's checkpoint "
+                              "(resume wins over init_from)",
+                })
+
         # ---- sampler + profiler ----
         self.sampler = None if self.solver is not None else self._make_sampler()
         from tfrec_tpu.utils.profile import StepProfiler
@@ -350,6 +361,50 @@ class Trainer:
         # Compile-once eval caches.
         self._retrieval_eval = None
         self._fwd_jit = None
+
+    def _warm_start(self, ckpt_dir: str) -> None:
+        """Copy matching embedding tables from another run's checkpoint
+        (train.init_from) — NeuMF-from-GMF / APR/IRGAN-from-BPR
+        pretraining. Mapping: the model's warm_start_aliases() first,
+        then same-name; rows beyond the source vocab keep their fresh
+        init; shape mismatches and absent sources are skipped LOUDLY in
+        the warm_start log event. Copying nothing is an error (a silent
+        no-op warm start would be mistaken for the paper protocol)."""
+        from tfrec_tpu.utils.checkpoint import load_table_arrays
+
+        src_tables = load_table_arrays(ckpt_dir)
+        aliases = getattr(self.model, "warm_start_aliases", dict)()
+        copied, skipped = [], []
+        tables = dict(self.state["tables"])
+        for name, tbl in tables.items():
+            s_name = aliases.get(name, name)
+            if s_name not in src_tables:
+                skipped.append([name, f"no source table {s_name!r}"])
+                continue
+            arr = src_tables[s_name]
+            if arr.ndim != tbl.ndim or tuple(arr.shape[1:]) != tuple(tbl.shape[1:]):
+                skipped.append(
+                    [name, f"shape {list(arr.shape)} vs {list(tbl.shape)}"]
+                )
+                continue
+            rows = min(arr.shape[0], tbl.shape[0])
+            tables[name] = jax.jit(
+                lambda t, a, r=rows: t.at[:r].set(a),
+                out_shardings=getattr(tbl, "sharding", None),
+            )(tbl, jnp.asarray(arr[:rows]))
+            copied.append(name)
+        self.state = {**self.state, "tables": tables}
+        if self.solver is not None:
+            self.solver.load(self.state["tables"])
+        self.logger.log({
+            "event": "warm_start", "from": ckpt_dir,
+            "copied": sorted(copied), "skipped": skipped,
+        })
+        if not copied:
+            raise ValueError(
+                f"warm start from {ckpt_dir!r} copied no tables "
+                f"(skipped: {skipped}); check warm_start_aliases / dims"
+            )
 
     def _use_device_negs(self, loss: str) -> bool:
         return (

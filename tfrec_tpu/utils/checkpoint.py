@@ -106,6 +106,40 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
     return out
 
 
+def load_table_arrays(ckpt_dir: str, step: int | None = None):
+    """Raw embedding tables from a checkpoint WITHOUT a template state —
+    the warm-start loader (train.init_from / model pretraining, the
+    reference family's NeuMF/APR/IRGAN protocol). Returns
+    {table_name: np.ndarray}.
+
+    Multi-process checkpoints save per-process blocks (.p{i}): row-sharded
+    tables reassemble by axis-0 concat in process order; replicated leaves
+    (identical blocks) keep the first. Optimizer/dense state is not
+    loaded — warm starts transfer representations, not trainer state."""
+    import glob as _glob
+
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise ValueError(f"no checkpoint found under {ckpt_dir!r}")
+    d = os.path.join(ckpt_dir, f"step_{step:010d}")
+    per_name: Dict[str, Dict[int, str]] = {}
+    for p in _glob.glob(os.path.join(d, "tables__*.p*.npy")):
+        base = os.path.basename(p)[: -len(".npy")]
+        name_part, proc = base.rsplit(".p", 1)
+        per_name.setdefault(name_part[len("tables__"):], {})[int(proc)] = p
+    out: Dict[str, np.ndarray] = {}
+    for name, procs in per_name.items():
+        blocks = [np.load(procs[i]) for i in sorted(procs)]
+        if len(blocks) > 1 and all(
+            b.shape == blocks[0].shape and np.array_equal(b, blocks[0])
+            for b in blocks[1:]
+        ):
+            blocks = blocks[:1]  # replicated leaf saved by every process
+        out[name] = blocks[0] if len(blocks) == 1 else np.concatenate(blocks, 0)
+    return out
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None
