@@ -65,7 +65,7 @@ class DataConfig:
 class ModelConfig:
     """Which model and its hyperparameters."""
 
-    name: str = "mf"  # pop | mf | sbpr | apr | fm | gmf | mlp | neumf | convncf | lightgcn | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | cdae | sasrec | gru4rec | caser | fpmc
+    name: str = "mf"  # pop | mf | wrmf | ease | sbpr | apr | irgan | fm | gmf | mlp | neumf | convncf | lightgcn | ngcf | dcn | dcnv2 | deepfm | nfm | widedeep | dlrm | fism | nais | multvae | multdae | cdae | sasrec | gru4rec | caser | fpmc
     embed_dim: int = 64
     # Per-field embedding dims for CTR models (empty = embed_dim for all).
     # Mixed dims (small vocab -> small dim, the production memory/ICI
