@@ -441,7 +441,6 @@ def main(argv=None) -> int:
     key_dim = 64 if args.model == "mf" else args.embed_dim
     # topk scores a (clamped) user batch against the catalog.
     eff_batch = min(args.batch, 1024) if args.model == "topk" else args.batch
-    wrmf_nnz = None
     if args.model == "wrmf":
         # One "step" refits every observation once; --batch is ignored.
         eff_batch = 100_000 * 40 if platform == "tpu" else 5_000 * 20

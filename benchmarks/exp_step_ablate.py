@@ -147,7 +147,7 @@ def _variant_builder(variant: str):
         from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
 
         builder._fused_scatter_ok = (
-            lambda t: fused_scatter_supported(t.shape[0], t.shape[1])
+            lambda t, name="": fused_scatter_supported(t.shape[0], t.shape[1])
         )
     elif variant == "dedup_only_grouped":
         import jax.numpy as jnp

@@ -46,6 +46,36 @@ inline bool field_empty(const char* b, const char* e) {
   return true;
 }
 
+// Parse one field [b, e) exactly the way Python float() does: the whole
+// field must be one number (surrounding whitespace ok), nothing consumed
+// from beyond the field (strtod itself is unbounded — an empty field
+// would otherwise silently swallow the NEXT field or line), and no C-only
+// hex-float syntax. Returns false on any malformed content.
+inline bool parse_field(const char* b, const char* e, double* out) {
+  char* end = nullptr;
+  double v = strtod(b, &end);
+  if (end <= b || end > e) return false;
+  for (const char* p = b; p < end; ++p) {
+    if (*p == 'x' || *p == 'X') return false;  // strtod hex; Python raises
+  }
+  while (end < e) {  // trailing garbage ("2x3") raises in Python
+    if (*end != ' ' && *end != '\t' && *end != '\r') return false;
+    ++end;
+  }
+  *out = v;
+  return true;
+}
+
+// Python's int(float(x)) raises on nan/inf and numpy's int64 assignment
+// raises OverflowError out of range; match by rejecting (code 2).
+inline bool to_int64(double v, int64_t* out) {
+  if (!(v >= -9223372036854775808.0 && v < 9223372036854775808.0)) {
+    return false;  // also rejects NaN (comparisons are false)
+  }
+  *out = (int64_t)v;
+  return true;
+}
+
 // Parse lines in [begin, end), whose first line has global index
 // line_off, writing each line i to row i. Returns lines seen.
 int64_t parse_range(const char* begin, const char* end, const char* sep,
@@ -76,27 +106,23 @@ int64_t parse_range(const char* begin, const char* end, const char* sep,
     // native stays exactly as loud as the Python path.
     valid[line] = 0;
     if (nf >= 2 && !field_empty(f[0], fe[0])) {
-      char* conv_end = nullptr;
-      // strtod reads through the separator-free field; it stops at the
-      // first non-numeric char so no copy is needed (fields are bounded
-      // by sep/newline which strtod never consumes as digits).
-      double u = strtod(f[0], &conv_end);
-      bool ok = conv_end > f[0];
-      double iv = ok ? strtod(f[1], &conv_end) : 0.0;
-      ok = ok && conv_end > f[1];
+      double u = 0.0, iv = 0.0, rv = 0.0, tv = 0.0;
+      int64_t ui = 0, ii = 0;
+      bool ok = parse_field(f[0], fe[0], &u) && parse_field(f[1], fe[1], &iv)
+                && to_int64(u, &ui) && to_int64(iv, &ii);
       float r = 1.0f;
       double t = 0.0;
       if (ok && nf >= 3 && !field_empty(f[2], fe[2])) {
-        r = (float)strtod(f[2], &conv_end);
-        ok = conv_end > f[2];
+        ok = parse_field(f[2], fe[2], &rv);
+        if (ok) r = (float)rv;
       }
       if (ok && nf >= 4 && !field_empty(f[3], fe[3])) {
-        t = strtod(f[3], &conv_end);
-        ok = conv_end > f[3];
+        ok = parse_field(f[3], fe[3], &tv);
+        if (ok) t = tv;
       }
       if (ok) {
-        users[line] = (int64_t)u;
-        items[line] = (int64_t)iv;
+        users[line] = ui;
+        items[line] = ii;
         ratings[line] = r;
         times[line] = t;
         valid[line] = 1;

@@ -91,8 +91,9 @@ def _assert_steps_match(name, spec, batch, steps=3, **model_kw):
         s_u, mu = step_u(s_u, batch)
         s_p, mp = step_p(s_p, batch)
         np.testing.assert_allclose(
-            float(mp["loss"]), float(mu["loss"]), rtol=1e-6
-        ), i
+            float(mp["loss"]), float(mu["loss"]), rtol=1e-6,
+            err_msg=f"step {i}",
+        )
     d = m_p.field_dims[0]
     for f in range(m_p.num_fields):
         vf = spec.field_vocabs[f]

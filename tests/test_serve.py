@@ -206,6 +206,15 @@ def test_from_checkpoint_cold_start_serving(tmp_path):
     t, _ = run(cfg, quiet=True)
     live = Recommender.from_trainer(t)
     cold = Recommender.from_checkpoint(cfg)
+    # Deploy constructions must not append to the training run's metric
+    # stream (a second run_config would corrupt it for log consumers).
+    import json as _json
+
+    stream = [
+        _json.loads(l)
+        for l in open(f"{cfg.train.checkpoint_dir}/{cfg.run_name}.metrics.jsonl")
+    ]
+    assert sum(r.get("event") == "run_config" for r in stream) == 1
     users = np.asarray([0, 5, 9], np.int32)
     ids_live, sc_live = live.recommend(users, k=5)
     ids_cold, sc_cold = cold.recommend(users, k=5)

@@ -216,3 +216,27 @@ def test_early_stopping_stops_on_plateau_and_not_on_progress():
     )
     _, hist3 = run(ctr, quiet=True)
     assert len(hist3) == 3, [h["epoch"] for h in hist3]
+
+
+def test_early_stopping_refuses_unknown_monitor():
+    """A misspelled early_stop_metric must raise at the first eval, not
+    silently disable the patience knob (review finding)."""
+    import pytest
+
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import run
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_implicit", num_users=64,
+                        num_items=128, interactions_per_user=8, seed=0),
+        model=ModelConfig(name="mf", embed_dim=8),
+        optim=OptimConfig(learning_rate=0.05),
+        train=TrainConfig(batch_size=64, epochs=2, eval_every_epochs=1,
+                          eval_topk=(10,), early_stop_patience=1,
+                          early_stop_metric="recal@10"),  # typo on purpose
+        mesh=MeshConfig(data_axis_size=0),
+    )
+    with pytest.raises(ValueError, match="recal@10"):
+        run(cfg, quiet=True)

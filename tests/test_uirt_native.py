@@ -79,3 +79,39 @@ def test_native_is_as_loud_as_python_on_malformed_fields(tmp_path):
         pytest.skip("no toolchain")
     with pytest.raises(ValueError):
         load_uirt_raw(path, native=False)
+
+
+@pytest.mark.parametrize("content", [
+    "5::\n7::8\n",            # empty item field must NOT swallow line 2
+    "9\t9\t1\t1\n2\t\t4\t5\n",  # empty item (tabs)
+    "9\t9\t1\t1\n1\t2x\t3\t4\n",  # trailing garbage in a numeric field
+    # Malformed FIRST lines would be eaten by the header sniffer (both
+    # paths, consistently) — a valid first row keeps them as data rows.
+    "9\t9\t1\t1\nnan\t5\t3\t4\n",   # non-finite id
+    "9\t9\t1\t1\n1e30\t5\t3\t4\n",  # id overflowing int64
+    "9\t9\t1\t1\n0x10\t5\t3\t4\n",  # C-only hex syntax (Python raises)
+])
+def test_native_rejects_what_python_rejects(tmp_path, content):
+    """Review repros: unbounded strtod silently consumed the next field/
+    line and accepted garbage where the Python loop raises. Both paths
+    must now raise on the same content."""
+    path = _write(tmp_path, "case.txt", content)
+    try:
+        with pytest.raises((ValueError, OverflowError)):
+            load_uirt_raw(path, native=True)
+    except NativeUnavailable:
+        pytest.skip("no toolchain")
+    with pytest.raises((ValueError, OverflowError)):
+        load_uirt_raw(path, native=False)
+
+
+def test_header_only_file_without_newline(tmp_path):
+    """A just-created export holding only a header (no trailing newline)
+    must load as empty, not crash on int(float('userId'))."""
+    path = _write(tmp_path, "hdr.csv", "userId,movieId,rating,timestamp")
+    for native in (True, False):
+        try:
+            out = load_uirt_raw(path, native=native)
+        except NativeUnavailable:
+            continue
+        assert all(len(x) == 0 for x in out)

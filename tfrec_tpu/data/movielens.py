@@ -44,7 +44,11 @@ def load_uirt_raw(path: str, native: bool = True):
     first = (data if nl < 0 else data[: nl + 1]).decode("latin-1")
     sep = _sniff_separator(first)
     has_header = not first.split(sep)[0].strip().lstrip("-").isdigit()
-    body = data[nl + 1 :] if (has_header and nl >= 0) else data
+    if has_header:
+        # Strip the header even when it is the only (newline-less) line.
+        body = data[nl + 1 :] if nl >= 0 else b""
+    else:
+        body = data
 
     if native:
         from tfrec_tpu.data.uirt_native import NativeUnavailable, parse_buffer
@@ -54,7 +58,12 @@ def load_uirt_raw(path: str, native: bool = True):
         except NativeUnavailable:
             pass  # toolchain-free host: the Python loop below is exact
 
-    rows = body.decode("latin-1").splitlines()
+    # Split on \n ONLY (matching the native parser and the original
+    # readlines semantics): str.splitlines would also break on \x0b/\x85/
+    # etc., silently diverging from the C++ path on stray control bytes.
+    rows = body.decode("latin-1").split("\n")
+    if rows and rows[-1] == "":
+        rows.pop()
     n = len(rows)
     raw_u = np.empty(n, dtype=np.int64)
     raw_i = np.empty(n, dtype=np.int64)

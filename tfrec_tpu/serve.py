@@ -107,7 +107,7 @@ class Recommender:
                 config.train, resume=True, checkpoint_dir=ckpt
             ),
         )
-        trainer = Trainer(cfg, quiet=True)
+        trainer = Trainer(cfg, quiet=True, log_metrics=False)
         if trainer.start_epoch == 0:
             raise ValueError(f"no checkpoint found under {ckpt!r}")
         return cls.from_trainer(trainer)

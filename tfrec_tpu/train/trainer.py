@@ -65,7 +65,12 @@ CTR_SOURCES = ("criteo", "synthetic_ctr")
 
 
 class Trainer:
-    def __init__(self, config: Config, quiet: bool = False):
+    def __init__(self, config: Config, quiet: bool = False,
+                 log_metrics: bool = True):
+        """``log_metrics=False`` keeps this construction out of the run's
+        on-disk metric stream (serve.Recommender.from_checkpoint rebuilds
+        a Trainer just to restore state — appending a second run_config
+        there would corrupt the original stream for log consumers)."""
         self.config = config
         c = config
         self.is_ctr_model = c.model.name.lower() in CTR_MODELS
@@ -74,7 +79,9 @@ class Trainer:
                 "jax_default_matmul_precision", c.train.matmul_precision
             )
         self.logger = MetricLogger(
-            c.run_name, out_dir=c.train.checkpoint_dir, quiet=quiet
+            c.run_name,
+            out_dir=c.train.checkpoint_dir if log_metrics else None,
+            quiet=quiet,
         )
         # Full run config as the stream's first record (SURVEY.md §5:
         # "run config dumped alongside") — runs stay reproducible from
@@ -392,13 +399,19 @@ class Trainer:
                 lambda t, a, r=rows: t.at[:r].set(a),
                 out_shardings=getattr(tbl, "sharding", None),
             )(tbl, jnp.asarray(arr[:rows]))
-            copied.append(name)
+            if rows < arr.shape[0]:
+                # Source has MORE rows (larger vocab or mesh padding):
+                # record the truncation explicitly — a wrong checkpoint/
+                # dataset pairing must never look like a clean copy.
+                copied.append([name, f"first {rows} of {arr.shape[0]} source rows"])
+            else:
+                copied.append(name)
         self.state = {**self.state, "tables": tables}
         if self.solver is not None:
             self.solver.load(self.state["tables"])
         self.logger.log({
             "event": "warm_start", "from": ckpt_dir,
-            "copied": sorted(copied), "skipped": skipped,
+            "copied": sorted(copied, key=str), "skipped": skipped,
         })
         if not copied:
             raise ValueError(
@@ -814,7 +827,12 @@ class Trainer:
             return False
         name, value, sign = self._early_stop_monitor(rec)
         if value is None:
-            return False
+            # A misspelled/never-emitted monitor would silently disable
+            # early stopping — refuse instead (same rule as neg_sampling).
+            raise ValueError(
+                f"early_stop_metric {name!r} is not in the eval record; "
+                f"available: {sorted(k for k, v in rec.items() if isinstance(v, float))}"
+            )
         improved = (
             self._es_best is None
             or sign * (value - self._es_best) > c.train.early_stop_min_delta
