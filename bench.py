@@ -360,6 +360,9 @@ def main(argv=None) -> int:
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--kernels", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--lane_pack", action="store_true",
+                        help="dcn: pack 128/d fields per physical table "
+                             "(model.lane_pack — docs/PERF.md)")
     parser.add_argument("--embed_dim", type=int, default=128)
     parser.add_argument("--topk_method", default="approx",
                         choices=["approx", "exact"],
@@ -448,7 +451,8 @@ def main(argv=None) -> int:
     def build(kernels):
         if args.model == "dcn":
             step, state, batches, builder = build_dcn_bench(
-                args.batch, kernels, args.embed_dim)
+                args.batch, kernels, args.embed_dim,
+                lane_pack=args.lane_pack)
             multi = None
         elif args.model == "topk":
             step, state, batches, builder, multi = build_topk_bench(
@@ -561,6 +565,7 @@ def main(argv=None) -> int:
                                  "BENCH_BASELINE.json")
     key = (f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
            f"{args.precision}-{args.protocol}"
+           + ("-lanepack" if args.lane_pack else "")
            + ("-sharded" if args.sharded else "")
            + (f"-{args.topk_method}" if args.model == "topk" else ""))
     vs_baseline = 1.0
@@ -610,6 +615,7 @@ def main(argv=None) -> int:
         "metric": f"examples/s/chip ({args.model} {desc}, {platform}, "
                   f"batch={eff_batch}, kernels={args.kernels}, "
                   f"prec={args.precision}, protocol={args.protocol}"
+                  + (", lane_pack" if args.lane_pack else "")
                   + (", sharded" if args.sharded else "")
                   + (f", topk={args.topk_method}" if args.model == "topk"
                      else "") + ")",
