@@ -54,16 +54,19 @@ def _variant_builder(variant: str):
     # flag is read at trace time).
     _so._PACKED_SCATTER = _os.environ.get("TFREC_PACKED_SCATTER", "0") == "1"
 
+    # "lanepack" / "lanepack_<suffix>" compose the packed layout with any
+    # suffix variant below ("lanepack" alone = the packed real step).
+    # 128/d fields per physical table: P-fold fewer optimizer sweeps
+    # (the dominant, dim-independent sparse-path term) and P-fold fewer
+    # dedup sorts, each P-fold larger. Exact per-table math
+    # (tests/test_lane_pack.py); models/ctr_base.enable_lane_packing.
+    packed = variant.startswith("lanepack")
     _, state, batches, builder = bench.build_dcn_bench(
-        B, "xla", D, lane_pack=(variant == "lanepack")
+        B, "xla", D, lane_pack=packed
     )
-    if variant == "lanepack":
-        # 128/d fields per physical table: P-fold fewer optimizer sweeps
-        # (the dominant, dim-independent sparse-path term) and P-fold
-        # fewer dedup sorts, each P-fold larger. Exact per-table math
-        # (tests/test_lane_pack.py); models/ctr_base.enable_lane_packing.
-        builder.group_dedup = False
-    elif variant == "pertable":
+    if packed:
+        variant = variant[len("lanepack_"):] or "pertable"
+    if variant == "pertable":
         builder.group_dedup = False
     elif variant == "flat":
         # ONE keyed sort over disjoint per-table ranges

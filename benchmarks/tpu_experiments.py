@@ -152,6 +152,26 @@ EXPERIMENTS = {
         "ABLATE_VARIANTS=pertable,lanepack,pertable,lanepack",
         "python", "benchmarks/exp_step_ablate.py",
     ],
+    # Composition: lane-packed tables + flat keyed dedup, interleaved
+    # against lanepack alone (decides group_dedup's default UNDER packing).
+    "step_lanepack_flat_ab": [
+        "env",
+        "ABLATE_VARIANTS=lanepack,lanepack_flat,lanepack,lanepack_flat",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    # Lane-packed batch scaling at the flagship shape (b>=32k guidance).
+    "step_lanepack_b32k": [
+        "env", "BREAKDOWN_BATCH=32768",
+        "ABLATE_VARIANTS=pertable,lanepack,pertable,lanepack",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    # In-situ attribution of the PACKED step's halves (what dominates the
+    # 11.3 ms after packing: the 7 bigger dedup sorts or the 7 trios?).
+    "step_lanepack_parts": [
+        "env",
+        "ABLATE_VARIANTS=lanepack,lanepack_dedup_only,lanepack_trio_arange,lanepack_no_sparse",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     "step_flat_ab_d128": [
         "env", "BREAKDOWN_DIM=128",
         "ABLATE_VARIANTS=pertable,flat,pertable,flat",

@@ -77,7 +77,8 @@ def _copy_into_packed(model_u, model_p, state_u, state_p):
 
 
 def _assert_steps_match(name, spec, batch, steps=3, **model_kw):
-    cfg_u = ModelConfig(name=name, embed_dim=32, mlp_dims=(16,), **model_kw)
+    cfg_u = ModelConfig(name=name, embed_dim=32, mlp_dims=(16,),
+                        lane_pack=False, **model_kw)
     cfg_p = dataclasses.replace(cfg_u, lane_pack=True)
     m_u = build_model(cfg_u, spec)
     m_p = build_model(cfg_p, spec)
@@ -155,6 +156,98 @@ def test_lane_pack_trains_end_to_end_and_on_mesh():
                                    rtol=2e-4)
         np.testing.assert_allclose(hist_m[-1]["auc"], hist[-1]["auc"],
                                    rtol=2e-4)
+
+
+def test_lane_pack_auto_default():
+    """ModelConfig.lane_pack=None (the default) packs exactly when it
+    applies: CTR model, >=2 equal-dim fields, d < 128 dividing 128, and
+    not rowwise_adam."""
+    spec = DataSpec.ctr((100, 80, 60), num_dense=2)
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec)
+    assert m.lane_pack
+    # d = 128: rows already fill their lane lines — no packing.
+    m = build_model(ModelConfig(name="dcn", embed_dim=128, mlp_dims=(8,)), spec)
+    assert not m.lane_pack
+    # 48 does not divide 128 — auto silently keeps per-field tables
+    # (explicit lane_pack=True at d=48 raises, tested below).
+    m = build_model(ModelConfig(name="dcn", embed_dim=48, mlp_dims=(8,)), spec)
+    assert not m.lane_pack
+    # rowwise_adam's EMA decays on zero grads: packing would change math.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    sparse_optimizer="rowwise_adam")
+    assert not m.lane_pack
+    # Mixed field dims cannot share a fixed-width slot layout.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                                field_dims=(32, 16, 32)), spec)
+    assert not m.lane_pack
+    # Single-field CTR gains nothing from packing.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)),
+                    DataSpec.ctr((100,), num_dense=2))
+    assert not m.lane_pack
+    # Explicit False always wins over auto.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                                lane_pack=False), spec)
+    assert not m.lane_pack
+    # Row-sharded mesh path: packing would move 128 lanes per row over
+    # the a2a where unpacked moves d — auto skips it (explicit True on a
+    # mesh remains allowed and correctness-pinned below).
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    sharded_tables=True)
+    assert not m.lane_pack
+    # b >= 32k: the P-fold-bigger dedup sorts eat the sweep saving
+    # (measured tie at b=32768 — docs/PERF.md); auto stays unpacked.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    batch_size=32768)
+    assert not m.lane_pack
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    batch_size=8192)
+    assert m.lane_pack
+    # 2-field retrieval-capable FM: the sharded-topk/serving path
+    # addresses per-field tables by name — auto skips packing.
+    m = build_model(ModelConfig(name="fm", embed_dim=32),
+                    DataSpec.ctr((100, 80), num_dense=0))
+    assert not m.lane_pack and m.dot_decomposition() is not None
+    # Non-CTR models pass through untouched.
+    m = build_model(ModelConfig(name="mf", embed_dim=32),
+                    DataSpec.interaction(50, 60))
+    assert not hasattr(m, "lane_pack")
+
+
+def test_lane_pack_init_is_layout_invariant():
+    """Packed init draws the SAME per-field streams as per-field init:
+    each logical table's block is bit-identical, so the auto default
+    cannot shift a seeded run's starting point."""
+    spec = DataSpec.ctr((200, 90, 70), num_dense=0, field_widths=(1, 3, 2))
+    cfg_u = ModelConfig(name="fm", embed_dim=32, lane_pack=False)
+    m_u = build_model(cfg_u, spec)
+    m_p = build_model(dataclasses.replace(cfg_u, lane_pack=True), spec)
+    key = jax.random.PRNGKey(7)
+    p_u, p_p = m_u.init(key), m_p.init(key)
+    d = m_p.field_dims[0]
+    for f in range(m_p.num_fields):
+        vf = spec.field_vocabs[f]
+        k, slot = m_p._pack_of[f]
+        np.testing.assert_array_equal(
+            np.asarray(p_p["tables"][f"pack_{k}"][:vf, slot * d : (slot + 1) * d]),
+            np.asarray(p_u["tables"][f"field_{f}"]),
+            err_msg=f"field {f}",
+        )
+        lk, ls = m_p._lin_pack_of[f]
+        np.testing.assert_array_equal(
+            np.asarray(p_p["tables"][f"linpack_{lk}"][:vf, ls : ls + 1]),
+            np.asarray(p_u["tables"][f"lin_{f}"]),
+            err_msg=f"field {f} linear",
+        )
+    # Unused pack rows (above a member's vocab) are zeros.
+    for k, grp in enumerate(m_p._packs):
+        vp = max(spec.field_vocabs[f] for f in grp)
+        for slot, f in enumerate(grp):
+            vf = spec.field_vocabs[f]
+            if vf < vp:
+                block = np.asarray(
+                    p_p["tables"][f"pack_{k}"][vf:, slot * d : (slot + 1) * d]
+                )
+                np.testing.assert_array_equal(block, 0.0)
 
 
 def test_lane_pack_refusals():

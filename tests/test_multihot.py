@@ -15,8 +15,11 @@ VOCABS, WIDTHS, ND, B = (13, 7), (3, 1), 2, 6
 
 def _model_and_batch(seed=0):
     rng = np.random.default_rng(seed)
+    # lane_pack=False: these unit tests inspect the per-field table
+    # layout by name (the default is auto-packing; test_lane_pack covers
+    # the packed layout's bag/sentinel behavior).
     model = build_model(
-        ModelConfig(name="fm", embed_dim=4),
+        ModelConfig(name="fm", embed_dim=4, lane_pack=False),
         DataSpec.ctr(VOCABS, ND, field_widths=WIDTHS),
     )
     params = model.init(jax.random.PRNGKey(0))

@@ -70,8 +70,10 @@ def _embed_unstacked_into_stacked(model_s, state_u, state_s):
 @pytest.mark.parametrize("name", ["dcn", "fm", "dlrm"])
 def test_stacked_equals_per_field_one_step(name):
     spec = DataSpec.ctr(VOCABS, NUM_DENSE)
+    # lane_pack=False: this test compares per-field tables by name
+    # against the stacked layout (the default is auto lane packing).
     mcfg = ModelConfig(name=name, embed_dim=8, num_cross_layers=2,
-                       mlp_dims=(16,))
+                       mlp_dims=(16,), lane_pack=False)
     ocfg = OptimConfig(learning_rate=0.01, dense_optimizer="adam",
                        sparse_optimizer="rowwise_adagrad")
 

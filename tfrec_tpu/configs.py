@@ -96,8 +96,12 @@ class ModelConfig:
     # dim-independent, docs/PERF.md). Divides swept-table count and table
     # HBM by 128/d; per-group optimizer state keeps the math exactly the
     # per-table rule (rowwise_adagrad/sgd only). Mutually exclusive with
-    # stack_tables.
-    lane_pack: bool = False
+    # stack_tables. Default None = AUTO: packing turns on whenever it
+    # applies (CTR model, >=2 equal-dim fields, d < 128 dividing 128,
+    # sparse optimizer not rowwise_adam) — measured 1.33x on the
+    # flagship d=32 step (docs/PERF.md "Lane-packed tables"). Set False
+    # to force per-field tables (e.g. to load a pre-packing checkpoint).
+    lane_pack: bool | None = None
     # History-conditioned models (fism / multvae): max train-history ids
     # carried per batch row (sentinel-padded; seeded subsample beyond it).
     max_history: int = 50

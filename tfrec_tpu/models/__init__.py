@@ -69,9 +69,59 @@ __all__ = [
 ]
 
 
-def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") -> RecModel:
+def lane_pack_applies(
+    model: "RecModel",
+    sparse_optimizer: str,
+    sharded_tables: bool = False,
+    batch_size: int | None = None,
+) -> bool:
+    """True iff AUTO lane packing (ModelConfig.lane_pack=None) should turn
+    on for this model: a CTR model with >= 2 equal-dim fields, d < 128
+    dividing 128, a rowwise optimizer whose zero-grad update is a no-op
+    (rowwise_adam's EMA decays on zero grads — ops/sparse_optim), and
+    NOT the row-sharded mesh path: a packed row moves all 128 lanes
+    through the lookup/grad all-to-alls where an unpacked row moves d,
+    a 128/d wire-volume regression on the step's binding multi-chip
+    term — and the per-shard sweep the packing saves shrinks N-fold
+    anyway (docs/PERF.md "Multi-chip scaling model"). Explicit
+    lane_pack=True still packs on a mesh (correctness is pinned on the
+    8-device suite).
+
+    ``batch_size`` (per-chip, when known): at b >= 32k the P-fold-bigger
+    dedup sorts eat the sweep saving — measured tie/slight loss at
+    b=32768 (47.71 vs 48.26 ms) vs the 1.33x win at b=8192 — so auto
+    packs only below that."""
+    from tfrec_tpu.models.ctr_base import CTRBase
+
+    if not isinstance(model, CTRBase) or sparse_optimizer == "rowwise_adam":
+        return False
+    if sharded_tables:
+        return False
+    if batch_size is not None and batch_size >= 32768:
+        return False
+    if len(set(model.field_dims)) > 1 or model.num_fields < 2:
+        return False
+    if model.dot_decomposition() is not None:
+        # Retrieval-capable CTR form (2-field FM): the sharded-topk /
+        # serving path addresses per-field tables by name — packing
+        # would silently disable it. Explicit lane_pack=True still packs
+        # (dot_decomposition then reports None).
+        return False
+    d = model.field_dims[0]
+    return d < 128 and 128 % d == 0
+
+
+def build_model(
+    cfg: ModelConfig,
+    data_spec: DataSpec,
+    *,
+    backend: str = "xla",
+    sparse_optimizer: str = "rowwise_adagrad",
+    sharded_tables: bool = False,
+    batch_size: int | None = None,
+) -> RecModel:
     name = cfg.name.lower()
-    if cfg.stack_tables or cfg.lane_pack:
+    if cfg.stack_tables or cfg.lane_pack or cfg.lane_pack is None:
         from tfrec_tpu.models.ctr_base import CTRBase
 
         which = "stack_tables" if cfg.stack_tables else "lane_pack"
@@ -79,6 +129,13 @@ def build_model(cfg: ModelConfig, data_spec: DataSpec, *, backend: str = "xla") 
             dataclasses.replace(cfg, stack_tables=False, lane_pack=False),
             data_spec, backend=backend,
         )
+        if cfg.lane_pack is None and not cfg.stack_tables:
+            # AUTO (the default): pack whenever it applies; silently keep
+            # per-field tables otherwise. Explicit True below stays loud.
+            if lane_pack_applies(model, sparse_optimizer, sharded_tables,
+                                 batch_size):
+                return model.enable_lane_packing()
+            return model
         if not isinstance(model, CTRBase):
             raise ValueError(
                 f"model.{which} applies to CTR models, not {cfg.name!r}"

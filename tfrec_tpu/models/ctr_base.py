@@ -142,6 +142,44 @@ class CTRBase(RecModel):
     def _pack_vocab(self, grp) -> int:
         return max(self.data_spec.field_vocabs[f] for f in grp)
 
+    def init(self, rng):
+        """Layout-invariant init: the lane-packed layout draws the SAME
+        per-field random streams as the per-field layout (each logical
+        table's block is bit-identical), so flipping lane packing on or
+        off never changes a seeded run's trajectory beyond fp
+        reassociation. Pack rows above a member field's vocab are zeros
+        (never gathered unmasked; sentinel scatters drop)."""
+        if not self.lane_pack:
+            return super().init(rng)
+        import jax
+
+        from tfrec_tpu.ops.embedding import init_tables
+
+        k_tables, k_dense = jax.random.split(rng)
+        saved, self.lane_pack = self.lane_pack, False
+        try:
+            logical = init_tables(k_tables, self.table_specs())
+        finally:
+            self.lane_pack = saved
+        d = self.field_dims[0]
+        tables = {}
+        for k, grp in enumerate(self._packs):
+            t = jnp.zeros((self._pack_vocab(grp), len(grp) * d), jnp.float32)
+            for slot, f in enumerate(grp):
+                vf = self.data_spec.field_vocabs[f]
+                t = t.at[:vf, slot * d : (slot + 1) * d].set(
+                    logical[f"field_{f}"]
+                )
+            tables[f"pack_{k}"] = t
+        if self.use_linear_tables:
+            for k, grp in enumerate(self._lin_packs):
+                t = jnp.zeros((self._pack_vocab(grp), len(grp)), jnp.float32)
+                for slot, f in enumerate(grp):
+                    vf = self.data_spec.field_vocabs[f]
+                    t = t.at[:vf, slot : slot + 1].set(logical[f"lin_{f}"])
+                tables[f"linpack_{k}"] = t
+        return {"tables": tables, "dense": self.init_dense(k_dense)}
+
     @property
     def num_fields(self) -> int:
         return len(self.data_spec.field_vocabs)

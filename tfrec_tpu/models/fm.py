@@ -35,18 +35,32 @@ class FM(CTRBase):
 
     def dot_decomposition(self):
         # 2-field (u, i) form only: scores differ from score_all by the
-        # rank-invariant per-user constant u_lin + w0. The stacked-table
-        # layout has no per-field table names for the sharded-topk path
-        # to address (stacking targets the many-field CTR configs).
-        if self.num_fields != 2 or self.data_spec.num_dense != 0 or self.stack_tables:
+        # rank-invariant per-user constant u_lin + w0. The stacked/packed
+        # layouts have no per-field table names for the sharded-topk path
+        # to address (they target the many-field CTR configs; auto lane
+        # packing skips retrieval-capable models for exactly this reason —
+        # models/__init__.lane_pack_applies).
+        if (self.num_fields != 2 or self.data_spec.num_dense != 0
+                or self.stack_tables or self.lane_pack):
             return None
         from tfrec_tpu.models.base import DotRetrieval
 
         return DotRetrieval("field_0", "field_1", "lin_1")
 
     def _table_view(self, tables, f: int, prefix: str = "field"):
-        """Field f's [V_f, d] table in either layout (static row slice of
-        the stacked table — eval-path only)."""
+        """Field f's [V_f, d] table in any layout (static slices of the
+        stacked/packed tables — eval-path only)."""
+        if self.lane_pack:
+            if prefix == "field":
+                k, slot = self._pack_of[f]
+                d = self.field_dims[0]
+                t = tables[f"pack_{k}"]
+            else:
+                k, slot = self._lin_pack_of[f]
+                d = 1
+                t = tables[f"linpack_{k}"]
+            vf = self.data_spec.field_vocabs[f]
+            return t[:vf, slot * d : (slot + 1) * d]
         if self.stack_tables:
             key = "fields" if prefix == "field" else "lin"
             off = self._voffsets[f]

@@ -172,7 +172,16 @@ class Trainer:
             raise ValueError(f"unknown data source {c.data.source!r}")
 
         # ---- model + step ----
-        self.model = build_model(c.model, self.data_spec, backend=c.train.kernels)
+        # Same predicate as the mesh-path selection below: auto lane
+        # packing must know whether tables will be row-sharded (packing
+        # multiplies a2a wire volume by 128/d — lane_pack_applies).
+        will_shard = c.mesh.data_axis_size != 0 and (
+            jax.device_count() > 1 or c.mesh.table_axis_size > 1
+        )
+        self.model = build_model(c.model, self.data_spec, backend=c.train.kernels,
+                                 sparse_optimizer=c.optim.sparse_optimizer,
+                                 sharded_tables=will_shard,
+                                 batch_size=c.train.batch_size)
         loss = c.train.loss
         if self.is_ctr_model and loss in PAIRWISE_LOSSES:
             self.logger.log({
