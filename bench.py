@@ -37,7 +37,8 @@ import time
 
 def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
                     stack_tables: bool = False, vocab: int = 100_000,
-                    lane_pack: bool | None = False):
+                    lane_pack: bool | None = False,
+                    host_dedup: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -67,13 +68,18 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
     n_batches = 8
     batches = []
     for _ in range(n_batches):
-        batches.append({
-            "dense": jnp.asarray(rng.normal(size=(batch_size, num_dense)).astype(np.float32)),
-            "cat": jnp.asarray(
-                np.stack([rng.integers(0, v, batch_size) for v in vocabs], 1).astype(np.int32)
-            ),
-            "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.float32)),
-        })
+        host_b = {
+            "dense": rng.normal(size=(batch_size, num_dense)).astype(np.float32),
+            "cat": np.stack(
+                [rng.integers(0, v, batch_size) for v in vocabs], 1
+            ).astype(np.int32),
+            "label": rng.integers(0, 2, batch_size).astype(np.float32),
+        }
+        if host_dedup:
+            from tfrec_tpu.train.step import host_dedup_sorts
+
+            host_b.update(host_dedup_sorts(model, host_b))
+        batches.append({k: jnp.asarray(v) for k, v in host_b.items()})
     step = jax.jit(builder.step, donate_argnums=(0,))
     return step, state, batches, builder
 
@@ -379,6 +385,10 @@ def main(argv=None) -> int:
                              "(model.lane_pack — docs/PERF.md). auto = "
                              "on whenever d < 128 divides 128 (the model "
                              "default; measured 1.33x at d=32)")
+    parser.add_argument("--host_dedup", action="store_true",
+                        help="dcn: host-precomputed stable dedup sorts in "
+                             "the batch (train.host_dedup) — the device "
+                             "step skips its per-table argsort")
     parser.add_argument("--embed_dim", type=int, default=32,
                         help="per-field embedding dim (default 32 — the "
                              "flagship Criteo config-4/5 setting; round "
@@ -480,7 +490,7 @@ def main(argv=None) -> int:
         if args.model == "dcn":
             step, state, batches, builder = build_dcn_bench(
                 args.batch, kernels, args.embed_dim,
-                lane_pack=lane_pack)
+                lane_pack=lane_pack, host_dedup=args.host_dedup)
             multi = None
         elif args.model == "topk":
             step, state, batches, builder, multi = build_topk_bench(
@@ -591,9 +601,11 @@ def main(argv=None) -> int:
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
+    dedup_active = args.host_dedup and args.model == "dcn"
     key = (f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
            f"{args.precision}-{args.protocol}"
            + ("-lanepack" if lane_active else "")
+           + ("-hostdedup" if dedup_active else "")
            + ("-sharded" if args.sharded else "")
            + (f"-{args.topk_method}" if args.model == "topk" else ""))
     vs_baseline = 1.0
@@ -606,14 +618,15 @@ def main(argv=None) -> int:
         except Exception:
             base = {}
     base_key = key
-    if key not in base and lane_active:
-        # Lane packing is a transparent layout change of the SAME model
-        # (math pinned rtol-1e-6, tests/test_lane_pack.py); its honest
-        # denominator is the strict unpacked seed at the same shape.
-        unpacked = key.replace("-lanepack", "")
-        if unpacked in base:
-            base_key = unpacked
-            extra["baseline_key"] = unpacked
+    if key not in base and (lane_active or dedup_active):
+        # Lane packing / host dedup are transparent layout+pipeline
+        # changes of the SAME model (math pinned bit-identical /
+        # rtol-1e-6 in tests); their honest denominator is the strict
+        # plain seed at the same shape.
+        plain = key.replace("-lanepack", "").replace("-hostdedup", "")
+        if plain in base:
+            base_key = plain
+            extra["baseline_key"] = plain
     if base_key in base:
         vs_baseline = examples_per_s / base[base_key]
     elif args.record_baseline:
@@ -653,6 +666,7 @@ def main(argv=None) -> int:
                   f"batch={eff_batch}, d={key_dim}, kernels={args.kernels}, "
                   f"prec={args.precision}, protocol={args.protocol}"
                   + (", lane_pack" if lane_active else "")
+                  + (", host_dedup" if dedup_active else "")
                   + (", sharded" if args.sharded else "")
                   + (f", topk={args.topk_method}" if args.model == "topk"
                      else "") + ")",

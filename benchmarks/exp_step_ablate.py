@@ -62,11 +62,16 @@ def _variant_builder(variant: str):
     # (tests/test_lane_pack.py); models/ctr_base.enable_lane_packing.
     packed = variant.startswith("lanepack")
     _, state, batches, builder = bench.build_dcn_bench(
-        B, "xla", D, lane_pack=packed
+        B, "xla", D, lane_pack=packed,
+        host_dedup=variant.endswith("hostdedup"),
     )
     if packed:
         variant = variant[len("lanepack_"):] or "pertable"
-    if variant == "pertable":
+    if variant == "hostdedup":
+        # Host-precomputed dedup sorts ride in the batch ("_sort_<t>"
+        # keys, train.host_dedup); the step skips its device argsorts.
+        builder.group_dedup = False
+    elif variant == "pertable":
         builder.group_dedup = False
     elif variant == "flat":
         # ONE keyed sort over disjoint per-table ranges

@@ -159,6 +159,13 @@ EXPERIMENTS = {
         "ABLATE_VARIANTS=lanepack,lanepack_flat,lanepack,lanepack_flat",
         "python", "benchmarks/exp_step_ablate.py",
     ],
+    # Packed vs unpacked at b=16384: locates the crossover between the
+    # b=8192 1.33x win and the b=32768 tie (auto threshold evidence).
+    "step_lanepack_b16k": [
+        "env", "BREAKDOWN_BATCH=16384",
+        "ABLATE_VARIANTS=pertable,lanepack,pertable,lanepack",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
     # Lane-packed batch scaling at the flagship shape (b>=32k guidance).
     "step_lanepack_b32k": [
         "env", "BREAKDOWN_BATCH=32768",
@@ -170,6 +177,18 @@ EXPERIMENTS = {
     "step_lanepack_parts": [
         "env",
         "ABLATE_VARIANTS=lanepack,lanepack_dedup_only,lanepack_trio_arange,lanepack_no_sparse",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    # Host-precomputed dedup sorts (train.host_dedup) vs device argsorts,
+    # composed with lane packing — interleaved in-situ pairs.
+    "step_hostdedup_ab": [
+        "env",
+        "ABLATE_VARIANTS=lanepack,lanepack_hostdedup,lanepack,lanepack_hostdedup",
+        "python", "benchmarks/exp_step_ablate.py",
+    ],
+    "step_hostdedup_ab_unpacked": [
+        "env",
+        "ABLATE_VARIANTS=pertable,hostdedup,pertable,hostdedup",
         "python", "benchmarks/exp_step_ablate.py",
     ],
     "step_flat_ab_d128": [

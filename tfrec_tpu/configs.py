@@ -207,6 +207,14 @@ class TrainConfig:
     # K optimizer steps per host dispatch (lax.scan on device) — amortizes
     # host->device dispatch latency; metrics/logging granularity becomes K.
     steps_per_dispatch: int = 1
+    # Compute the sparse path's duplicate-id sorts on the HOST (stable
+    # numpy argsort per table in the prefetch pipeline, overlapping
+    # device compute) so the device step skips its per-table argsort —
+    # the most expensive sparse-path op (docs/PERF.md). Bit-identical to
+    # the device sorts. CTR models on the single-device path only (the
+    # mesh path re-buckets ids inside its all-to-all; host orders would
+    # be stale); ignored elsewhere.
+    host_dedup: bool = False
     eval_every_epochs: int = 1
     # BPR-style pairwise sampling: negatives drawn per positive, resampled
     # each epoch (TFRec-family convention, SURVEY.md §3a).

@@ -234,7 +234,7 @@ class CTRBase(RecModel):
         cols = batch["cat"][:, off : off + w]
         return cols.reshape(-1)
 
-    def _global_ids(self, batch) -> jnp.ndarray:
+    def _global_ids(self, batch, xp=jnp) -> jnp.ndarray:
         """[B * sum(W_f)] ids into the stacked table: field-local id +
         vocab offset; per-field sentinels (>= V_f) map to the GLOBAL
         sentinel (total_vocab) so clamp-gather and drop-scatter semantics
@@ -245,11 +245,11 @@ class CTRBase(RecModel):
             cols = batch["cat"][:, off : off + w]
             v = self.data_spec.field_vocabs[f]
             parts.append(
-                jnp.where(cols < v, cols + self._voffsets[f], self.total_vocab)
+                xp.where(cols < v, cols + self._voffsets[f], self.total_vocab)
             )
-        return jnp.concatenate(parts, axis=1).reshape(-1)
+        return xp.concatenate(parts, axis=1).reshape(-1)
 
-    def _pack_ids(self, batch, grp) -> jnp.ndarray:
+    def _pack_ids(self, batch, grp, xp=jnp) -> jnp.ndarray:
         """Concat of the group's per-field flat ids, per-field sentinels
         remapped to the PACK vocab (>= every member's V_f) so clamp-gather
         and drop-scatter semantics carry over."""
@@ -258,24 +258,27 @@ class CTRBase(RecModel):
         for f in grp:
             ids = self._field_ids(batch, f)
             parts.append(
-                jnp.where(ids < self.data_spec.field_vocabs[f], ids, vp)
+                xp.where(ids < self.data_spec.field_vocabs[f], ids, vp)
             )
-        return jnp.concatenate(parts)
+        return xp.concatenate(parts)
 
-    def lookup_ids(self, batch) -> Dict[str, jnp.ndarray]:
+    def lookup_ids(self, batch, xp=jnp) -> Dict[str, jnp.ndarray]:
+        """``xp=np`` runs the same extraction on host numpy batches (the
+        input pipeline's host-dedup path — train.host_dedup — needs the
+        per-table ids before device dispatch)."""
         if self.lane_pack:
             ids = {
-                f"pack_{k}": self._pack_ids(batch, grp)
+                f"pack_{k}": self._pack_ids(batch, grp, xp)
                 for k, grp in enumerate(self._packs)
             }
             if self.use_linear_tables:
                 ids.update({
-                    f"linpack_{k}": self._pack_ids(batch, grp)
+                    f"linpack_{k}": self._pack_ids(batch, grp, xp)
                     for k, grp in enumerate(self._lin_packs)
                 })
             return ids
         if self.stack_tables:
-            gids = self._global_ids(batch)
+            gids = self._global_ids(batch, xp)
             ids = {"fields": gids}
             if self.use_linear_tables:
                 ids["lin"] = gids

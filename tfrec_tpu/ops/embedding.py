@@ -70,7 +70,7 @@ def gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def combine_duplicate_ids(
-    ids: jnp.ndarray, grads: jnp.ndarray, sentinel: int
+    ids: jnp.ndarray, grads: jnp.ndarray, sentinel: int, order=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sum gradient rows that share an id (static-shape ``unique``).
 
@@ -78,6 +78,13 @@ def combine_duplicate_ids(
       ids: [N] int32 row ids (may repeat).
       grads: [N, D] float32 gradient rows aligned with ``ids``.
       sentinel: id used to pad unused output slots (normally ``vocab``).
+      order: optional [N] int32 STABLE argsort of ``ids`` computed on the
+        host (train.host_dedup): the ids are known when the batch is
+        built, so the input pipeline can pre-sort them and the device
+        skips its most expensive sparse-path op (the per-table argsort —
+        docs/PERF.md "In-situ step attribution"). A host-stable sort
+        makes the result bit-identical to the device path (jnp.argsort
+        is stable).
 
     Returns:
       (uids [N] int32, combined [N, D]): slot j < num_unique holds a distinct
@@ -91,7 +98,8 @@ def combine_duplicate_ids(
     sentinel slots are out of bounds and dropped before any write).
     """
     n = ids.shape[0]
-    order = jnp.argsort(ids)
+    if order is None:
+        order = jnp.argsort(ids)
     sids = jnp.take(ids, order)
     sg = jnp.take(grads, order, axis=0)
     starts = jnp.concatenate(

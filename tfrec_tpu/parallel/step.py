@@ -227,7 +227,12 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                 overflow_total = overflow_total + ovf
         return gathered, {"lookup_overflow": overflow_total}
 
-    def sparse_update(self, name, table, opt_state, ids, grads, lr):
+    def sparse_update(self, name, table, opt_state, ids, grads, lr,
+                      order=None):
+        # order (host_dedup) is a single-device feature: host argsorts of
+        # LOCAL ids are meaningless after the a2a re-bucketing, and the
+        # trainer never generates them on a mesh.
+        assert order is None, "host_dedup is not supported on the mesh path"
         plan = self.plans[name]
         if plan is None or plan == "gspmd_row":
             return self.sparse_opt.apply(table, opt_state, ids, grads, lr)

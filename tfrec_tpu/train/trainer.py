@@ -557,6 +557,15 @@ class Trainer:
             neg_cdf=neg_cdf,
         )
 
+    @property
+    def _host_dedup_on(self) -> bool:
+        return (
+            self.config.train.host_dedup
+            and self.is_ctr_model
+            and self.mesh is None
+            and not getattr(self.builder, "group_dedup", False)
+        )
+
     def _host_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Model-facing host batch (interaction -> CTR adapter applied)."""
         if self.is_ctr_model and self.ctr_arrays is None:
@@ -572,6 +581,10 @@ class Trainer:
                 "cat": np.concatenate(cols, axis=1).astype(np.int32),
                 "label": batch["label"],
             }
+        if self._host_dedup_on:
+            from tfrec_tpu.train.step import host_dedup_sorts
+
+            batch = {**batch, **host_dedup_sorts(self.model, batch)}
         return batch
 
     def _device_put_batch(self, batch, stacked: bool = False):
