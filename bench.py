@@ -546,7 +546,11 @@ def main(argv=None) -> int:
         extra = {k: v for k, v in res.items() if not k.startswith("blocks")}
         extra["k_pair"] = [k_small, k_big]
         # One short free-run window for the legacy upper bound.
-        step, state, batches, _, _ = build(args.kernels)
+        step, state, batches, builder, _ = build(args.kernels)
+        if builder is not None:
+            # The key's "-lanepack" marker reflects the BUILT model, not a
+            # re-derivation of the auto rule (which could drift).
+            lane_active = bool(getattr(builder.model, "lane_pack", False))
         for i in range(2):
             state, m = step(state, batches[i % len(batches)])
         jax.block_until_ready(m["loss"])
@@ -560,6 +564,8 @@ def main(argv=None) -> int:
         )
     else:
         step, state, batches, builder, multi = build(args.kernels)
+        if builder is not None:
+            lane_active = bool(getattr(builder.model, "lane_pack", False))
         k_disp = max(args.steps_per_dispatch, 1)
         if k_disp > 1:
             if args.model == "topk":
