@@ -85,14 +85,19 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
 
 
 def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False,
-                     method: str = "approx"):
+                     method: str = "approx", chunk: int = 0):
     """Retrieval scoring throughput (R7): full-catalog top-k for a user
     batch against a 1M-item table — users/s is the reported rate.
     ``sharded=True`` runs the distributed per-shard-topk + all_gather merge
-    (parallel/topk.py) over all visible devices instead of the single-
-    device chunked merge. ``method`` picks the candidate-selection op
-    (eval/retrieval.candidate_topk): "approx" = lax.approx_max_k (the
-    serving default — TPU PartialReduce), "exact" = full-sort lax.top_k."""
+    (parallel/topk.py) over all visible devices. ``method`` picks the
+    candidate-selection op (eval/retrieval.candidate_topk): "approx" =
+    lax.approx_max_k (the serving default — TPU PartialReduce), "exact" =
+    full-sort lax.top_k. ``chunk=0`` (default) measures the PRODUCT
+    single-device path (serve.Recommender.recommend: full [B, V] scores +
+    one candidate_topk — [B,V] is 4 GB at B=1024/V=1M and one PartialReduce
+    over the full width, measured ~2x the chunked merge); ``chunk>0``
+    selects the memory-bounded running-merge variant (chunked_topk), for
+    hosts where the score matrix cannot be materialized."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -120,8 +125,7 @@ def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False,
             return sharded_topk_dot(mesh, users, item_table, k, v,
                                     method=method)
 
-    else:
-        chunk = 131_072
+    elif chunk:
         v_pad = -(-v // chunk) * chunk  # dynamic_slice clamps at the edge —
         items = jnp.asarray(  # pad so chunk starts never overhang
             np.pad(rng.normal(size=(v, d)).astype(np.float32),
@@ -141,6 +145,20 @@ def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False,
 
             return chunked_topk(score_chunk, users, v, k, chunk,
                                 method=method)
+
+    else:
+        from tfrec_tpu.eval.retrieval import topk_scores
+
+        items = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+
+        @jax.jit
+        def query(item_table, users):
+            # The product single-device path (serve.recommend): full
+            # score matrix + one candidate selection over the catalog
+            # width. item_table is an ARGUMENT, not a closure.
+            scores = jnp.dot(users, item_table.T,
+                             preferred_element_type=jnp.float32)
+            return topk_scores(scores, k, None, None, method=method)
 
     batches = [
         jnp.asarray(rng.normal(size=(batch_size, d)).astype(np.float32))
@@ -399,6 +417,12 @@ def main(argv=None) -> int:
                              "default) or full-sort lax.top_k")
     parser.add_argument("--sharded", action="store_true",
                         help="topk: distributed per-shard-topk over all devices")
+    parser.add_argument("--topk_chunk", type=int, default=0,
+                        help="topk: >0 selects the memory-bounded running "
+                             "chunk merge (chunked_topk) at this chunk "
+                             "size; 0 (default) measures the product "
+                             "single-device path (full [B,V] scores + one "
+                             "candidate selection — serve.recommend)")
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="fetch/freerun: K steps per dispatch (lax.scan)")
     parser.add_argument("--k_small", type=int, default=0,
@@ -495,7 +519,7 @@ def main(argv=None) -> int:
         elif args.model == "topk":
             step, state, batches, builder, multi = build_topk_bench(
                 eff_batch, args.embed_dim, sharded=args.sharded,
-                method=args.topk_method)
+                method=args.topk_method, chunk=args.topk_chunk)
         elif args.model == "wrmf":
             step, state, batch, nnz, multi = build_wrmf_bench(
                 args.embed_dim, small=platform != "tpu")
@@ -613,7 +637,9 @@ def main(argv=None) -> int:
            + ("-lanepack" if lane_active else "")
            + ("-hostdedup" if dedup_active else "")
            + ("-sharded" if args.sharded else "")
-           + (f"-{args.topk_method}" if args.model == "topk" else ""))
+           + (f"-{args.topk_method}" if args.model == "topk" else "")
+           + (f"-chunk{args.topk_chunk}"
+              if args.model == "topk" and args.topk_chunk else ""))
     vs_baseline = 1.0
     record = None
     base = {}
@@ -675,7 +701,10 @@ def main(argv=None) -> int:
                   + (", host_dedup" if dedup_active else "")
                   + (", sharded" if args.sharded else "")
                   + (f", topk={args.topk_method}" if args.model == "topk"
-                     else "") + ")",
+                     else "")
+                  + (f", chunk={args.topk_chunk}"
+                     if args.model == "topk" and args.topk_chunk else "")
+                  + ")",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),

@@ -49,6 +49,18 @@ EXPERIMENTS = {
                   "--devices", "tpu"],
     "bench_topk": ["python", "bench.py", "--model", "topk", "--batch", "1024",
                     "--devices", "tpu", "--embed_dim", "128"],
+    # Record the product-path top-k seeds (round 3: default measures the
+    # full-width serve.recommend program; the chunked merge is -chunk).
+    "bench_topk_record": ["python", "bench.py", "--model", "topk", "--batch",
+                           "1024", "--devices", "tpu", "--embed_dim", "128",
+                           "--record_baseline"],
+    "bench_topk_exact_record": ["python", "bench.py", "--model", "topk",
+                                 "--batch", "1024", "--devices", "tpu",
+                                 "--embed_dim", "128", "--topk_method",
+                                 "exact", "--record_baseline"],
+    "bench_topk_chunked": ["python", "bench.py", "--model", "topk", "--batch",
+                            "1024", "--devices", "tpu", "--embed_dim", "128",
+                            "--topk_chunk", "131072"],
     "bench_topk_sharded": ["python", "bench.py", "--model", "topk", "--batch",
                             "1024", "--devices", "tpu", "--embed_dim", "128",
                             "--sharded"],

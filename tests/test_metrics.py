@@ -148,6 +148,31 @@ def test_candidate_topk_approx_matches_exact_on_cpu():
     np.testing.assert_array_equal(np.asarray(ei2), want)
 
 
+def test_exact_topk_wide_rows_chunk_and_merge_exactly():
+    """Rows wider than EXACT_SORT_MAX_WIDTH split into column chunks whose
+    per-chunk top-k merge exactly (the monolithic [1024, 1M] sort crashed
+    the v5e worker — eval/retrieval.EXACT_SORT_MAX_WIDTH)."""
+    import tfrec_tpu.eval.retrieval as retrieval
+
+    rng = np.random.default_rng(11)
+    scores_np = rng.normal(size=(4, 700)).astype(np.float32)
+    scores = jnp.asarray(scores_np)
+    want_ids = np.argsort(-scores_np, axis=1)[:, :9]
+    old = retrieval.EXACT_SORT_MAX_WIDTH
+    retrieval.EXACT_SORT_MAX_WIDTH = 256  # force the 3-chunk path (700/256)
+    try:
+        v, i = retrieval.candidate_topk(scores, 9, "exact")
+    finally:
+        retrieval.EXACT_SORT_MAX_WIDTH = old
+    np.testing.assert_array_equal(np.asarray(i), want_ids)
+    np.testing.assert_array_equal(
+        np.asarray(v), np.take_along_axis(scores_np, want_ids, axis=1)
+    )
+    # And the unchunked width still routes through the plain sort.
+    v2, i2 = retrieval.candidate_topk(scores, 9, "exact")
+    np.testing.assert_array_equal(np.asarray(i2), want_ids)
+
+
 def test_padded_positives():
     m = sp.csr_matrix(
         (np.ones(3), ([0, 0, 2], [1, 3, 2])), shape=(3, 5)

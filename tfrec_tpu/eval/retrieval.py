@@ -23,6 +23,14 @@ from tfrec_tpu.eval.metrics import ranking_metrics_from_topk
 
 NEG_INF = -1e30
 
+# Widest row an exact lax.top_k may sort in one piece. The full bitonic
+# sort of a [1024, 1M] f32 matrix CRASHED the v5e worker outright
+# (2026-08-19, bench_topk_exact_record — the sort materializes multiples
+# of the 4 GB input); rows wider than this are split into column chunks
+# whose per-chunk top-k results merge exactly. Approx (PartialReduce)
+# consumes any width tile-by-tile and needs no split.
+EXACT_SORT_MAX_WIDTH = 262_144
+
 
 def candidate_topk(
     scores: jnp.ndarray, k: int, method: str = "exact",
@@ -31,7 +39,9 @@ def candidate_topk(
     """Per-row top-k candidate selection over wide score rows.
 
     ``exact`` = ``lax.top_k`` (full sort lowering — measured ~250x off the
-    MXU ceiling at 131k-wide rows on v5e, docs/PERF.md); ``approx`` =
+    MXU ceiling at 131k-wide rows on v5e, docs/PERF.md; rows wider than
+    EXACT_SORT_MAX_WIDTH are column-chunked and merged exactly, because
+    the monolithic sort crashes the worker at [1024, 1M]); ``approx`` =
     ``lax.approx_max_k`` (the TPU PartialReduce op built for exactly this;
     per-row recall guarantee ``recall_target``, falls back to exact
     sorting on CPU). Production serving/bench default is approx; metric
@@ -40,6 +50,19 @@ def candidate_topk(
         return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     if method != "exact":
         raise ValueError(f"unknown topk method {method!r}")
+    v = scores.shape[-1]
+    if v > EXACT_SORT_MAX_WIDTH:
+        n_chunks = -(-v // EXACT_SORT_MAX_WIDTH)
+        vals, ids = [], []
+        for c in range(n_chunks):
+            lo = c * EXACT_SORT_MAX_WIDTH
+            blk = scores[..., lo : lo + EXACT_SORT_MAX_WIDTH]
+            bv, bi = jax.lax.top_k(blk, min(k, blk.shape[-1]))
+            vals.append(bv)
+            ids.append(bi + lo)
+        mv, mi = jnp.concatenate(vals, -1), jnp.concatenate(ids, -1)
+        fv, fi = jax.lax.top_k(mv, k)
+        return fv, jnp.take_along_axis(mi, fi, axis=-1)
     return jax.lax.top_k(scores, k)
 
 
