@@ -327,13 +327,18 @@ def session_probes():
         fns = {k: jax.jit(lambda x, k=k, f=fn: f(x, k)) for k in ks}
         for f in fns.values():
             float(f(arg))  # compile + warm
-        times = {}
-        for k, f in fns.items():
-            t0 = time.perf_counter()
-            for _ in range(2):
-                float(f(arg))
-            times[k] = time.perf_counter() - t0
-        diff = times[ks[1]] - times[ks[0]]
+        # Min of 3 interleaved blocks per K: the minimum is the
+        # least-interrupted pass, so one RTT spike cannot fabricate a
+        # super-peak rate (a +394 TFLOP/s reading slipped past a single
+        # 2-dispatch block on 2026-08-19).
+        times = {k: [] for k in ks}
+        for _ in range(3):
+            for k, f in fns.items():
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    float(f(arg))
+                times[k].append(time.perf_counter() - t0)
+        diff = min(times[ks[1]]) - min(times[ks[0]])
         if diff < 3e-3:
             # The K-spread work did not clear the tunnel's RTT jitter:
             # no rate can be inferred (a clamped slope would fabricate
