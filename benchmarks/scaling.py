@@ -40,7 +40,10 @@ def measure(n_devices: int, batch: int, model_name: str, steps: int, warmup: int
                            mlp_dims=(256, 128))
     else:
         mcfg = ModelConfig(name=model_name, embed_dim=32, mlp_dims=(256, 128))
-    model = build_model(mcfg, DataSpec.ctr(vocabs, num_dense))
+    # sharded_tables: tables are row-sharded below — auto lane packing
+    # must stay off (128/d a2a wire regression; lane_pack_applies).
+    model = build_model(mcfg, DataSpec.ctr(vocabs, num_dense),
+                        sharded_tables=True)
     builder = ShardedTrainStepBuilder(
         model, "logloss",
         OptimConfig(learning_rate=1e-3, sparse_optimizer="rowwise_adagrad"),
@@ -60,11 +63,17 @@ def measure(n_devices: int, batch: int, model_name: str, steps: int, warmup: int
     step = builder.compile_step(state, batches[0])
     for i in range(warmup):
         state, m = step(state, batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
+    # Fetch-fenced: on this environment's relay, block_until_ready can
+    # return before execution completes (docs/PERF.md "The fence
+    # artifact"), so every timed step fetches its loss. The reported
+    # rate therefore includes one host round-trip per step — fine for a
+    # RATIO between the 1-device and N-device runs (the RTT term is the
+    # same constant in both), which is all this script reports.
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
+        float(m["loss"])
     dt = time.perf_counter() - t0
     return steps * batch / dt
 
@@ -76,9 +85,17 @@ def main(argv=None) -> int:
     parser.add_argument("--model", default="dcn")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--platform", default="auto",
+                        choices=["auto", "cpu", "tpu"],
+                        help="cpu forces the CPU backend via jax.config "
+                             "(the JAX_PLATFORMS env var is overridden by "
+                             "this image's sitecustomize — CLAUDE.md)")
     args = parser.parse_args(argv)
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     n = args.devices or len(jax.devices())
     platform = jax.default_backend()
