@@ -81,10 +81,11 @@ def combine_duplicate_ids(
       order: optional [N] int32 STABLE argsort of ``ids`` computed on the
         host (train.host_dedup): the ids are known when the batch is
         built, so the input pipeline can pre-sort them and the device
-        skips its most expensive sparse-path op (the per-table argsort —
-        docs/PERF.md "In-situ step attribution"). A host-stable sort
-        makes the result bit-identical to the device path (jnp.argsort
-        is stable).
+        skips its per-table argsort. (Measured verdict on this chip:
+        neutral-to-negative in-situ — the argsort is NOT the binding
+        sparse-path cost; docs/PERF.md "Host-precomputed dedup sorts".)
+        A host-stable sort makes the result bit-identical to the device
+        path (jnp.argsort is stable).
 
     Returns:
       (uids [N] int32, combined [N, D]): slot j < num_unique holds a distinct

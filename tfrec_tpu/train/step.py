@@ -39,11 +39,15 @@ _HOST_SORT_POOL = None
 
 def host_dedup_sorts(model: RecModel, host_batch) -> Dict[str, "object"]:
     """Per-table stable argsorts of this batch's ids, computed on HOST
-    numpy (train.host_dedup). The step's duplicate combine then skips the
-    device argsort — the most expensive op of the sparse path (docs/
-    PERF.md "In-situ step attribution") — while the host work overlaps
-    device compute in the prefetch pipeline. Stable sort => bit-identical
-    results to the device path (jnp.argsort is stable).
+    numpy (train.host_dedup). The step's duplicate combine then skips its
+    device argsort while the host work overlaps device compute in the
+    prefetch pipeline. NOTE the measured verdict (docs/PERF.md
+    "Host-precomputed dedup sorts"): on this chip the device argsort is
+    NOT the binding cost (in-situ tie unpacked, 2 ms worse lane-packed,
+    where the extra batch inputs outweigh the removed sort), so the
+    feature defaults OFF and exists for hosts where the trade differs.
+    Stable sort => bit-identical results to the device path
+    (jnp.argsort is stable).
 
     Returns {"_sort_<table>": [N] int32} arrays to merge into the host
     batch. The per-table argsorts run on a small shared thread pool, and
