@@ -3,8 +3,12 @@
 Session-to-session throughput varies ±40% on this tunnel, so cross-window
 comparisons are noise. This probe alternates timed blocks of the two
 step variants (A B A B A B) inside one process and reports per-variant
-medians — the only comparison design that controls for window drift.
-Catches everything; exits 0.
+medians. Round-3 fencing fix: every timed step fetches its loss
+(block_until_ready can return early on this relay — docs/PERF.md "The
+fence artifact"), so the reported absolute rates include one host RTT
+per step; the A/B RATIO stays valid (the RTT constant is common to both
+arms). For RTT-free absolutes use the slope protocol
+(exp_step_ablate / bench.py). Catches everything; exits 0.
 """
 
 import os as _os
@@ -32,7 +36,7 @@ def main() -> int:
             # warmup/compile
             for i in range(3):
                 state, m = step(state, batches[i % len(batches)])
-            jax.block_until_ready(m["loss"])
+            float(m["loss"])
             variants[name] = [step, state, batches, []]
 
         rounds, steps_per_block = 5, 10
@@ -42,7 +46,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 for i in range(steps_per_block):
                     state, m = step(state, batches[i % len(batches)])
-                jax.block_until_ready(m["loss"])
+                    float(m["loss"])  # elision-proof fence per step
                 dt = time.perf_counter() - t0
                 slot[1] = state
                 times.append(steps_per_block * batch / dt)

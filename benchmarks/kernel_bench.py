@@ -28,16 +28,23 @@ import time
 
 
 def _time(fn, *args, steps=20, warmup=3):
-    import jax
+    """Per-call time with an elision-proof fence: every timed call fetches
+    one scalar of its output (block_until_ready can return early on this
+    relay — docs/PERF.md "The fence artifact"). Absolutes therefore
+    include one host RTT per call; the xla-vs-pallas RATIOS this script
+    exists for are unaffected (the RTT constant is common to both)."""
+    import jax.numpy as jnp
+
+    def fetch(out):
+        return float(jnp.ravel(out)[0])
 
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        fetch(fn(*args))
     return (time.perf_counter() - t0) / steps
 
 
