@@ -16,14 +16,22 @@ import numpy as np
 
 
 def _time(fn, *args, steps=20, warmup=3):
+    """Elision-proof: every timed call fetches one output scalar (this
+    relay's block_until_ready can return early — docs/PERF.md "The fence
+    artifact"; the free-run version of this very script is what first
+    flagged impossible rates). Absolutes include one RTT per call, so the
+    reported ceilings are LOWER bounds on the hardware ceiling."""
+
+    def fetch(out):
+        return float(jnp.ravel(out)[0])
+
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        fetch(fn(*args))
     return (time.perf_counter() - t0) / steps
 
 
