@@ -38,9 +38,24 @@ def _ctr_batch(rng, spec, b):
     }
 
 
+def _copy_leaves(dst: dict, src: dict, slot: int, d: int, vf: int):
+    """Write one field's unpacked sparse-opt leaves into its packed slot:
+    per-element leaves (adam m, [V, d]) land in the slot's d-lane group,
+    per-row leaves (adagrad acc / adam v/t, [V]) in the slot's column of
+    the per-group [V, G] state. Single-member packs (G == 1) keep plain
+    per-row state."""
+    for key, u in src.items():
+        if u.ndim == 2:
+            dst[key] = dst[key].at[:vf, slot * d : (slot + 1) * d].set(u)
+        elif dst[key].ndim == 2:
+            dst[key] = dst[key].at[:vf, slot].set(u)
+        else:
+            dst[key] = dst[key].at[:vf].set(u)
+
+
 def _copy_into_packed(model_u, model_p, state_u, state_p):
-    """Write the unpacked per-field tables + accumulators into the packed
-    layout so both steps start from identical logical parameters."""
+    """Write the unpacked per-field tables + optimizer state into the
+    packed layout so both steps start from identical logical parameters."""
     d = model_p.field_dims[0]
     tables = dict(state_p["tables"])
     sparse = {k: dict(v) for k, v in state_p["sparse_opt"].items()}
@@ -52,11 +67,8 @@ def _copy_into_packed(model_u, model_p, state_u, state_p):
             .at[:vf, slot * d : (slot + 1) * d]
             .set(state_u["tables"][f"field_{f}"])
         )
-        sparse[f"pack_{k}"]["acc"] = (
-            sparse[f"pack_{k}"]["acc"]
-            .at[:vf, slot]
-            .set(state_u["sparse_opt"][f"field_{f}"]["acc"])
-        )
+        _copy_leaves(sparse[f"pack_{k}"],
+                     state_u["sparse_opt"][f"field_{f}"], slot, d, vf)
         if model_p.use_linear_tables:
             lk, ls = model_p._lin_pack_of[f]
             tables[f"linpack_{lk}"] = (
@@ -64,11 +76,8 @@ def _copy_into_packed(model_u, model_p, state_u, state_p):
                 .at[:vf, ls : ls + 1]
                 .set(state_u["tables"][f"lin_{f}"])
             )
-            sparse[f"linpack_{lk}"]["acc"] = (
-                sparse[f"linpack_{lk}"]["acc"]
-                .at[:vf, ls]
-                .set(state_u["sparse_opt"][f"lin_{f}"]["acc"])
-            )
+            _copy_leaves(sparse[f"linpack_{lk}"],
+                         state_u["sparse_opt"][f"lin_{f}"], ls, 1, vf)
     # Dense tower params/opt are layout-independent: share them too.
     return {
         **state_p, "tables": tables, "sparse_opt": sparse,
@@ -76,14 +85,14 @@ def _copy_into_packed(model_u, model_p, state_u, state_p):
     }
 
 
-def _assert_steps_match(name, spec, batch, steps=3, **model_kw):
+def _assert_steps_match(name, spec, batch, steps=3, opt=OPT, **model_kw):
     cfg_u = ModelConfig(name=name, embed_dim=32, mlp_dims=(16,),
                         lane_pack=False, **model_kw)
     cfg_p = dataclasses.replace(cfg_u, lane_pack=True)
     m_u = build_model(cfg_u, spec)
     m_p = build_model(cfg_p, spec)
-    b_u = TrainStepBuilder(m_u, "logloss", OPT, seed=3)
-    b_p = TrainStepBuilder(m_p, "logloss", OPT, seed=3)
+    b_u = TrainStepBuilder(m_u, "logloss", opt, seed=3)
+    b_p = TrainStepBuilder(m_p, "logloss", opt, seed=3)
     s_u = b_u.init_state(jax.random.PRNGKey(0))
     s_p = _copy_into_packed(m_u, m_p, s_u, b_p.init_state(jax.random.PRNGKey(1)))
     step_u = jax.jit(b_u.step)
@@ -104,11 +113,18 @@ def _assert_steps_match(name, spec, batch, steps=3, **model_kw):
             np.asarray(s_u["tables"][f"field_{f}"]),
             rtol=1e-6, atol=1e-7, err_msg=f"field {f} table",
         )
-        np.testing.assert_allclose(
-            np.asarray(s_p["sparse_opt"][f"pack_{k}"]["acc"][:vf, slot]),
-            np.asarray(s_u["sparse_opt"][f"field_{f}"]["acc"]),
-            rtol=1e-6, err_msg=f"field {f} acc",
-        )
+        for key, u in s_u["sparse_opt"][f"field_{f}"].items():
+            p = s_p["sparse_opt"][f"pack_{k}"][key]
+            if u.ndim == 2:
+                got = p[:vf, slot * d : (slot + 1) * d]
+            elif p.ndim == 2:
+                got = p[:vf, slot]
+            else:  # single-member pack: plain per-row state
+                got = p[:vf]
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(u), rtol=1e-6, atol=1e-7,
+                err_msg=f"field {f} sparse_opt[{key}]",
+            )
         if m_p.use_linear_tables:
             lk, ls = m_p._lin_pack_of[f]
             np.testing.assert_allclose(
@@ -160,8 +176,9 @@ def test_lane_pack_trains_end_to_end_and_on_mesh():
 
 def test_lane_pack_auto_default():
     """ModelConfig.lane_pack=None (the default) packs exactly when it
-    applies: CTR model, >=2 equal-dim fields, d < 128 dividing 128, and
-    not rowwise_adam."""
+    applies: CTR model, >=2 equal-dim fields, d < 128 dividing 128.
+    Round 4: the row-sharded mesh path and rowwise_adam now pack too
+    (lane-sliced a2a + grouped adam state — VERDICT r3 items 1/8)."""
     spec = DataSpec.ctr((100, 80, 60), num_dense=2)
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec)
     assert m.lane_pack
@@ -172,10 +189,11 @@ def test_lane_pack_auto_default():
     # (explicit lane_pack=True at d=48 raises, tested below).
     m = build_model(ModelConfig(name="dcn", embed_dim=48, mlp_dims=(8,)), spec)
     assert not m.lane_pack
-    # rowwise_adam's EMA decays on zero grads: packing would change math.
+    # rowwise_adam now packs: grouped [V, G] moments + slot-derived touch
+    # masks keep its math exactly the per-table rule.
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
                     sparse_optimizer="rowwise_adam")
-    assert not m.lane_pack
+    assert m.lane_pack
     # Mixed field dims cannot share a fixed-width slot layout.
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
                                 field_dims=(32, 16, 32)), spec)
@@ -188,14 +206,19 @@ def test_lane_pack_auto_default():
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
                                 lane_pack=False), spec)
     assert not m.lane_pack
-    # Row-sharded mesh path: packing would move 128 lanes per row over
-    # the a2a where unpacked moves d — auto skips it (explicit True on a
-    # mesh remains allowed and correctness-pinned below).
+    # Row-sharded mesh path now packs by default: the lane-sliced a2a
+    # moves d lanes per (id, slot) key, so there is no 128/d wire
+    # regression anymore (RowShardedTable._lookup_grouped).
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
                     sharded_tables=True)
+    assert m.lane_pack
+    # Column sharding CANNOT pack (a feature split would cut across lane
+    # groups; the builder refuses packed+col) — auto must not choose it.
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    sharded_tables=True, table_sharding="col")
     assert not m.lane_pack
-    # b >= 32k: the P-fold-bigger dedup sorts eat the sweep saving
-    # (measured tie at b=32768 — docs/PERF.md); auto stays unpacked.
+    # b >= 32k PER CHIP: the P-fold-bigger dedup sorts eat the sweep
+    # saving (measured tie at b=32768 — docs/PERF.md); auto stays unpacked.
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
                     batch_size=32768)
     assert not m.lane_pack
@@ -250,16 +273,114 @@ def test_lane_pack_init_is_layout_invariant():
                 np.testing.assert_array_equal(block, 0.0)
 
 
-def test_lane_pack_refusals():
+def test_lane_pack_rowwise_adam_matches_per_table():
+    """Grouped rowwise_adam ([V, G] second moments + slot-derived touch
+    masks) reproduces the per-table adam trajectory: untouched pack-mate
+    groups must not decay, touched groups must decay even on a zero
+    gradient (VERDICT r3 item 8)."""
+    spec = DataSpec.ctr((300, 120, 80, 50, 200), num_dense=3)
+    batch = _ctr_batch(np.random.default_rng(5), spec, 64)
+    opt = dataclasses.replace(OPT, sparse_optimizer="rowwise_adam")
+    _assert_steps_match("dcn", spec, batch, num_cross_layers=2, opt=opt)
+
+
+def test_lane_pack_rowwise_adam_multihot_linear():
+    spec = DataSpec.ctr((200, 90, 70), num_dense=0, field_widths=(1, 3, 2))
+    batch = _ctr_batch(np.random.default_rng(6), spec, 48)
+    opt = dataclasses.replace(OPT, sparse_optimizer="rowwise_adam")
+    _assert_steps_match("fm", spec, batch, opt=opt)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("sparse_opt", ["rowwise_adagrad", "rowwise_adam"])
+def test_lane_sliced_mesh_matches_single_device(sparse_opt):
+    """The lane-sliced a2a path (RowShardedTable lane_groups > 1):
+    packed row-sharded steps on an 8-device mesh reproduce the packed
+    single-device trajectory — (id, slot) keys, d-lane wire, per-group
+    optimizer state through the exchange (VERDICT r3 item 1)."""
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+    spec = DataSpec.ctr((96, 64, 40, 56), num_dense=2,
+                        field_widths=(1, 2, 1, 1))
+    cfg = ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                      num_cross_layers=2, lane_pack=True)
+    opt = dataclasses.replace(OPT, sparse_optimizer=sparse_opt)
+    batch = _ctr_batch(np.random.default_rng(9), spec, 64)
+
+    m_s = build_model(cfg, spec)
+    b_s = TrainStepBuilder(m_s, "logloss", opt, seed=3)
+    s_s = b_s.init_state(jax.random.PRNGKey(0))
+    step_s = jax.jit(b_s.step)
+
+    mesh = make_mesh(8, 1)
+    m_m = build_model(cfg, spec)
+    b_m = ShardedTrainStepBuilder(m_m, "logloss", opt, mesh, MeshConfig())
+    assert any(
+        getattr(p, "lane_groups", 1) > 1 for p in b_m.plans.values()
+    ), "expected lane-sliced row plans"
+    s_m = b_m.init_state(jax.random.PRNGKey(0))
+    shardings = b_m.batch_shardings(batch)
+    dev_batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    step_m = b_m.compile_step(s_m, dev_batch)
+
+    for i in range(3):
+        s_s, mu = step_s(s_s, batch)
+        s_m, mm = step_m(s_m, dev_batch)
+        assert int(mm["lookup_overflow"]) == 0
+        np.testing.assert_allclose(
+            float(mm["loss"]), float(mu["loss"]), rtol=1e-5,
+            err_msg=f"step {i}",
+        )
+    for name, tbl in s_s["tables"].items():
+        vf = tbl.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(s_m["tables"][name][:vf]), np.asarray(tbl),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+        for key, u in s_s["sparse_opt"][name].items():
+            np.testing.assert_allclose(
+                np.asarray(s_m["sparse_opt"][name][key][:vf]),
+                np.asarray(u), rtol=1e-5, atol=1e-6,
+                err_msg=f"{name} sparse_opt[{key}]",
+            )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_lane_sliced_wire_moves_d_lanes():
+    """HLO pin: the packed row-sharded step's all-to-alls carry d-lane
+    payloads (plus the int32 key exchange), never the 128-lane packed
+    row — the wire-volume contract of the lane-sliced design."""
+    import re
+
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+    d = 32
+    spec = DataSpec.ctr((128, 96, 80, 64), num_dense=2)
+    cfg = ModelConfig(name="dcn", embed_dim=d, mlp_dims=(16,),
+                      num_cross_layers=2, lane_pack=True)
+    mesh = make_mesh(8, 1)
+    model = build_model(cfg, spec)
+    builder = ShardedTrainStepBuilder(mesh=mesh, mesh_cfg=MeshConfig(),
+                                      model=model, loss_name="logloss",
+                                      optim_cfg=OPT)
+    state = builder.init_state(jax.random.PRNGKey(0))
+    batch = _ctr_batch(np.random.default_rng(3), spec, 64)
+    shardings = builder.batch_shardings(batch)
+    dev_batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    lowered = jax.jit(
+        builder.step,
+        in_shardings=(builder.state_shardings(state), shardings),
+    ).lower(state, dev_batch)
+    hlo = lowered.compile().as_text()
+    widths = set()
+    for m in re.finditer(r"f32\[([\d,]+)\][^\n]*all-to-all", hlo):
+        dims = [int(x) for x in m.group(1).split(",")]
+        widths.add(dims[-1])
+    assert widths, "expected float all-to-alls in the packed mesh step"
+    assert widths == {d}, f"a2a payload widths {widths}, want {{{d}}}"
     spec = DataSpec.ctr((100, 80), num_dense=2)
-    with pytest.raises(ValueError, match="rowwise_adam"):
-        m = build_model(
-            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
-                        lane_pack=True), spec)
-        TrainStepBuilder(
-            m, "logloss",
-            dataclasses.replace(OPT, sparse_optimizer="rowwise_adam"),
-        ).init_state(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="dividing 128"):
         build_model(ModelConfig(name="dcn", embed_dim=48, mlp_dims=(8,),
                                 lane_pack=True), spec)

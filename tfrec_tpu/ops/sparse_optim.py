@@ -181,11 +181,13 @@ def scatter_add_rows(table, uids, upd):
     return packed.reshape(table.shape)
 
 
-def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None, full_dim=None):
+def _sgd_apply_deduped(table, state, uids, g, lr, *, stat_axis=None,
+                       full_dim=None):
     return scatter_add_rows(table, uids, -lr * g), state
 
 
-def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
+def _sgd_apply(table, state, ids, grads, lr, *, stat_axis=None,
+               full_dim=None, slots=None):
     uids, g = _dedup(table, ids, grads)
     return _sgd_apply_deduped(table, state, uids, g, lr)
 
@@ -229,7 +231,8 @@ def _adagrad_apply_fn(eps: float):
         )
         return new_table, {"acc": new_acc}
 
-    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None,
+              slots=None):
         uids, g = _dedup(table, ids, grads)
         return apply_deduped(
             table, state, uids, g, lr, stat_axis=stat_axis, full_dim=full_dim
@@ -239,14 +242,20 @@ def _adagrad_apply_fn(eps: float):
 
 
 def _adam_init(table: jnp.ndarray, lane_groups: int = 1) -> State:
-    if lane_groups > 1:
-        raise ValueError(
-            "rowwise_adam is not exact under lane packing: its EMA decays "
-            "a row's moments on every update, so a zero-grad packed group "
-            "would spuriously decay — use rowwise_adagrad (accumulation "
-            "of zero is a no-op) for lane-packed tables"
-        )
     v, d = table.shape
+    if lane_groups > 1:
+        # Lane-packed tables: Adam's EMA decays a row's moments on EVERY
+        # update, so exactness under packing needs PER-GROUP second
+        # moments and step counts ([V, G]) plus a per-id slot signal
+        # telling apply which groups a batch actually touched (a zero
+        # gradient in a touched group must still decay; an untouched
+        # pack-mate group must not). The apply path derives "touched"
+        # from the slots argument, never from grad == 0.
+        return {
+            "m": jnp.zeros((v, d), jnp.float32),
+            "v": jnp.zeros((v, lane_groups), jnp.float32),
+            "t": jnp.zeros((v, lane_groups), jnp.int32),
+        }
     return {
         "m": jnp.zeros((v, d), jnp.float32),
         "v": jnp.zeros((v,), jnp.float32),
@@ -279,7 +288,72 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
             },
         )
 
-    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None):
+    def apply_grouped_deduped(table, state, uids, g, touched, lr):
+        """Lane-packed variant: ``touched`` [n, G] marks which lane groups
+        of each combined row were actually addressed by the batch (derived
+        from per-id slots — NOT from grad == 0, so a structurally-zero
+        gradient in a touched group still decays, bit-for-bit the
+        per-table rule). Untouched groups keep their m/v/t unchanged and
+        receive exactly zero table delta."""
+        n, d_all = g.shape
+        groups = state["v"].shape[1]
+        d = d_all // groups
+        mask_l = jnp.repeat(touched, d, axis=1)  # [n, G*d] group-major
+        srt = dict(indices_are_sorted=True)
+        h1 = dict(indices_are_sorted=True, unique_indices=True)
+        t_rows = jnp.take(state["t"], uids, axis=0, **srt) + touched.astype(
+            jnp.int32
+        )
+        m_prev = jnp.take(state["m"], uids, axis=0, **srt)
+        m_rows = jnp.where(mask_l, b1 * m_prev + (1.0 - b1) * g, m_prev)
+        v_prev = jnp.take(state["v"], uids, axis=0, **srt)
+        v_rows = jnp.where(
+            touched,
+            b2 * v_prev + (1.0 - b2) * _row_stat(g, None, None, groups),
+            v_prev,
+        )
+        # max(t, 1): untouched groups may still have t == 0; their update
+        # is masked out below, but 1 - b^0 = 0 must not produce inf/NaN
+        # lanes that survive a where().
+        tf = jnp.maximum(t_rows.astype(jnp.float32), 1.0)
+        m_hat = m_rows / jnp.repeat(1.0 - b1**tf, d, axis=1)
+        v_hat = v_rows / (1.0 - b2**tf)
+        denom = jnp.repeat(jnp.sqrt(v_hat) + eps, d, axis=1)
+        update = jnp.where(mask_l, -lr * m_hat / denom, 0.0)
+        return (
+            scatter_add_rows(table, uids, update),
+            {
+                "m": state["m"].at[uids].set(m_rows, mode="drop", **_hints(table)),
+                "v": state["v"].at[uids].set(v_rows, mode="drop", **h1),
+                "t": state["t"].at[uids].set(t_rows, mode="drop", **h1),
+            },
+        )
+
+    def apply(table, state, ids, grads, lr, *, stat_axis=None, full_dim=None,
+              slots=None):
+        if state["v"].ndim == 2:
+            groups = state["v"].shape[1]
+            if slots is None:
+                raise ValueError(
+                    "lane-packed rowwise_adam needs the per-id slot array "
+                    "(which lane group each id addresses) — the step "
+                    "builders thread it from model.lane_slot_widths"
+                )
+            if stat_axis is not None:
+                raise ValueError(
+                    "lane-packed tables do not support column sharding"
+                )
+            # Carry a one-hot touch signal through the duplicate combine:
+            # segment-summed counts > 0 == "this group of this row was
+            # addressed by at least one batch position".
+            touch = jax.nn.one_hot(slots, groups, dtype=grads.dtype)
+            uids, cg = combine_duplicate_ids(
+                ids, jnp.concatenate([grads, touch], axis=1),
+                sentinel=table.shape[0],
+            )
+            return apply_grouped_deduped(
+                table, state, uids, cg[:, :-groups], cg[:, -groups:] > 0, lr
+            )
         uids, g = _dedup(table, ids, grads)
         return apply_deduped(
             table, state, uids, g, lr, stat_axis=stat_axis, full_dim=full_dim

@@ -27,9 +27,16 @@ parts": ragged all-to-all under a static-shape compiler.)
 
 Column sharding (over the ``table`` axis): each device holds all V rows of
 a D/T feature slice. Ids are replicated within a table group, so lookup is
-a local gather + feature all_gather; the gradient path slices the local
-feature block and applies the optimizer with the rowwise statistic psum'd
-across feature shards (ops/sparse_optim._row_stat).
+a local gather + feature all_gather; the gradient path combines local
+duplicate ids, slices the local D/T feature block, all_gathers the
+capacity-bounded (deduped) blocks over 'data', and applies the optimizer
+with the rowwise statistic psum'd across feature shards
+(ops/sparse_optim._row_stat).
+
+Lane-packed tables (TableSpec.lane_groups > 1) row-shard with a
+LANE-SLICED wire: the all-to-alls exchange (id, slot) keys and move only
+the owning d = D/G lane group per key, so packing costs the same ICI
+volume as unpacked per-field tables.
 """
 
 from __future__ import annotations
@@ -133,6 +140,7 @@ class RowShardedTable:
         capacity_factor: float = 2.0,
         kernels: str = "xla",
         wire_dtype=None,
+        lane_groups: int = 1,
     ):
         self.mesh = mesh
         self.axis = axis
@@ -146,13 +154,54 @@ class RowShardedTable:
         # Optional reduced-precision wire format for the activation/grad
         # all-to-alls (bf16 halves ICI volume; ids always stay int32).
         self.wire_dtype = wire_dtype
+        # Lane-packed tables (TableSpec.lane_groups G > 1): each physical
+        # row holds G logical sub-rows of d = dim/G lanes. The lane-sliced
+        # wire path exchanges (id, slot) keys and moves only the owning
+        # d-lane group through the activation/grad all-to-alls — wire
+        # volume per id is d lanes, exactly the unpacked per-field cost,
+        # so packing composes with row sharding with NO 128/d wire
+        # regression (round-3 exclusion removed; VERDICT r3 item 1).
+        self.lane_groups = lane_groups
+        if lane_groups > 1:
+            assert dim % lane_groups == 0, (dim, lane_groups)
+            # (id, slot) keys are id*G + slot; they must fit int32.
+            if self.vocab_padded * lane_groups >= 2**31:
+                raise ValueError(
+                    f"lane-packed sharded table too large for int32 "
+                    f"(vocab_padded={self.vocab_padded} * G={lane_groups}); "
+                    "disable lane_pack for this table"
+                )
         self.sentinel = self.vocab_padded  # one past the padded end
+
+    # ---- lane-sliced key helpers (lane_groups > 1) ----
+
+    def _keys(self, lids, lslots):
+        """(id, slot) wire keys: id*G + slot. Sentinel/oversized ids map to
+        the key sentinel; corrupt (negative) ids keep their raw negative
+        value so bucket_by_dest counts them loudly. dest = key //
+        (rows_per_shard*G) == id // rows_per_shard, so routing is
+        unchanged."""
+        g = self.lane_groups
+        key_sent = self.vocab_padded * g
+        return jnp.where(
+            lids < 0, lids,
+            jnp.where(lids >= self.sentinel, key_sent, lids * g + lslots),
+        ), key_sent
 
     # ---- forward ----
 
-    def lookup(self, table: jnp.ndarray, ids: jnp.ndarray):
+    def lookup(self, table: jnp.ndarray, ids: jnp.ndarray, slots=None):
         """table: [V_pad, D] sharded P(axis, None); ids: [B] sharded P(axis).
-        Returns (activations [B, D] sharded P(axis), overflow scalar)."""
+        Returns (activations [B, D] sharded P(axis), overflow scalar).
+
+        ``slots`` ([B] int32, required iff lane_groups > 1): which d-lane
+        group each id addresses (model.lane_slot_widths). The exchange then
+        dedups (id, slot) keys and moves only d lanes per key; the output
+        keeps the [B, D] interface with the untouched lane groups zero
+        (the packed models only ever read a position's own slot group —
+        models/ctr_base._field_rows)."""
+        if self.lane_groups > 1:
+            return self._lookup_grouped(table, ids, slots)
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
 
         def local(tbl, lids):
@@ -204,6 +253,72 @@ class RowShardedTable:
             check_vma=False,
         )(table, ids)
 
+    def _lookup_grouped(self, table: jnp.ndarray, ids: jnp.ndarray, slots):
+        """Lane-sliced lookup: wire moves d = D/G lanes per (id, slot)."""
+        if slots is None:
+            raise ValueError(
+                "lane-packed RowShardedTable.lookup needs the per-id slot "
+                "array (model.lane_slot_widths)"
+            )
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        grp = self.lane_groups
+        d = self.dim // grp
+
+        def local(tbl, lids, lslots):
+            b = lids.shape[0]
+            cap = capacity_for(b, n_sh, self.capacity_factor)
+            keys, key_sent = self._keys(lids, lslots)
+            ukeys, inv = dedup_ids(keys, key_sent)
+            send_ids, send_pos, overflow = bucket_by_dest(
+                ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
+            )
+            recv = jax.lax.all_to_all(
+                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+            )  # [N, C] keys requested of me
+            rid = recv // grp
+            rslot = recv % grp
+            base = jax.lax.axis_index(axis) * rps
+            local_idx = jnp.clip(rid - base, 0, rps - 1)
+            valid = (rid >= base) & (rid < base + rps)
+            # Gather the full packed row (HBM reads whole 128-lane lines
+            # either way), then slice the owning d-lane group for the wire.
+            rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
+                n_sh * cap, grp, d
+            )
+            sel = jnp.take_along_axis(
+                rows, rslot.reshape(-1)[:, None, None], axis=1
+            )[:, 0, :]  # [N*C, d]
+            sel = jnp.where(valid.reshape(-1)[:, None], sel, 0.0)
+            if self.wire_dtype is not None:
+                sel = sel.astype(self.wire_dtype)
+            back = jax.lax.all_to_all(
+                sel.reshape(n_sh, cap, d), axis,
+                split_axis=0, concat_axis=0, tiled=True,
+            )
+            if self.wire_dtype is not None:
+                back = back.astype(tbl.dtype)
+            unique_rows = (
+                jnp.zeros((b, d), tbl.dtype)
+                .at[send_pos.reshape(-1)]
+                .set(back.reshape(n_sh * cap, d), mode="drop")
+            )
+            vals = jnp.take(unique_rows, inv, axis=0)  # [b, d]
+            # Re-expand to the packed [b, G*d] interface: each position's
+            # d lanes land in its slot group, other groups read zero.
+            out = (
+                jax.nn.one_hot(lslots, grp, dtype=tbl.dtype)[:, :, None]
+                * vals[:, None, :]
+            ).reshape(b, grp * d)
+            return out, jax.lax.psum(overflow, axis)
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis, None), P(self.axis), P(self.axis)),
+            out_specs=(P(self.axis, None), P()),
+            check_vma=False,
+        )(table, ids, slots)
+
     # ---- transpose: gradient combine + sparse update ----
 
     def update(
@@ -214,9 +329,14 @@ class RowShardedTable:
         grads: jnp.ndarray,
         sparse_opt: SparseOptimizer,
         lr: float,
+        slots=None,
     ):
         """Combine grads across devices onto owning shards and apply the
         rowwise optimizer locally. Returns (table, opt_state, overflow)."""
+        if self.lane_groups > 1:
+            return self._update_grouped(
+                table, opt_state, ids, grads, sparse_opt, lr, slots
+            )
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
 
         def local(tbl, ostate, lids, lgrads):
@@ -285,12 +405,94 @@ class RowShardedTable:
             check_vma=False,
         )(table, opt_state, ids, grads)
 
+    def _update_grouped(
+        self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
+        lr, slots,
+    ):
+        """Lane-sliced gradient combine: grads travel as d-lane groups
+        keyed by (id, slot); owners re-expand to packed rows (zeros in the
+        untouched groups) and apply the per-group rowwise optimizer —
+        grouped adagrad's zero-grad groups are exact no-ops, grouped adam
+        derives its touch mask from the received slots."""
+        if slots is None:
+            raise ValueError(
+                "lane-packed RowShardedTable.update needs the per-id slot "
+                "array (model.lane_slot_widths)"
+            )
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        grp = self.lane_groups
+        d = self.dim // grp
+
+        def local(tbl, ostate, lids, lgrads, lslots):
+            b = lids.shape[0]
+            cap = capacity_for(b, n_sh, self.capacity_factor)
+            keys, key_sent = self._keys(lids, lslots)
+            # Autodiff writes a position's gradient only into its own slot
+            # group (models/ctr_base._field_rows slices it), so slicing
+            # that group out is lossless.
+            g_d = jnp.take_along_axis(
+                lgrads.reshape(b, grp, d), lslots[:, None, None], axis=1
+            )[:, 0, :]  # [b, d]
+            ukeys, inv = dedup_ids(keys, key_sent)
+            combined = jax.ops.segment_sum(g_d, inv, num_segments=b)
+            send_ids, send_pos, overflow = bucket_by_dest(
+                ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
+            )
+            flat_pos = send_pos.reshape(-1)
+            send_g = jnp.where(
+                (flat_pos < b)[:, None],
+                jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
+                0.0,
+            ).reshape(n_sh, cap, d)
+            recv_ids = jax.lax.all_to_all(
+                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            if self.wire_dtype is not None:
+                send_g = send_g.astype(self.wire_dtype)
+            recv_g = jax.lax.all_to_all(
+                send_g, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            if self.wire_dtype is not None:
+                recv_g = recv_g.astype(tbl.dtype)
+            rid = recv_ids.reshape(-1) // grp
+            rslot = recv_ids.reshape(-1) % grp
+            base = jax.lax.axis_index(axis) * rps
+            lrow = rid - base
+            lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(
+                jnp.int32
+            )
+            # Re-expand each received d-lane grad into its slot group of a
+            # packed row; the optimizer's internal combine then merges
+            # same-row keys (different slots -> disjoint lanes, additions
+            # against zeros — exact).
+            expanded = (
+                jax.nn.one_hot(rslot, grp, dtype=recv_g.dtype)[:, :, None]
+                * recv_g.reshape(n_sh * cap, d)[:, None, :]
+            ).reshape(n_sh * cap, grp * d)
+            new_tbl, new_state = sparse_opt.apply(
+                tbl, ostate, lrow, expanded, lr, slots=rslot
+            )
+            return new_tbl, new_state, jax.lax.psum(overflow, axis)
+
+        state_spec = jax.tree_util.tree_map(
+            lambda leaf: P(self.axis, *([None] * (leaf.ndim - 1))), opt_state
+        )
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis, None), state_spec, P(self.axis),
+                      P(self.axis, None), P(self.axis)),
+            out_specs=(P(self.axis, None), state_spec, P()),
+            check_vma=False,
+        )(table, opt_state, ids, grads, slots)
+
 
 class ColShardedTable:
     """Column (feature-dim) sharding over the ``table`` mesh axis: local
     full-vocab gather of a D/T slice + all_gather of features."""
 
-    def __init__(self, mesh: Mesh, vocab: int, dim: int, *, axis: str = "table"):
+    def __init__(self, mesh: Mesh, vocab: int, dim: int, *, axis: str = "table",
+                 capacity_factor: float = 2.0):
         self.mesh = mesh
         self.axis = axis
         self.num_shards = mesh.shape[axis]
@@ -298,6 +500,12 @@ class ColShardedTable:
         self.vocab = vocab
         self.vocab_padded = vocab  # no row padding needed
         self.dim = dim
+        # Per-process send capacity (in unique ids) for the update's
+        # gradient all_gather — same counted-overflow semantics as the row
+        # path (capacity_for with 1 destination ~= the local batch, so the
+        # default factor never drops; smaller factors trade wire for
+        # counted drops).
+        self.capacity_factor = capacity_factor
 
     def lookup(self, table: jnp.ndarray, ids: jnp.ndarray):
         """table: [V, D] sharded P(None, axis); ids: [B] sharded P('data').
@@ -319,23 +527,51 @@ class ColShardedTable:
         )(table, ids)
         return out, jnp.zeros((), jnp.int32)
 
-    def update(self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer, lr):
+    def update(self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
+               lr, slots=None):
         dim, t = self.dim, self.num_shards
         d_local = dim // t
 
         def local(tbl, ostate, lids, lgrads):
             # The table is replicated over 'data', so every device must see
-            # ALL ids/grads or the replicas diverge.
-            all_ids = jax.lax.all_gather(lids, "data", axis=0, tiled=True)
-            all_g = jax.lax.all_gather(lgrads, "data", axis=0, tiled=True)
+            # ALL ids/grads or the replicas diverge. Row-path signature
+            # discipline before the exchange (SURVEY.md §5 design rule):
+            # 1. combine local duplicate ids (segment-sum) — one grad row
+            #    per unique id on the wire;
+            # 2. slice THIS feature shard's D/T columns BEFORE gathering —
+            #    the gather moves B*D/T words, not B*D (the round-3 path
+            #    gathered full-width grads onto every device);
+            # 3. pack into a capacity-bounded [C] buffer with counted,
+            #    never-silent overflow (bucket_by_dest, 1 destination).
+            b = lids.shape[0]
+            uids, inv = dedup_ids(lids, self.vocab)
+            combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
+            cap = capacity_for(b, 1, self.capacity_factor)
+            send_ids, send_pos, overflow = bucket_by_dest(
+                uids, 1, self.vocab, cap, self.vocab, ids_sorted=True
+            )
             t_idx = jax.lax.axis_index(self.axis)
-            g_local = jax.lax.dynamic_slice_in_dim(
-                all_g, t_idx * d_local, d_local, axis=1
+            g_slice = jax.lax.dynamic_slice_in_dim(
+                combined, t_idx * d_local, d_local, axis=1
             )
+            flat_pos = send_pos.reshape(-1)
+            send_g = jnp.where(
+                (flat_pos < b)[:, None],
+                jnp.take(g_slice, jnp.clip(flat_pos, 0, b - 1), axis=0),
+                0.0,
+            )  # [C, D/T]
+            all_ids = jax.lax.all_gather(
+                send_ids.reshape(-1), "data", axis=0, tiled=True
+            )  # [N*C]
+            all_g = jax.lax.all_gather(send_g, "data", axis=0, tiled=True)
+            # apply()'s internal combine merges same ids arriving from
+            # different processes — deterministic and identical on every
+            # feature shard, so the psum'd rowwise stat stays aligned.
             new_tbl, new_state = sparse_opt.apply(
-                tbl, ostate, all_ids, g_local, lr, stat_axis=self.axis, full_dim=dim
+                tbl, ostate, all_ids, all_g, lr, stat_axis=self.axis,
+                full_dim=dim,
             )
-            return new_tbl, new_state
+            return new_tbl, new_state, jax.lax.psum(overflow, "data")
 
         def leaf_spec(leaf):
             # Per-element state (e.g. Adam m [V, D]) is feature-sharded;
@@ -343,11 +579,10 @@ class ColShardedTable:
             return P(None, self.axis) if leaf.ndim == 2 else P(None)
 
         state_spec = jax.tree_util.tree_map(leaf_spec, opt_state)
-        new_tbl, new_state = jax.shard_map(
+        return jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P(None, self.axis), state_spec, P("data"), P("data", None)),
-            out_specs=(P(None, self.axis), state_spec),
+            out_specs=(P(None, self.axis), state_spec, P()),
             check_vma=False,
         )(table, opt_state, ids, grads)
-        return new_tbl, new_state, jnp.zeros((), jnp.int32)

@@ -88,6 +88,9 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     capacity_factor=self.mesh_cfg.a2a_capacity_factor,
                     kernels=kernels,
                     wire_dtype=wire,
+                    # Lane-packed tables take the lane-sliced wire path
+                    # (d lanes per (id, slot) key — no 128/d regression).
+                    lane_groups=spec.lane_groups,
                 )
             elif mode == "col":
                 t_axis = mesh.shape["table"]
@@ -110,7 +113,10 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                         )
                     self.plans[spec.name] = None
                 else:
-                    self.plans[spec.name] = ColShardedTable(mesh, spec.vocab, spec.dim)
+                    self.plans[spec.name] = ColShardedTable(
+                        mesh, spec.vocab, spec.dim,
+                        capacity_factor=self.mesh_cfg.a2a_capacity_factor,
+                    )
             elif mode == "gspmd":
                 # Row-sharded layout but lookups/updates via plain gather/
                 # scatter — the XLA SPMD partitioner inserts the collectives.
@@ -222,6 +228,12 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             plan = self.plans[name]
             if plan is None or plan == "gspmd_row":
                 gathered[name] = jnp.take(tables[name], t_ids, axis=0, mode="clip")
+            elif getattr(plan, "lane_groups", 1) > 1:
+                gathered[name], ovf = plan.lookup(
+                    tables[name], t_ids,
+                    slots=self._slots_for(name, t_ids.shape[0]),
+                )
+                overflow_total = overflow_total + ovf
             else:
                 gathered[name], ovf = plan.lookup(tables[name], t_ids)
                 overflow_total = overflow_total + ovf
@@ -234,10 +246,19 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         # trainer never generates them on a mesh.
         assert order is None, "host_dedup is not supported on the mesh path"
         plan = self.plans[name]
+        grouped = self._lane_groups().get(name, 1) > 1
         if plan is None or plan == "gspmd_row":
-            return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
+            slots = (
+                self._slots_for(name, ids.shape[0])
+                if grouped and self.sparse_opt.name == "rowwise_adam"
+                else None
+            )
+            return self.sparse_opt.apply(
+                table, opt_state, ids, grads, lr, slots=slots
+            )
         new_table, new_state, _ = plan.update(
-            table, opt_state, ids, grads, self.sparse_opt, lr
+            table, opt_state, ids, grads, self.sparse_opt, lr,
+            slots=(self._slots_for(name, ids.shape[0]) if grouped else None),
         )
         return new_table, new_state
 

@@ -239,6 +239,17 @@ class TrainStepBuilder:
         ``order``: host-computed stable argsort of ``ids`` (train.
         host_dedup) — the duplicate combine then skips its device argsort,
         the step's most expensive sparse-path op."""
+        if (
+            self._lane_groups().get(name, 1) > 1
+            and self.sparse_opt.name == "rowwise_adam"
+        ):
+            # Grouped adam needs the per-id slot signal for its touch
+            # mask; it bypasses the host-order and fused-kernel paths
+            # (its internal combine carries the one-hot touch channel).
+            return self.sparse_opt.apply(
+                table, opt_state, ids, grads, lr,
+                slots=self._slots_for(name, ids.shape[0]),
+            )
         if order is not None or self._fused_scatter_ok(table, name):
             from tfrec_tpu.ops.embedding import combine_duplicate_ids
 
@@ -247,6 +258,26 @@ class TrainStepBuilder:
             )
             return self.sparse_update_deduped(name, table, opt_state, uids, g, lr)
         return self.sparse_opt.apply(table, opt_state, ids, grads, lr)
+
+    def _slots_for(self, name: str, n_ids: int):
+        """Per-position lane-group slots of a lane-packed table's flat id
+        vector ([n_ids] int32; None for unpacked tables). Built from an
+        iota + tiny static boundaries — never a baked [n_ids] constant
+        (jit closure constants over big arrays bloat the executable)."""
+        widths_fn = getattr(self.model, "lane_slot_widths", None)
+        widths = widths_fn(name) if widths_fn is not None else None
+        if widths is None:
+            return None
+        import numpy as np
+
+        total = sum(widths)
+        b = n_ids // total
+        assert b * total == n_ids, (name, n_ids, widths)
+        bounds = np.cumsum([w * b for w in widths[:-1]]).astype(np.int32)
+        pos = jnp.arange(n_ids, dtype=jnp.int32)
+        return jnp.searchsorted(
+            jnp.asarray(bounds), pos, side="right"
+        ).astype(jnp.int32)
 
     def _fused_scatter_ok(self, table, name: str = "") -> bool:
         if self._lane_groups().get(name, 1) > 1:

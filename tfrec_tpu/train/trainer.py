@@ -173,15 +173,46 @@ class Trainer:
 
         # ---- model + step ----
         # Same predicate as the mesh-path selection below: auto lane
-        # packing must know whether tables will be row-sharded (packing
-        # multiplies a2a wire volume by 128/d — lane_pack_applies).
+        # packing must know the sharding mode (col sharding cannot pack)
+        # and the PER-CHIP batch (the >=32k sort-cost rule —
+        # lane_pack_applies).
         will_shard = c.mesh.data_axis_size != 0 and (
             jax.device_count() > 1 or c.mesh.table_axis_size > 1
         )
-        self.model = build_model(c.model, self.data_spec, backend=c.train.kernels,
+        n_data = 1
+        if will_shard:
+            n_data = (
+                c.mesh.data_axis_size if c.mesh.data_axis_size > 0
+                else max(
+                    jax.device_count() // max(c.mesh.table_axis_size, 1), 1
+                )
+            )
+        model_cfg = c.model
+        if (
+            model_cfg.lane_pack is None
+            and c.train.resume
+            and c.train.checkpoint_dir
+        ):
+            # AUTO lane packing is resolved from ambient state (device
+            # count, batch size) but checkpoints store layout-specific
+            # table names: a resume or from_checkpoint on a different
+            # topology must honor the SAVED layout over re-derivation
+            # (ADVICE r3) or restore fails on the missing table files.
+            from tfrec_tpu.utils.checkpoint import checkpoint_table_layout
+
+            saved_layout = checkpoint_table_layout(c.train.checkpoint_dir)
+            if saved_layout is not None:
+                model_cfg = _dc.replace(model_cfg, lane_pack=saved_layout)
+                self.logger.log({
+                    "event": "lane_pack_from_checkpoint",
+                    "lane_pack": saved_layout,
+                })
+        self.model = build_model(model_cfg, self.data_spec,
+                                 backend=c.train.kernels,
                                  sparse_optimizer=c.optim.sparse_optimizer,
                                  sharded_tables=will_shard,
-                                 batch_size=c.train.batch_size)
+                                 batch_size=max(c.train.batch_size // n_data, 1),
+                                 table_sharding=c.mesh.table_sharding)
         loss = c.train.loss
         if self.is_ctr_model and loss in PAIRWISE_LOSSES:
             self.logger.log({
@@ -806,7 +837,10 @@ class Trainer:
             t0 = time.monotonic()
             metrics = self.solver.epoch()
             tables = dict(self.solver.tables())
-            jax.block_until_ready(tables)
+            # Fetch-fence (not block_until_ready — docs/PERF.md): pull one
+            # element of each solved table to the host before timing.
+            for t in tables.values():
+                float(jnp.ravel(t)[0])
             dt = time.monotonic() - t0
             self.state = {
                 "step": jnp.asarray(epoch + 1, jnp.int32),
@@ -961,8 +995,14 @@ class Trainer:
                         "epoch": epoch,
                         "loss": float(metrics["loss"]),
                     })
-            # Block on the last step for honest timing.
-            jax.block_until_ready(self.state["step"])
+            # Fetch-fence the last step for honest timing: a host VALUE
+            # fetch forces materialization through the transport, where
+            # block_until_ready has been observed returning before
+            # execution completes on this relay (docs/PERF.md "The fence
+            # artifact" — block-fenced timing is prohibited).
+            last_loss = (
+                float(metrics["loss"]) if n_examples > 0 else float("nan")
+            )
             dt = time.monotonic() - t0
             if n_examples == 0:
                 # Empty epoch (dataset smaller than one batch): nothing to
@@ -973,7 +1013,7 @@ class Trainer:
                 continue
             rec: Dict[str, float] = {
                 "epoch": epoch,
-                "loss": float(metrics["loss"]),
+                "loss": last_loss,
                 "examples_per_s": n_examples / max(dt, 1e-9),
             }
             if self._post_epoch(epoch, rec, history):

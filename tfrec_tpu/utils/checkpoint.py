@@ -1,15 +1,22 @@
 """Checkpoint/resume (SURVEY.md §5 "checkpoint/resume").
 
-Layout: ``<dir>/step_<N>/`` holding one ``.npy`` per pytree leaf (keyed by a
-flattened path string) plus ``tree.json`` metadata. Restore takes a template
-state (for structure and target shardings): every loaded leaf is
-``device_put`` against the template leaf's sharding, so restoring onto a
-live mesh re-shards tables correctly regardless of the saving topology.
+Layout: ``<dir>/step_<N>/`` holding one ``.npy`` per pytree leaf per process
+(suffix ``.p<i>``, keyed by a flattened path string), ``tree.json`` metadata
+(keys, step, saving process count), and per-process ``blocks.p<i>.json``
+recording each sharded leaf's global row spans.
 
-Multi-host note: each process saves only its addressable shard of sharded
-leaves (suffix ``.shard<i>``) and restore reassembles per-process — the only
-large state is the embedding tables, which are exactly the sharded leaves.
-Single-process saves write whole arrays.
+Restore takes a template state (for structure and target shardings). Two
+paths:
+- SAME process count as the save: each process loads its own ``.p<i>``
+  files directly (fast, no reassembly).
+- DIFFERENT process count (SURVEY.md §5 failure model: "restart from last
+  checkpoint" must survive a resized job): every process reassembles the
+  global array from all saved blocks using the recorded spans, then
+  re-shards it onto the live mesh via ``jax.make_array_from_callback`` —
+  bitwise-identical tables regardless of the saving topology
+  (tests/test_utils.py cross-topology roundtrips). Row-padding differences
+  (pad_vocab depends on device count) are absorbed by zero-padding /
+  pad-row truncation on axis 0 — pad rows are zeros by construction.
 """
 
 from __future__ import annotations
@@ -34,15 +41,17 @@ def _flatten(state) -> Dict[str, Any]:
     return flat
 
 
-def _local_block(leaf) -> np.ndarray:
-    """This process's portion of a (possibly non-fully-addressable) array.
+def _local_block_meta(leaf):
+    """(this process's portion of a possibly non-fully-addressable array,
+    span metadata or None).
 
     Deduplicates replicated shards by index and reassembles row/column
-    blocks along the sharded axis. Restore assumes the SAME process/mesh
-    topology (standard TPU practice — cross-topology restore would require
-    a global gather; documented limitation)."""
+    blocks along the sharded axis. The metadata records where the block's
+    segments live in the GLOBAL array ({"axis", "spans": [[start, stop),
+    ...], "global_shape"}; axis None = the block IS the full array) so a
+    restore under a different process count can reassemble."""
     if not isinstance(leaf, jax.Array) or leaf.is_fully_addressable:
-        return np.asarray(jax.device_get(leaf))
+        return np.asarray(jax.device_get(leaf)), None
     blocks = {}
     for shard in leaf.addressable_shards:
         key = tuple(
@@ -51,14 +60,31 @@ def _local_block(leaf) -> np.ndarray:
             for s, dim in zip(shard.index, leaf.shape)
         )
         blocks.setdefault(key, np.asarray(shard.data))
+    gshape = [int(d) for d in leaf.shape]
     if len(blocks) == 1:
-        return next(iter(blocks.values()))
+        key, arr = next(iter(blocks.items()))
+        axis = next(
+            (d for d in range(len(key)) if key[d] != (0, gshape[d])), None
+        )
+        if axis is None:  # replicated leaf: the block is the whole array
+            return arr, {"axis": None, "global_shape": gshape}
+        return arr, {
+            "axis": axis, "spans": [list(key[axis])], "global_shape": gshape,
+        }
     keys = sorted(blocks)
     axis = next(
         d for d in range(len(keys[0]))
         if len({k[d][0] for k in keys}) > 1
     )
-    return np.concatenate([blocks[k] for k in keys], axis=axis)
+    arr = np.concatenate([blocks[k] for k in keys], axis=axis)
+    return arr, {
+        "axis": axis, "spans": [list(k[axis]) for k in keys],
+        "global_shape": gshape,
+    }
+
+
+def _local_block(leaf) -> np.ndarray:
+    return _local_block_meta(leaf)[0]
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
@@ -67,12 +93,23 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
     os.makedirs(tmp, exist_ok=True)
     flat = _flatten(state)
     proc = jax.process_index()
+    spans = {}
     for key, leaf in flat.items():
         fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
-        np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), _local_block(leaf))
+        arr, meta = _local_block_meta(leaf)
+        np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), arr)
+        if meta is not None:
+            spans[key] = meta
+    # Per-process span metadata: lets a restore under a DIFFERENT process
+    # count reassemble the global arrays (cross-topology restart).
+    with open(os.path.join(tmp, f"blocks.p{proc}.json"), "w") as f:
+        json.dump(spans, f)
     if proc == 0:
         with open(os.path.join(tmp, "tree.json"), "w") as f:
-            json.dump({"step": step, "keys": sorted(flat)}, f)
+            json.dump({
+                "step": step, "keys": sorted(flat),
+                "process_count": jax.process_count(),
+            }, f)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -181,30 +218,166 @@ def restore_checkpoint_orbax(ckpt_dir: str, template, step: int):
         return ckptr.restore(src, abstract)
 
 
+def checkpoint_table_layout(ckpt_dir: str, step: int | None = None):
+    """Table layout recorded in a checkpoint's key list: True when the
+    saved CTR tables are lane-packed (``tables/pack_*``), False when
+    per-field (``tables/field_*``), None when no checkpoint / no CTR
+    tables / no readable metadata. AUTO lane packing is resolved from
+    ambient state (device count, batch size), so restore paths consult
+    this to honor the SAVED layout over re-derivation (ADVICE r3)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            return None
+    tree = os.path.join(ckpt_dir, f"step_{step:010d}", "tree.json")
+    if not os.path.exists(tree):
+        return None
+    try:
+        with open(tree) as f:
+            keys = json.load(f).get("keys", [])
+    except (OSError, ValueError):
+        return None
+    for k in keys:
+        if k.startswith(("tables/pack_", "tables/linpack_")):
+            return True
+        if k.startswith(("tables/field_", "tables/lin_")):
+            return False
+    return None
+
+
+def _global_shape_like(tmpl_leaf):
+    return tuple(int(d) for d in np.shape(tmpl_leaf))
+
+
+def _fit_axis0(arr: np.ndarray, want_shape) -> np.ndarray:
+    """Absorb row-padding differences between topologies: pad_vocab rounds
+    V up to a multiple of (device_count * 8), so a different DEVICE count
+    changes only the number of trailing pad rows — zeros by construction
+    (tables pad with zeros; sparse-opt state is zero-padded the same way
+    in ShardedTrainStepBuilder._init_padded). Any other mismatch is a real
+    error and raises."""
+    if tuple(arr.shape) == tuple(want_shape):
+        return arr
+    if arr.shape[1:] != tuple(want_shape)[1:] or arr.ndim == 0:
+        raise ValueError(
+            f"checkpoint leaf shape {arr.shape} does not match template "
+            f"{tuple(want_shape)} (only axis-0 pad-row differences are "
+            "reconcilable)"
+        )
+    want0 = want_shape[0]
+    if arr.shape[0] > want0:
+        dropped = arr[want0:]
+        if np.any(dropped):
+            raise ValueError(
+                f"cross-topology restore would truncate {arr.shape[0] - want0} "
+                "NON-ZERO rows — the saved vocab exceeds the template's "
+                "padded vocab; this is not a padding difference"
+            )
+        return arr[:want0]
+    pad = np.zeros((want0 - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def _assemble_global(src, key, fname, blocks_meta, saved_procs):
+    """Reassemble one leaf's GLOBAL array from every saved process block
+    (the cross-topology restore path)."""
+    import glob as _glob
+
+    paths = {}
+    for p in _glob.glob(os.path.join(src, f"{fname}.p*.npy")):
+        paths[int(os.path.basename(p).rsplit(".p", 2)[-1][:-len(".npy")])] = p
+    if not paths:
+        raise FileNotFoundError(f"{fname}.p*.npy missing under {src}")
+    metas = {i: blocks_meta.get(i, {}).get(key) for i in paths}
+    sharded = {i: m for i, m in metas.items() if m and m.get("axis") is not None}
+    if not sharded:
+        # Replicated / fully-addressable leaf: every process saved the
+        # whole array — any copy works.
+        return np.load(paths[min(paths)])
+    first = sharded[min(sharded)]
+    axis, gshape = first["axis"], tuple(first["global_shape"])
+    sample = np.load(paths[min(sharded)])
+    out = np.zeros(gshape, sample.dtype)
+    filled = 0
+    for i in sorted(sharded):
+        arr = sample if i == min(sharded) else np.load(paths[i])
+        off = 0
+        for start, stop in sharded[i]["spans"]:
+            n = stop - start
+            sl = [slice(None)] * len(gshape)
+            sl[axis] = slice(start, stop)
+            take = [slice(None)] * len(gshape)
+            take[axis] = slice(off, off + n)
+            out[tuple(sl)] = arr[tuple(take)]
+            off += n
+            filled += n
+    if filled < gshape[axis]:
+        raise ValueError(
+            f"checkpoint leaf {key!r}: saved blocks cover {filled} of "
+            f"{gshape[axis]} rows on axis {axis} — incomplete checkpoint "
+            f"(found processes {sorted(paths)} of {saved_procs})"
+        )
+    return out
+
+
 def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
     """Load the checkpoint at ``step`` (default: latest) into the structure
-    and shardings of ``template``."""
+    and shardings of ``template``. Restores across process-count changes
+    (save at N, restore at M != N) by reassembling global arrays from the
+    recorded block spans and re-sharding onto the live mesh."""
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     src = os.path.join(ckpt_dir, f"step_{step:010d}")
+    tree_meta = {}
+    tree_path = os.path.join(src, "tree.json")
+    if os.path.exists(tree_path):
+        with open(tree_path) as f:
+            tree_meta = json.load(f)
+    saved_procs = tree_meta.get("process_count")
+    cur_procs = jax.process_count()
+    # Legacy checkpoints (no process_count) keep the old same-topology
+    # fast path; with metadata present, topology changes reassemble.
+    same_topology = saved_procs is None or saved_procs == cur_procs
+    blocks_meta: Dict[int, dict] = {}
+    if not same_topology:
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(src, "blocks.p*.json")):
+            i = int(os.path.basename(p)[len("blocks.p"):-len(".json")])
+            with open(p) as f:
+                blocks_meta[i] = json.load(f)
     flat_template = _flatten(template)
     proc = jax.process_index()
     loaded = {}
     for key, tmpl_leaf in flat_template.items():
         fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
-        path = os.path.join(src, f"{fname}.p{proc}.npy")
-        if not os.path.exists(path):  # fall back to process-0 file
-            path = os.path.join(src, f"{fname}.p0.npy")
-        arr = np.load(path)
         sharding = getattr(tmpl_leaf, "sharding", None)
-        if sharding is not None and isinstance(tmpl_leaf, jax.Array) and not tmpl_leaf.is_fully_addressable:
-            loaded[key] = jax.make_array_from_process_local_data(
-                sharding, arr.astype(tmpl_leaf.dtype)
+        if same_topology:
+            path = os.path.join(src, f"{fname}.p{proc}.npy")
+            if not os.path.exists(path):  # fall back to process-0 file
+                path = os.path.join(src, f"{fname}.p0.npy")
+            arr = np.load(path)
+            if sharding is not None and isinstance(tmpl_leaf, jax.Array) and not tmpl_leaf.is_fully_addressable:
+                loaded[key] = jax.make_array_from_process_local_data(
+                    sharding, arr.astype(tmpl_leaf.dtype)
+                )
+            elif sharding is not None:
+                loaded[key] = jax.device_put(arr.astype(tmpl_leaf.dtype), sharding)
+            else:
+                loaded[key] = arr
+            continue
+        arr = _assemble_global(src, key, fname, blocks_meta, saved_procs)
+        arr = _fit_axis0(arr, _global_shape_like(tmpl_leaf))
+        if sharding is not None and isinstance(tmpl_leaf, jax.Array):
+            dtype = tmpl_leaf.dtype
+            loaded[key] = jax.make_array_from_callback(
+                tuple(np.shape(tmpl_leaf)), sharding,
+                lambda idx, a=arr, dt=dtype: np.ascontiguousarray(
+                    a[idx]
+                ).astype(dt),
             )
-        elif sharding is not None:
-            loaded[key] = jax.device_put(arr.astype(tmpl_leaf.dtype), sharding)
         else:
             loaded[key] = arr
     # Rebuild the pytree in template order.
