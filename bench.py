@@ -17,7 +17,11 @@ subtraction, and interleaving controls for window drift. Reported:
                    inflated by the tunnel — recorded for comparison only)
 vs_baseline compares slope-vs-slope against BENCH_BASELINE.json (seeded
 with round 1's controlled interleaved A/B medians; the reference itself
-published no numbers — BASELINE.json:13 -> {}).
+published no numbers — BASELINE.json:13 -> {}). On TPU slope runs the MF
+anchor seed is replayed in the SAME session and the JSON line carries
+  session_factor          — anchor_now / anchor_recorded (session drift)
+  vs_baseline_normalized  — vs_baseline / session_factor (the
+                            drift-corrected headline the driver should read)
 
 Flags: --model dcn|dlrm|mf|topk  --batch N  --kernels xla|pallas
        --embed_dim N  --protocol slope|fetch|freerun  --devices auto|cpu|tpu
@@ -278,6 +282,41 @@ def _stack(batches, k):
     return jnp.stack([batches[i % len(batches)] for i in range(k)])
 
 
+# Physical plausibility ceilings for the session probes: ~2x the chip's
+# peak (v5e: ~197 bf16 TFLOP/s MXU, ~819 GB/s HBM). Any implied rate above
+# these is a measurement artifact (tunnel jitter swallowing the K-spread),
+# never a real rate — BENCH_r02 shipped 4.8e11 "TFLOP/s" from exactly this
+# failure class, so the clamp is load-bearing (VERDICT r3 weak #6).
+PROBE_MAX_RATE = {"health_tflops": 400.0, "gather_gbs": 1640.0}
+
+
+def probe_rate(diff_s: float, k_small: int, k_big: int, reps: int,
+               work: float, max_rate: float):
+    """Rate from an interleaved K-spread time difference. Returns None —
+    never a number — when (a) the spread sits inside the tunnel's RTT
+    jitter (no slope is inferable; a clamped slope fabricates one) or
+    (b) the implied rate exceeds physical plausibility (``max_rate``,
+    ~2x chip peak). Pinned in tests/test_driver_contract.py."""
+    if diff_s < 3e-3:
+        return None
+    t_unit = diff_s / (reps * (k_big - k_small))
+    rate = work / t_unit
+    if rate > max_rate:
+        return None
+    return round(rate, 1)
+
+
+def drift_normalized(vs_baseline: float, anchor_value: float,
+                     anchor_baseline: float):
+    """(session_factor, vs_baseline_normalized): divide the headline
+    factor by the in-session anchor-seed replay ratio so the driver's
+    number separates real speedups from session drift (VERDICT r3 weak
+    #1 — BENCH_r03's 2.0x conflated a 1.33x layout win with ~1.5x
+    session/op-mix shift)."""
+    sf = anchor_value / anchor_baseline
+    return round(sf, 4), round(vs_baseline / sf, 4)
+
+
 def session_probes():
     """Two fast elision-proof probes characterizing THIS session's chip:
     chained-matmul slope (MXU TFLOP/s) and chained random-row-gather
@@ -339,14 +378,10 @@ def session_probes():
                     float(f(arg))
                 times[k].append(time.perf_counter() - t0)
         diff = min(times[ks[1]]) - min(times[ks[0]])
-        if diff < 3e-3:
-            # The K-spread work did not clear the tunnel's RTT jitter:
-            # no rate can be inferred (a clamped slope would fabricate
-            # one). Null, not garbage — see BENCH_r02's 4.81e11.
-            out[name] = None
-            continue
-        t_unit = diff / (2 * (ks[1] - ks[0]))
-        out[name] = round(work / t_unit, 1)
+        # None (not garbage) when the spread is inside RTT jitter or the
+        # implied rate is physically implausible — see probe_rate.
+        out[name] = probe_rate(diff, ks[0], ks[1], 2, work,
+                               PROBE_MAX_RATE[name])
     return out
 
 
@@ -447,6 +482,13 @@ def main(argv=None) -> int:
         help="auto probes the TPU with a deadline; tpu skips the probe",
     )
     parser.add_argument(
+        "--anchor", default="auto", choices=["auto", "off"],
+        help="replay the MF anchor seed in the SAME session after the "
+             "main measurement and emit session_factor + "
+             "vs_baseline_normalized (drift-corrected headline). auto = "
+             "on for TPU slope runs of non-mf models; off disables",
+    )
+    parser.add_argument(
         "--record_baseline", action="store_true",
         help="write this run's value into BENCH_BASELINE.json if its key "
              "is missing (only do this from a session that passed the "
@@ -500,15 +542,11 @@ def main(argv=None) -> int:
     platform = jax.default_backend()
     # MF ignores --embed_dim (fixed d=64); keep its baseline key stable.
     key_dim = 64 if args.model == "mf" else args.embed_dim
-    # Resolve --lane_pack: None = model-level auto. The bench DCN is a
-    # 26-equal-field rowwise-adagrad CTR model, so auto applicability is
-    # exactly the dim rule (models/__init__.lane_pack_applies).
+    # Resolve --lane_pack: None = model-level auto. lane_active is set
+    # from the BUILT model below (never a re-derivation of the auto rule,
+    # which could drift — ADVICE r3).
     lane_pack = {"auto": None, "on": True, "off": False}[args.lane_pack]
-    lane_active = args.model == "dcn" and (
-        lane_pack if lane_pack is not None
-        else (args.embed_dim < 128 and 128 % args.embed_dim == 0
-              and args.batch < 32768)
-    )
+    lane_active = False
     # topk scores a (clamped) user batch against the catalog.
     eff_batch = min(args.batch, 1024) if args.model == "topk" else args.batch
     if args.model == "wrmf":
@@ -678,6 +716,33 @@ def main(argv=None) -> int:
                 json.dump(base, f, indent=1)
         except OSError:
             pass
+
+    # Drift normalization (VERDICT r3 weak #1): replay the MF anchor seed
+    # in THIS session with the seed's exact protocol; vs_baseline divided
+    # by the anchor ratio separates real wins from session/op-mix drift.
+    ANCHOR_KEY = "mf-tpu-b8192-d64-xla-default-slope"
+    if (
+        args.anchor == "auto" and platform == "tpu"
+        and args.protocol == "slope" and args.model != "mf"
+        and ANCHOR_KEY in base
+    ):
+        def make_anchor_k(k):
+            a_step, a_state, a_batches, a_builder = build_mf_bench(8192, "xla")
+            fn = jax.jit(a_builder.multi_step, donate_argnums=(0,))
+            return fn, a_state, _stack(a_batches, k)
+
+        try:
+            a_res = run_slope_protocol(make_anchor_k, 8192, 8, 256,
+                                       args.reps, args.rounds)
+            extra["anchor_key"] = ANCHOR_KEY
+            extra["anchor_value"] = round(a_res["value"], 1)
+            sf, norm = drift_normalized(
+                vs_baseline, a_res["value"], base[ANCHOR_KEY]
+            )
+            extra["session_factor"] = sf
+            extra["vs_baseline_normalized"] = norm
+        except Exception as e:  # the anchor is context, never a failure
+            extra["anchor_error"] = type(e).__name__
 
     if _fallback_note is not None:
         extra.update(_fallback_note)

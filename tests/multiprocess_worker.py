@@ -1,9 +1,11 @@
-"""Worker for the multi-process (multi-controller) test: each process owns
-4 virtual CPU devices; together they form an 8-device mesh and run the full
-sharded Trainer (SURVEY.md §4 "Multi-host" row).
+"""Worker for the multi-process (multi-controller) tests: N processes own
+8/N virtual CPU devices each; together they form an 8-device mesh and run
+the full sharded Trainer (SURVEY.md §4 "Multi-host" row) or the
+cross-topology checkpoint save/restore phases.
 
 Usage: python multiprocess_worker.py <coordinator> <num_procs> <proc_id> <out_json>
-                                     [criteo:<tsv_path>]
+                                     [criteo:<tsv_path> | ckptsave:<dir> |
+                                      ckptrestore:<dir>]
 """
 
 import json
@@ -11,12 +13,109 @@ import os
 import sys
 
 
+def _ckpt_builder_state(key: int):
+    """Deterministic tiny sharded DCN state on the live 8-device mesh —
+    shared by the save and restore phases so templates match structurally
+    while values differ by ``key``."""
+    import jax
+
+    from tfrec_tpu.configs import MeshConfig, ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+    mesh = make_mesh(8, 1)
+    model = build_model(
+        ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                    mlp_dims=(8,), lane_pack=False),
+        DataSpec.ctr((50, 30, 20), num_dense=2),
+        sharded_tables=True,
+    )
+    builder = ShardedTrainStepBuilder(
+        model, "logloss", OptimConfig(learning_rate=0.01), mesh, MeshConfig()
+    )
+    return mesh, builder, builder.init_state(jax.random.PRNGKey(key))
+
+
+def _bump(state):
+    """Deterministic non-identity transform so a restored state can never
+    be mistaken for a fresh template."""
+    import jax
+
+    def one(leaf):
+        fn = (
+            (lambda x: x * 1.7 + 0.3)
+            if leaf.dtype.kind == "f" else (lambda x: x + 3)
+        )
+        return jax.jit(fn, out_shardings=getattr(leaf, "sharding", None))(leaf)
+
+    return jax.tree_util.tree_map(one, state)
+
+
+def _replicated_np(mesh, leaf):
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(leaf)
+    )
+
+
+def _flat_np(mesh, state):
+    from tfrec_tpu.utils.checkpoint import _flatten
+
+    return {
+        k: _replicated_np(mesh, v) for k, v in _flatten(state).items()
+    }
+
+
+def _ckpt_save(ckpt_dir: str, proc_id: str) -> int:
+    from tfrec_tpu.utils.checkpoint import save_checkpoint
+
+    mesh, _, state = _ckpt_builder_state(0)
+    state = _bump(state)
+    save_checkpoint(ckpt_dir, 1, state)
+    # Replication is a COLLECTIVE: every process must participate, even
+    # though only process 0 writes the ground-truth file.
+    flat = _flat_np(mesh, state)
+    if int(proc_id) == 0:
+        import numpy as np
+
+        np.savez(os.path.join(ckpt_dir, "ground_truth.npz"), **flat)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ground_truth")
+    return 0
+
+
+def _ckpt_restore(ckpt_dir: str) -> int:
+    """Restore the (possibly different-process-count) checkpoint into a
+    fresh template and compare every leaf bitwise to the saver's ground
+    truth."""
+    import numpy as np
+
+    from tfrec_tpu.utils.checkpoint import _flatten, restore_checkpoint
+
+    mesh, _, template = _ckpt_builder_state(7)  # different values than save
+    restored = restore_checkpoint(ckpt_dir, template)
+    gt = np.load(os.path.join(ckpt_dir, "ground_truth.npz"))
+    flat = _flatten(restored)
+    assert set(flat) == set(gt.files), (sorted(flat), sorted(gt.files))
+    for k, v in flat.items():
+        np.testing.assert_array_equal(
+            _replicated_np(mesh, v), gt[k], err_msg=k
+        )
+    return 0
+
+
 def main() -> int:
     coordinator, num_procs, proc_id, out_json = sys.argv[1:5]
     mode = sys.argv[5] if len(sys.argv) > 5 else "mf"
+    local_devices = 8 // int(num_procs)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + f" --xla_force_host_platform_device_count={local_devices}"
     ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -29,7 +128,7 @@ def main() -> int:
         process_id=int(proc_id),
     )
     assert jax.device_count() == 8, jax.devices()
-    assert len(jax.local_devices()) == 4
+    assert len(jax.local_devices()) == local_devices
 
     from tfrec_tpu.configs import (
         Config, DataConfig, ModelConfig, OptimConfig, TrainConfig,
@@ -39,6 +138,10 @@ def main() -> int:
 
     if mode.startswith("criteo:"):
         return _criteo_streaming(mode.split(":", 1)[1], proc_id, out_json)
+    if mode.startswith("ckptsave:"):
+        return _ckpt_save(mode.split(":", 1)[1], proc_id)
+    if mode.startswith("ckptrestore:"):
+        return _ckpt_restore(mode.split(":", 1)[1])
 
     cfg = Config(
         data=DataConfig(

@@ -1,6 +1,7 @@
-"""Multi-controller smoke test: 2 processes x 4 virtual devices run the
-sharded Trainer end-to-end with per-process data shards and a sharded
-checkpoint roundtrip (SURVEY.md §4 "Multi-host")."""
+"""Multi-controller tests: N processes x 8/N virtual devices run the
+sharded Trainer end-to-end with per-process data shards, a sharded
+checkpoint roundtrip (SURVEY.md §4 "Multi-host"), and the cross-topology
+checkpoint restore (save at 2 processes -> restore at 1 and 4)."""
 
 import json
 import os
@@ -17,26 +18,32 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_training(tmp_path):
-    port = _free_port()
-    coordinator = f"127.0.0.1:{port}"
-    out_json = str(tmp_path / "result.json")
+def _spawn_workers(num_procs: int, out_json: str, mode: str | None = None,
+                   timeout: int = 420):
+    """Run ``num_procs`` multiprocess_worker.py processes to completion;
+    asserts every one exits 0."""
+    coordinator = f"127.0.0.1:{_free_port()}"
     worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    argv = [coordinator, str(num_procs), None, out_json] + (
+        [mode] if mode else []
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(i), out_json],
+            [sys.executable, worker] + [
+                a if a is not None else str(i) for a in argv
+            ],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        for i in range(2)
+        for i in range(num_procs)
     ]
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -44,10 +51,49 @@ def test_two_process_sharded_training(tmp_path):
         outs.append((p.returncode, out, err))
     for code, out, err in outs:
         assert code == 0, f"worker failed:\n{out}\n{err}"
+
+
+@pytest.mark.parametrize("num_procs", [2, 4])
+def test_multiprocess_sharded_training(tmp_path, num_procs):
+    out_json = str(tmp_path / "result.json")
+    _spawn_workers(num_procs, out_json)
     with open(out_json) as f:
         final = json.load(f)
     assert final["loss"] < 0.8, final
     assert final["recall@20"] > 0.1, final
+
+
+def test_checkpoint_cross_topology_restore(tmp_path):
+    """SURVEY.md §5 failure model: restart-from-checkpoint must survive a
+    resized job. Save a sharded state at 2 processes, then restore it
+    bitwise at 1 process (in this very pytest process, 8 local devices)
+    and at 4 processes (2 local devices each)."""
+    import numpy as np
+
+    ckpt = str(tmp_path / "ckpt")
+    _spawn_workers(2, str(tmp_path / "unused.json"), mode=f"ckptsave:{ckpt}")
+    assert os.path.exists(os.path.join(ckpt, "ground_truth.npz"))
+
+    # Restore at ONE process: this pytest process owns all 8 devices.
+    import multiprocess_worker as mw
+
+    from tfrec_tpu.utils.checkpoint import (
+        checkpoint_table_layout, restore_checkpoint,
+    )
+
+    mesh, _, template = mw._ckpt_builder_state(7)
+    restored = restore_checkpoint(ckpt, template)
+    gt = np.load(os.path.join(ckpt, "ground_truth.npz"))
+    flat = mw._flat_np(mesh, restored)
+    assert set(flat) == set(gt.files)
+    for k in gt.files:
+        np.testing.assert_array_equal(flat[k], gt[k], err_msg=k)
+    # Layout metadata readable from the saved keys (ADVICE r3 helper).
+    assert checkpoint_table_layout(ckpt) is False  # per-field tables
+
+    # Restore at FOUR processes (different count than the save).
+    _spawn_workers(4, str(tmp_path / "unused2.json"),
+                   mode=f"ckptrestore:{ckpt}")
 
 
 def test_two_process_criteo_streaming(tmp_path):

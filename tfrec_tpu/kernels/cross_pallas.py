@@ -39,17 +39,19 @@ def _interpret() -> bool:
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
 
-def _block_b(dim: int, n_live_bufs: int) -> int:
+def _block_b(dim: int, n_live_bufs: int, reserved: int = 0) -> int:
     """Largest batch-tile whose live VMEM footprint fits the budget.
 
     n_live_bufs counts [tb, dim] f32 buffers live at once including the
     pipeline's double buffering: forward ~4 (x0 in x2, out x2); backward
-    ~2*(L+4) (x0/g in, dx0 out, replayed xs, temporaries). Callers pad the
-    batch up to a tile multiple (a non-divisible grid would silently skip
-    tail rows).
+    ~2*(L+4) (x0/g in, dx0 out, replayed xs, temporaries). ``reserved``
+    subtracts bytes held by batch-independent resident blocks (the v2
+    low-rank weight stacks). Callers pad the batch up to a tile multiple
+    (a non-divisible grid would silently skip tail rows).
     """
+    budget = _VMEM_BUDGET - reserved
     for cand in (1024, 512, 256, 128, 64, 32, 16):
-        if cand * dim * 4 * n_live_bufs <= _VMEM_BUDGET:
+        if cand * dim * 4 * n_live_bufs <= budget:
             return cand
     return 8
 

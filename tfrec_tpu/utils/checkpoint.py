@@ -374,9 +374,9 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
             dtype = tmpl_leaf.dtype
             loaded[key] = jax.make_array_from_callback(
                 tuple(np.shape(tmpl_leaf)), sharding,
-                lambda idx, a=arr, dt=dtype: np.ascontiguousarray(
-                    a[idx]
-                ).astype(dt),
+                # np.asarray (not ascontiguousarray: it promotes 0-d
+                # scalars to 1-d and the shard-shape check rejects that).
+                lambda idx, a=arr, dt=dtype: np.asarray(a[idx], dtype=dt),
             )
         else:
             loaded[key] = arr
