@@ -41,8 +41,9 @@ def test_cross_pallas_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-def test_cross_dispatch_falls_back_for_v2():
-    """backend='pallas' with matrix (v2) weights silently uses XLA."""
+def test_cross_dispatch_falls_back_for_v2_full_rank():
+    """backend='pallas' with FULL-RANK v2 weights silently uses XLA (the
+    [L, d, d] stack exceeds scoped VMEM at production dims)."""
     x0 = _rand(6, (8, 8))
     params = {"w": _rand(7, (2, 8, 8), 0.2), "b": _rand(8, (2, 8), 0.1)}
     np.testing.assert_allclose(
@@ -50,6 +51,55 @@ def test_cross_dispatch_falls_back_for_v2():
         np.asarray(cross_stack_xla(x0, params)),
         rtol=1e-6,
     )
+
+
+@pytest.mark.parametrize("batch,dim,rank,layers", [
+    (64, 32, 8, 3),     # rank < dim, both sub-lane (pad path)
+    (48, 140, 16, 2),   # dim > 128: multi-lane-line rows
+])
+def test_cross_pallas_v2_lowrank_forward_matches_xla(batch, dim, rank, layers):
+    from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas_v2
+
+    x0 = _rand(20, (batch, dim))
+    params = {
+        "u": _rand(21, (layers, dim, rank), 0.2),
+        "v": _rand(22, (layers, dim, rank), 0.2),
+        "b": _rand(23, (layers, dim), 0.1),
+    }
+    # rtol 1e-4: the kernel contracts over the lane-PADDED K dim (zero
+    # tail), a different accumulation order than XLA's unpadded matmul —
+    # measured ~1.3e-5 worst case at d=140.
+    np.testing.assert_allclose(
+        np.asarray(cross_stack_pallas_v2(x0, params)),
+        np.asarray(cross_stack_xla(x0, params)),
+        rtol=1e-4, atol=1e-5,
+    )
+    # Dispatcher routes low-rank v2 + pallas to the fused kernel.
+    np.testing.assert_allclose(
+        np.asarray(cross_stack(x0, params, backend="pallas")),
+        np.asarray(cross_stack_xla(x0, params)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_cross_pallas_v2_lowrank_vjp_matches_autodiff():
+    from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas_v2
+
+    x0 = _rand(24, (64, 24))
+    params = {
+        "u": _rand(25, (3, 24, 8), 0.2),
+        "v": _rand(26, (3, 24, 8), 0.2),
+        "b": _rand(27, (3, 24), 0.1),
+    }
+
+    def loss(fn):
+        return lambda x, p: jnp.sum(jnp.tanh(fn(x, p)))
+
+    gp = jax.grad(loss(cross_stack_pallas_v2), argnums=(0, 1))(x0, params)
+    gx = jax.grad(loss(cross_stack_xla), argnums=(0, 1))(x0, params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_gather_pallas_matches_take():
@@ -95,8 +145,11 @@ def test_fused_rowwise_adagrad_matches_xla_apply():
                                rtol=1e-5)
 
 
-def test_pallas_step_matches_xla_step():
-    """Full single-device step: kernels='pallas' == kernels='xla'."""
+@pytest.mark.parametrize("cross_rank", [0, 4])
+def test_pallas_step_matches_xla_step(cross_rank):
+    """Full single-device step: kernels='pallas' == kernels='xla', for
+    DCN-v1 (cross_rank=0) and v2 LOW-RANK (cross_rank>0, routes through
+    cross_stack_pallas_v2)."""
     from tfrec_tpu.configs import ModelConfig, OptimConfig
     from tfrec_tpu.models import DataSpec, build_model
     from tfrec_tpu.train.step import TrainStepBuilder
@@ -114,7 +167,8 @@ def test_pallas_step_matches_xla_step():
     states = {}
     for kern in ("xla", "pallas"):
         model = build_model(
-            ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2, mlp_dims=(16,)),
+            ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+                        mlp_dims=(16,), cross_rank=cross_rank),
             DataSpec.ctr(vocabs, 4),
             backend=kern,
         )

@@ -55,6 +55,24 @@ def test_cross_pallas_fwd_bwd_lower_for_tpu(b, d, layers):
     _lowers_for_tpu(jax.grad(loss, argnums=(0, 1)), x0, params)
 
 
+@pytest.mark.parametrize("b,d,r,layers", [(512, 845, 64, 3), (256, 77, 16, 2)])
+def test_cross_pallas_v2_lowrank_lowers_for_tpu(b, d, r, layers):
+    """The fused rank-r DCN-v2 cross kernel (fwd + custom VJP) at the
+    flagship Criteo input width (845) and an awkward sub-lane width."""
+    x0 = jnp.zeros((b, d), jnp.float32)
+    params = {
+        "u": jnp.zeros((layers, d, r)),
+        "v": jnp.zeros((layers, d, r)),
+        "b": jnp.zeros((layers, d)),
+    }
+    _lowers_for_tpu(cp_mod.cross_stack_pallas_v2, x0, params)
+
+    def loss(x, p):
+        return jnp.sum(cp_mod.cross_stack_pallas_v2(x, p))
+
+    _lowers_for_tpu(jax.grad(loss, argnums=(0, 1)), x0, params)
+
+
 def test_full_dcn_pallas_step_lowers_for_tpu():
     """The whole single-device DCN train step with kernels=pallas."""
     from tfrec_tpu.configs import ModelConfig, OptimConfig

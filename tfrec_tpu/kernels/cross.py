@@ -27,11 +27,18 @@ def cross_stack(
              "b": [L, d]}.
     """
     if backend == "pallas" and "w" in params and params["w"].ndim == 2:
-        # Fused kernel covers DCN-v1 (rank-one crosses); v2's matrix
-        # crosses are MXU matmuls XLA already schedules well.
+        # Fused kernel covers DCN-v1 (rank-one crosses).
         from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas
 
         return cross_stack_pallas(x0, params)
+    if backend == "pallas" and "u" in params:
+        # v2 LOW-RANK: fused rank-r kernel (x resident across layers,
+        # U/V stacks resident in VMEM).
+        from tfrec_tpu.kernels.cross_pallas import cross_stack_pallas_v2
+
+        return cross_stack_pallas_v2(x0, params)
+    # v2 FULL-RANK stays on XLA: the [L, d, d] weight stack exceeds the
+    # scoped-VMEM budget at production dims (see cross_pallas.py).
     return cross_stack_xla(x0, params)
 
 

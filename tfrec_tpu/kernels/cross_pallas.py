@@ -125,7 +125,11 @@ def cross_stack_pallas(x0: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.n
 def _cross_fwd_impl(x0, w, b):
     if w.ndim != 2:
         raise NotImplementedError(
-            "pallas cross kernel covers DCN-v1 (rank-one); use kernels=xla for v2"
+            "pallas cross kernel covers DCN-v1 (rank-one) and v2 LOW-RANK "
+            "(cross_stack_pallas_v2); v2 full-rank stays on XLA — its "
+            "[L, d, d] weight stack alone exceeds the 16MB scoped-VMEM "
+            "limit at production dims (d=896, L=3 -> 9.6MB x pipeline "
+            "buffers), so the x-resident fusion cannot hold it"
         )
     batch, dim = x0.shape
     num_layers = w.shape[0]
@@ -185,3 +189,196 @@ def _cross_bwd_rule(res, g):
 
 
 cross_stack_pallas.defvjp(_cross_fwd_rule, _cross_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# DCN-v2 LOW-RANK fused cross stack (VERDICT r3 item 10).
+#
+# Layer recurrence (rank-r cross, Wang et al. 2021):
+#     f_l = (x_l @ V_l) @ U_l^T + b_l          (two MXU matmuls)
+#     x_{l+1} = x0 * f_l + x_l
+#
+# Fusion win: same as v1 — x stays resident in VMEM across all L layers
+# (one HBM read of x0, one write of x_L per tile instead of 2L [B, d]
+# round-trips). The weight stacks U/V ([L, d, r]) are small enough to stay
+# resident (r <= 128: ~1.4MB at d=896, L=3), unlike full-rank's [L, d, d].
+#
+# Backward (custom VJP, forward replayed in-kernel):
+#     df    = g * x0
+#     db_l  = sum_batch df
+#     t     = df @ U_l                          [TB, r]
+#     dU_l  = df^T @ (x_l @ V_l)                [d, r]
+#     dV_l  = x_l^T @ t                         [d, r]
+#     dx0  += g * f_l
+#     g     = g + t @ V_l^T                     (grad w.r.t. x_l)
+# finally dx0 += g.
+#
+# Matmul precision: jnp.dot inside the kernel runs at the backend default
+# (bf16 passes on the TPU MXU) — the SAME default as the XLA reference
+# path, so the A/B is like-for-like; interpret mode (CPU tests) is exact
+# f32. Dims are zero-padded to lane multiples in the wrapper; padded
+# lanes provably stay zero through the recurrence (b/w pads are zero, so
+# f's pad lanes are 0 and x0's pad lanes are 0).
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x: jnp.ndarray, mult: int, axis: int) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % mult
+    if not pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_kernel_v2(x0_ref, u_ref, v_ref, b_ref, out_ref, *, num_layers):
+    x0 = x0_ref[:]
+    x = x0
+    for l in range(num_layers):
+        xv = jnp.dot(x, v_ref[l], preferred_element_type=jnp.float32)
+        f = (
+            jnp.dot(xv, u_ref[l].T, preferred_element_type=jnp.float32)
+            + b_ref[l, :][None, :]
+        )
+        x = x0 * f + x
+    out_ref[:] = x
+
+
+def _bwd_kernel_v2(
+    x0_ref, u_ref, v_ref, b_ref, g_ref,
+    dx0_ref, du_ref, dv_ref, db_ref, *, num_layers,
+):
+    x0 = x0_ref[:]
+    xs = [x0]
+    fs = []
+    x = x0
+    for l in range(num_layers):
+        xv = jnp.dot(x, v_ref[l], preferred_element_type=jnp.float32)
+        f = (
+            jnp.dot(xv, u_ref[l].T, preferred_element_type=jnp.float32)
+            + b_ref[l, :][None, :]
+        )
+        fs.append(f)
+        x = x0 * f + x
+        xs.append(x)
+    g = g_ref[:]
+    dx0 = jnp.zeros_like(x0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    for l in range(num_layers - 1, -1, -1):
+        df = g * x0  # [TB, d]
+        db_ref[l, :] += jnp.sum(df, axis=0)
+        xv = jnp.dot(xs[l], v_ref[l], preferred_element_type=jnp.float32)
+        du_ref[l] += jnp.dot(df.T, xv, preferred_element_type=jnp.float32)
+        t = jnp.dot(df, u_ref[l], preferred_element_type=jnp.float32)  # [TB, r]
+        dv_ref[l] += jnp.dot(xs[l].T, t, preferred_element_type=jnp.float32)
+        dx0 = dx0 + g * fs[l]
+        g = g + jnp.dot(t, v_ref[l].T, preferred_element_type=jnp.float32)
+    dx0_ref[:] = dx0 + g
+
+
+def _v2_prep(x0, u, v, b):
+    """Lane-pad d and r; returns (x0p, up, vp, bp, d, r, dp, rp)."""
+    num_layers, d, r = u.shape
+    x0p = _pad_to(x0, 128, axis=1)
+    up = _pad_to(_pad_to(u, 128, axis=1), 128, axis=2)
+    vp = _pad_to(_pad_to(v, 128, axis=1), 128, axis=2)
+    bp = _pad_to(b, 128, axis=1)
+    return x0p, up, vp, bp, d, r, x0p.shape[1], up.shape[2]
+
+
+def _v2_weight_spec(num_layers, a, bdim):
+    return pl.BlockSpec(
+        (num_layers, a, bdim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _cross_v2_fwd_impl(x0, u, v, b):
+    batch = x0.shape[0]
+    x0p, up, vp, bp, d, r, dp, rp = _v2_prep(x0, u, v, b)
+    num_layers = u.shape[0]
+    # Resident weights: U + V (+ their pipeline copies are constant-index
+    # blocks, budgeted at 2x to be safe).
+    reserved = 2 * (2 * num_layers * dp * rp * 4)
+    tb = _block_b(dp, n_live_bufs=6, reserved=reserved)
+    x0p = _pad_batch(x0p, tb)
+    padded = x0p.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, num_layers=num_layers),
+        grid=(padded // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _v2_weight_spec(num_layers, dp, rp),
+            _v2_weight_spec(num_layers, dp, rp),
+            pl.BlockSpec((num_layers, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, dp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, dp), x0.dtype),
+        interpret=_interpret(),
+    )(x0p, up, vp, bp)
+    return out[:batch, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def cross_stack_pallas_v2(x0: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Fused LOW-RANK DCN-v2 cross stack; params: {"u": [L, d, r],
+    "v": [L, d, r], "b": [L, d]} (cross_rank > 0)."""
+    return _cross_v2_fwd_impl(x0, params["u"], params["v"], params["b"])
+
+
+def _cross_v2_fwd_rule(x0, params):
+    out = _cross_v2_fwd_impl(x0, params["u"], params["v"], params["b"])
+    return out, (x0, params["u"], params["v"], params["b"])
+
+
+def _cross_v2_bwd_rule(res, g):
+    x0, u, v, b = res
+    batch = x0.shape[0]
+    x0p, up, vp, bp, d, r, dp, rp = _v2_prep(x0, u, v, b)
+    num_layers = u.shape[0]
+    gp = _pad_to(g, 128, axis=1)  # lane-pad grads
+    reserved = 2 * (4 * num_layers * dp * rp * 4)  # u, v, du, dv resident
+    tb = _block_b(dp, n_live_bufs=2 * (num_layers + 5), reserved=reserved)
+    x0p = _pad_batch(x0p, tb)
+    gp = _pad_batch(gp, tb)  # zero rows contribute nothing to du/dv/db
+    padded = x0p.shape[0]
+    dx0, du, dv, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, num_layers=num_layers),
+        grid=(padded // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _v2_weight_spec(num_layers, dp, rp),
+            _v2_weight_spec(num_layers, dp, rp),
+            pl.BlockSpec((num_layers, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _v2_weight_spec(num_layers, dp, rp),
+            _v2_weight_spec(num_layers, dp, rp),
+            pl.BlockSpec((num_layers, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded, dp), x0.dtype),
+            jax.ShapeDtypeStruct((num_layers, dp, rp), u.dtype),
+            jax.ShapeDtypeStruct((num_layers, dp, rp), v.dtype),
+            jax.ShapeDtypeStruct((num_layers, dp), b.dtype),
+        ],
+        interpret=_interpret(),
+    )(x0p, up, vp, bp, gp)
+    return (
+        dx0[:batch, :d],
+        {"u": du[:, :d, :r], "v": dv[:, :d, :r], "b": db[:, :d]},
+    )
+
+
+cross_stack_pallas_v2.defvjp(_cross_v2_fwd_rule, _cross_v2_bwd_rule)
