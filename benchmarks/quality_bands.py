@@ -39,13 +39,13 @@ BAND_METRICS = (
 )
 
 
-def run_config(name: str, seed: int, quiet: bool = True):
+def run_config(name: str, seed: int, quiet: bool = True, overrides=None):
     from tfrec_tpu.configs import with_overrides
     from tfrec_tpu.train.trainer import run
     from tfrec_tpu.zoo_configs import ZOO
 
     cfg = ZOO[name]()
-    cfg = with_overrides(cfg, {"train.seed": seed})
+    cfg = with_overrides(cfg, {"train.seed": seed, **(overrides or {})})
     t0 = time.monotonic()
     _, hist = run(cfg, quiet=quiet)
     final = {k: v for k, v in hist[-1].items() if isinstance(v, (int, float))}
@@ -61,7 +61,18 @@ def main(argv=None) -> int:
     parser.add_argument("--seed_base", type=int, default=42)
     parser.add_argument("--device", default="cpu", choices=["cpu", "default"])
     parser.add_argument("--out", default=_os.path.join(REPO, "QUALITY_BANDS.json"))
+    parser.add_argument(
+        "--override", action="append", default=[],
+        help="dotted config override applied to every run, e.g. "
+        "mesh.a2a_dtype=bfloat16 (repeatable)")
+    parser.add_argument(
+        "--suffix", default="",
+        help="band-name suffix so an overridden run lands under its own "
+        "key (e.g. --suffix _bf16wire -> dcn_multihost_bf16wire)")
     args = parser.parse_args(argv)
+    from tfrec_tpu.cli import parse_overrides
+
+    overrides = parse_overrides(args.override)
 
     import jax
 
@@ -81,7 +92,7 @@ def main(argv=None) -> int:
         runs = []
         for i in range(args.seeds):
             seed = args.seed_base + i * 101
-            final = run_config(name, seed)
+            final = run_config(name, seed, overrides=overrides)
             runs.append(final)
             print(f"{name} seed={seed}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in sorted(final.items())
@@ -98,16 +109,19 @@ def main(argv=None) -> int:
                 "max": max(vals),
                 "values": vals,
             }
-        results[name] = {
+        entry = {
             "platform": platform,
             "seeds": [args.seed_base + i * 101 for i in range(args.seeds)],
             "date": time.strftime("%Y-%m-%d"),
             "wall_s_per_run": [r["_wall_s"] for r in runs],
             "metrics": bands,
         }
+        if overrides:
+            entry["overrides"] = overrides
+        results[name + args.suffix] = entry
         with open(args.out, "w") as f:  # persist after EVERY config
             json.dump(results, f, indent=1, sort_keys=True)
-        print(f"=== {name}: bands written to {args.out}", flush=True)
+        print(f"=== {name}{args.suffix}: bands written to {args.out}", flush=True)
     return 0
 
 

@@ -45,6 +45,13 @@ EXPERIMENTS = {
     "bench_pallas_d32": ["python", "bench.py", "--batch", "8192",
                           "--kernels", "pallas", "--devices", "tpu",
                           "--embed_dim", "32"],
+    # Record the lane-packed d32 seed (auto packing engages at this
+    # shape) so the default headline compares like-for-like instead of
+    # falling back to the plain-key denominator (ADVICE r3 #2). Run only
+    # after `health` passes in the same batch.
+    "bench_xla_d32_record": ["python", "bench.py", "--batch", "8192",
+                              "--devices", "tpu", "--embed_dim", "32",
+                              "--record_baseline"],
     "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
                   "--devices", "tpu"],
     "bench_topk": ["python", "bench.py", "--model", "topk", "--batch", "1024",
@@ -228,6 +235,9 @@ EXPERIMENTS = {
     "sparse_residue": ["python", "benchmarks/exp_sparse_residue.py"],
     "sparse_residue_d128": ["env", "BREAKDOWN_DIM=128", "python",
                             "benchmarks/exp_sparse_residue.py"],
+    # Round-4 mesh-path A/B on the (1,1) mesh: lane-sliced packing x wire
+    # dtype, interleaved K-pair slopes (VERDICT r3 items 1 + 3).
+    "mesh_ab": ["python", "benchmarks/exp_mesh_ab.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",

@@ -98,7 +98,7 @@ def test_trainer_host_dedup_matches_and_mesh_ignores():
     if jax.device_count() >= 8:
         trm, hm = run(base.replace(
             train=dataclasses.replace(base.train, host_dedup=True),
-            mesh=MeshConfig(data_axis_size=8)), quiet=True)
+            mesh=MeshConfig(data_axis_size=8, a2a_dtype="float32")), quiet=True)
         # host_dedup silently gates OFF on the mesh path (ids re-bucket
         # inside the a2a; host orders would be stale) and training matches
         # the single-device run within sharded-reduction tolerance.

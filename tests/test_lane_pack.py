@@ -166,7 +166,8 @@ def test_lane_pack_trains_end_to_end_and_on_mesh():
     assert 0.0 < hist[-1]["auc"] <= 1.0
 
     if jax.device_count() >= 8:
-        mesh_cfg = dataclasses.replace(cfg, mesh=MeshConfig(data_axis_size=8))
+        mesh_cfg = dataclasses.replace(
+            cfg, mesh=MeshConfig(data_axis_size=8, a2a_dtype="float32"))
         _, hist_m = run(mesh_cfg, quiet=True)
         np.testing.assert_allclose(hist_m[-1]["loss"], hist[-1]["loss"],
                                    rtol=2e-4)
@@ -315,7 +316,8 @@ def test_lane_sliced_mesh_matches_single_device(sparse_opt):
 
     mesh = make_mesh(8, 1)
     m_m = build_model(cfg, spec)
-    b_m = ShardedTrainStepBuilder(m_m, "logloss", opt, mesh, MeshConfig())
+    b_m = ShardedTrainStepBuilder(
+        m_m, "logloss", opt, mesh, MeshConfig(a2a_dtype="float32"))
     assert any(
         getattr(p, "lane_groups", 1) > 1 for p in b_m.plans.values()
     ), "expected lane-sliced row plans"
@@ -375,7 +377,7 @@ def test_lane_sliced_wire_moves_d_lanes():
     ).lower(state, dev_batch)
     hlo = lowered.compile().as_text()
     widths = set()
-    for m in re.finditer(r"f32\[([\d,]+)\][^\n]*all-to-all", hlo):
+    for m in re.finditer(r"(?:f32|bf16)\[([\d,]+)\][^\n]*all-to-all", hlo):
         dims = [int(x) for x in m.group(1).split(",")]
         widths.add(dims[-1])
     assert widths, "expected float all-to-alls in the packed mesh step"

@@ -179,7 +179,12 @@ def test_sharded_train_step_matches_single_device(mesh8):
     ocfg = OptimConfig(learning_rate=0.05, sparse_optimizer="rowwise_adagrad")
     b_ref = TrainStepBuilder(model, "bpr", ocfg)
     s_ref = b_ref.init_state(jax.random.PRNGKey(0))
-    b_sh = ShardedTrainStepBuilder(model, "bpr", ocfg, mesh8, MeshConfig())
+    # f32 wire: this test pins LAYOUT equivalence vs the single-device
+    # step (the bf16-wire default quantizes and is banded separately —
+    # QUALITY_BANDS.json dcn_multihost_cpu8mesh_bf16wire).
+    b_sh = ShardedTrainStepBuilder(
+        model, "bpr", ocfg, mesh8, MeshConfig(a2a_dtype="float32")
+    )
     s_sh = b_sh.init_state(jax.random.PRNGKey(0))
     sampler = PairwiseSampler(ds, batch_size=128, seed=1)
     batches = [

@@ -33,7 +33,7 @@ def _mesh_trainer(model: ModelConfig, loss: str = "bpr", epochs: int = 2,
             eval_topk=(10, 20), eval_user_batch=32, loss=loss,
             matmul_precision="highest",
         ),
-        mesh=MeshConfig(table_sharding="row"),
+        mesh=MeshConfig(table_sharding="row", a2a_dtype="float32"),
     )
     t = Trainer(cfg, quiet=True)
     t.train()
@@ -159,7 +159,7 @@ def test_mesh_ctr_eval_uses_a2a_lookup():
         optim=OptimConfig(learning_rate=0.01),
         train=TrainConfig(batch_size=256, epochs=1, eval_every_epochs=0,
                           loss="logloss", matmul_precision="highest"),
-        mesh=MeshConfig(table_sharding="row"),
+        mesh=MeshConfig(table_sharding="row", a2a_dtype="float32"),
     )
     t = Trainer(cfg, quiet=True)
     t.train()

@@ -187,8 +187,13 @@ class MeshConfig:
     a2a_capacity_factor: float = 2.0
     # Wire dtype for the activation/gradient all-to-alls: "bfloat16" halves
     # ICI volume (the multi-chip bottleneck — docs/PERF.md scaling model);
-    # tables and optimizer math stay f32.
-    a2a_dtype: str = "float32"
+    # tables and optimizer math stay f32. Default flipped to bfloat16 on
+    # measurement (round 4): the full config-5 quality band under bf16 wire
+    # is statistically identical to the f32 control — AUC 0.84563±0.00114
+    # vs 0.84562±0.00115, per-seed deltas <= 5e-5 (QUALITY_BANDS.json
+    # dcn_multihost_cpu8mesh[_bf16wire]; decision in docs/PERF.md). Set
+    # "float32" for bitwise layout-equivalence debugging.
+    a2a_dtype: str = "bfloat16"
     # Dense-tower parameter placement: "replicated" (default — rec dense
     # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
     # optimizer leaf sharded over 'data' on its first divisible dim; XLA
