@@ -112,6 +112,27 @@ def test_config4_dcn_auc_band_proxy():
         assert 0.478 <= final["logloss"] <= 0.492, final
 
 
+def test_config5_mesh_bf16wire_band_proxy():
+    """Config 5 (dcn_multihost) on the REAL 8-device mesh path under the
+    DEFAULT bf16 a2a wire — fast proxy (131k examples, ~10 s): seed-42
+    AUC measured 0.6856 under BOTH wire dtypes (the bf16 per-value
+    quantization sits far below training noise; full-length evidence is
+    the 3-seed band QUALITY_BANDS.json `dcn_multihost_cpu8mesh_bf16wire`
+    = 0.84563 +- 0.00114, statistically identical to the f32 control).
+    Catches regressions in the lane-sliced/sharded lookup + wire-cast
+    path that the single-device goldens never touch."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    final = _run_zoo(
+        "dcn_multihost",
+        **{"data.num_examples": 131_072, "mesh.data_axis_size": -1},
+    )
+    assert 0.670 <= final["auc"] <= 0.702, final
+
+
 def test_sasrec_quality_band_full():
     """Sequential zoo (beyond contract): SASRec full-length band,
     recall@20 0.0560 +- 0.0022 on the sasrec_ml1m stand-in (random =
