@@ -704,10 +704,13 @@ def main(argv=None) -> int:
             extra["baseline_key"] = plain
     if base_key in base:
         vs_baseline = examples_per_s / base[base_key]
-    elif args.record_baseline:
+    if args.record_baseline and key not in base:
         # Never auto-record: one 2026-08-17 session ran ~40x slow (flat
         # ~24ms/dispatch throttle) and would have seeded garbage
         # denominators. Recording is an explicit, human-checked act.
+        # Checked against KEY, not base_key: when only the plain fallback
+        # seed exists, --record_baseline must still record the suffixed
+        # key so future runs compare like-for-like (ADVICE r3 #2).
         record = key
     if record and platform == "tpu":
         base[record] = examples_per_s
