@@ -167,7 +167,11 @@ def test_stacked_mesh_step_matches_single_device():
     model = build_model(mcfg, spec)
     b_ref = TrainStepBuilder(model, "logloss", ocfg)
     s_ref = b_ref.init_state(jax.random.PRNGKey(0))
-    b_sh = ShardedTrainStepBuilder(model, "logloss", ocfg, mesh, MeshConfig())
+    # f32 wire: exact layout equivalence (the bf16-wire default is
+    # quality-banded separately — QUALITY_BANDS.json).
+    b_sh = ShardedTrainStepBuilder(
+        model, "logloss", ocfg, mesh, MeshConfig(a2a_dtype="float32")
+    )
     s_sh = b_sh.init_state(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(3)
