@@ -119,8 +119,8 @@ def test_config5_mesh_bf16wire_band_proxy():
     quantization sits far below training noise; full-length evidence is
     the 3-seed band QUALITY_BANDS.json `dcn_multihost_cpu8mesh_bf16wire`
     = 0.84563 +- 0.00114, statistically identical to the f32 control).
-    Catches regressions in the lane-sliced/sharded lookup + wire-cast
-    path that the single-device goldens never touch."""
+    Catches regressions in the sharded (stacked-table) lookup +
+    wire-cast path that the single-device goldens never touch."""
     import jax
     import pytest
 

@@ -178,8 +178,10 @@ def test_lane_pack_trains_end_to_end_and_on_mesh():
 def test_lane_pack_auto_default():
     """ModelConfig.lane_pack=None (the default) packs exactly when it
     applies: CTR model, >=2 equal-dim fields, d < 128 dividing 128.
-    Round 4: the row-sharded mesh path and rowwise_adam now pack too
-    (lane-sliced a2a + grouped adam state — VERDICT r3 items 1/8)."""
+    Round 4: rowwise_adam now packs too (grouped adam state); sharded
+    mesh runs stay UNPACKED on measured evidence (0.87-0.90x on-chip —
+    exp_mesh_ab, docs/PERF.md "Round-4 decisions") though the lane-sliced
+    a2a path is fully supported under explicit lane_pack=True."""
     spec = DataSpec.ctr((100, 80, 60), num_dense=2)
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec)
     assert m.lane_pack
@@ -207,10 +209,16 @@ def test_lane_pack_auto_default():
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
                                 lane_pack=False), spec)
     assert not m.lane_pack
-    # Row-sharded mesh path now packs by default: the lane-sliced a2a
-    # moves d lanes per (id, slot) key, so there is no 128/d wire
-    # regression anymore (RowShardedTable._lookup_grouped).
+    # Sharded mesh runs stay unpacked under AUTO: the sharded update is
+    # capacity-bounded (no V lane-line sweeps), so packing's dominant win
+    # does not apply and the (id, slot) key handling measured 0.87-0.90x
+    # on-chip (exp_mesh_ab 2026-08-20). Explicit True still packs (the
+    # lane-sliced path — mesh equivalence tests above).
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
+                    sharded_tables=True)
+    assert not m.lane_pack
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
+                                lane_pack=True), spec,
                     sharded_tables=True)
     assert m.lane_pack
     # Column sharding CANNOT pack (a feature split would cut across lane

@@ -80,19 +80,25 @@ def lane_pack_applies(
     on for this model: a CTR model with >= 2 equal-dim fields and d < 128
     dividing 128.
 
-    Round-4 policy changes (VERDICT r3 items 1/8): the row-sharded mesh
-    path now PACKS by default — RowShardedTable's lane-sliced wire moves
-    only the owning d-lane group per (id, slot) key, so the 128/d a2a
-    regression that round 3 excluded no longer exists, and packing
-    additionally divides the per-step collective COUNT by 128/d (F/P
-    all-to-all pairs instead of F). rowwise_adam now packs too: grouped
-    [V, G] second moments + slot-derived touch masks keep its math
-    exactly the per-table rule (ops/sparse_optim._adam_init).
+    Round-4 policy (VERDICT r3 items 1/8, then measured): rowwise_adam
+    now packs — grouped [V, G] second moments + slot-derived touch masks
+    keep its math exactly the per-table rule (ops/sparse_optim._adam_init).
+    The row-sharded mesh path COMPOSES with packing (RowShardedTable's
+    lane-sliced wire moves only the owning d-lane group per (id, slot)
+    key — no 128/d a2a byte regression, HLO-pinned) but AUTO still keeps
+    mesh runs UNPACKED on measured evidence: the sharded update path is
+    already capacity-bounded (it scatters received buckets, never sweeps
+    V lane-lines), so packing's dominant single-device win does not
+    apply there, and the (id, slot) key handling + one-hot reassembly
+    cost a measured 0.87-0.90x on-chip (interleaved (1,1)-mesh K-pair
+    slopes, healthy 154.9 TFLOP/s session, 2026-08-20:
+    unpacked 43.3/42.6 ms vs packed 48.0/49.6 ms at d=32/b=8192 —
+    benchmarks/exp_mesh_ab.py; docs/PERF.md "Round-4 decisions").
+    Explicit ``model.lane_pack=True`` still selects the lane-sliced mesh
+    path (equivalence-pinned in tests/test_lane_pack.py).
 
     Still excluded:
-    - column table sharding (a feature split would cut across lane
-      groups — the builder refuses packed+col loudly, so auto must not
-      choose it);
+    - any sharded-tables mesh run (measured 0.87-0.90x, above);
     - ``batch_size`` (PER-CHIP, when known) >= 32k: the P-fold-bigger
       dedup sorts eat the sweep saving — measured tie/slight loss at
       b=32768 (47.71 vs 48.26 ms) vs the 1.33x win at b=8192;
@@ -102,7 +108,7 @@ def lane_pack_applies(
 
     if not isinstance(model, CTRBase):
         return False
-    if sharded_tables and table_sharding == "col":
+    if sharded_tables:
         return False
     if batch_size is not None and batch_size >= 32768:
         return False

@@ -173,9 +173,9 @@ class Trainer:
 
         # ---- model + step ----
         # Same predicate as the mesh-path selection below: auto lane
-        # packing must know the sharding mode (col sharding cannot pack)
-        # and the PER-CHIP batch (the >=32k sort-cost rule —
-        # lane_pack_applies).
+        # packing must know whether tables shard (AUTO keeps mesh runs
+        # unpacked — measured 0.87-0.90x, exp_mesh_ab) and the PER-CHIP
+        # batch (the >=32k sort-cost rule — lane_pack_applies).
         will_shard = c.mesh.data_axis_size != 0 and (
             jax.device_count() > 1 or c.mesh.table_axis_size > 1
         )
