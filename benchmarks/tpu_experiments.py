@@ -238,6 +238,9 @@ EXPERIMENTS = {
     # Round-4 mesh-path A/B on the (1,1) mesh: lane-sliced packing x wire
     # dtype, interleaved K-pair slopes (VERDICT r3 items 1 + 3).
     "mesh_ab": ["python", "benchmarks/exp_mesh_ab.py"],
+    # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
+    # update machinery vs partitioner reference) — the R8 per-chip term.
+    "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",

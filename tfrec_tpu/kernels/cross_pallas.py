@@ -302,9 +302,12 @@ def _cross_v2_fwd_impl(x0, u, v, b):
     batch = x0.shape[0]
     x0p, up, vp, bp, d, r, dp, rp = _v2_prep(x0, u, v, b)
     num_layers = u.shape[0]
-    # Resident weights: U + V (+ their pipeline copies are constant-index
-    # blocks, budgeted at 2x to be safe).
-    reserved = 2 * (2 * num_layers * dp * rp * 4)
+    # Resident weights: U + V. Constant-index blocks are revisited, not
+    # re-streamed, so budget them at 1.25x (headroom for Mosaic's
+    # bookkeeping) — the round-4 on-chip A/B showed the original 2x
+    # reserve starved the batch tile (hardware re-validated via
+    # benchmarks/exp_cross_check.py after this change).
+    reserved = int(1.25 * (2 * num_layers * dp * rp * 4))
     tb = _block_b(dp, n_live_bufs=6, reserved=reserved)
     x0p = _pad_batch(x0p, tb)
     padded = x0p.shape[0]
@@ -344,7 +347,11 @@ def _cross_v2_bwd_rule(res, g):
     x0p, up, vp, bp, d, r, dp, rp = _v2_prep(x0, u, v, b)
     num_layers = u.shape[0]
     gp = _pad_to(g, 128, axis=1)  # lane-pad grads
-    reserved = 2 * (4 * num_layers * dp * rp * 4)  # u, v, du, dv resident
+    # u, v, du, dv resident; 1.25x headroom (see the forward's note) —
+    # the original 2x reserve exceeded the whole budget at the flagship
+    # dims (dp=896, rp=128, L=3) and forced tb=8, a 1024-step grid the
+    # round-4 A/B measured as the kernel's drag.
+    reserved = int(1.25 * (4 * num_layers * dp * rp * 4))
     tb = _block_b(dp, n_live_bufs=2 * (num_layers + 5), reserved=reserved)
     x0p = _pad_batch(x0p, tb)
     gp = _pad_batch(gp, tb)  # zero rows contribute nothing to du/dv/db
