@@ -45,7 +45,8 @@ REPS = 2
 VOCABS = (100_000,) * 26
 NUM_DENSE = 13
 
-VARIANTS = ("row", "gspmd", "row_lookup_take", "row_update_plain", "singledev")
+VARIANTS = ("row", "row_fused", "gspmd", "row_lookup_take",
+            "row_update_plain", "singledev")
 
 
 def _model_and_opt():
@@ -101,12 +102,14 @@ def _build(variant: str):
 
     mesh = make_mesh(1, 1)
     sharding = "gspmd" if variant == "gspmd" else "row"
+    fused = variant == "row_fused"
     model = build_model(mcfg, DataSpec.ctr(VOCABS, NUM_DENSE),
                         sharded_tables=True, batch_size=B,
                         table_sharding=sharding)
     builder = ShardedTrainStepBuilder(
         model, "logloss", ocfg, mesh,
-        MeshConfig(table_sharding=sharding, a2a_dtype="float32"),
+        MeshConfig(table_sharding=sharding, a2a_dtype="float32",
+                   fused_tables=fused),
     )
     if variant == "row_lookup_take":
         def lookup(tables, ids, _b=builder):
@@ -179,7 +182,9 @@ def main() -> int:
               f"{(full-single)*1e3:.2f} ms; lookup machinery "
               f"{(full-rates['row_lookup_take'])*1e3:.2f} ms; update machinery "
               f"{(full-rates['row_update_plain'])*1e3:.2f} ms; gspmd gap "
-              f"{(rates['gspmd']-single)*1e3:.2f} ms", flush=True)
+              f"{(rates['gspmd']-single)*1e3:.2f} ms; fused-region win "
+              f"{(full-rates['row_fused'])*1e3:.2f} ms "
+              f"({full/max(rates['row_fused'],1e-12):.2f}x)", flush=True)
     except Exception:
         traceback.print_exc()
     return 0

@@ -517,3 +517,52 @@ def test_new_families_train_on_mesh(name, extra):
     assert t.mesh is not None and t.mesh.shape["data"] == 8
     losses = [h["loss"] for h in hist]
     assert np.isfinite(losses[-1]) and losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("lane", [False, True])
+def test_fused_tables_matches_per_table_regions(mesh8, lane):
+    """mesh.fused_tables=True (all row-sharded exchanges in ONE shard_map
+    region per step side) is BITWISE the per-table path for 3 steps, for
+    both the unpacked and the lane-sliced layouts — the bodies are the
+    same RowShardedTable.local_* methods, only the region count changes
+    (round-4 breakdown: the regions, not the work inside them, were the
+    mesh step's dominant overhead — docs/PERF.md)."""
+    from tfrec_tpu.configs import MeshConfig, ModelConfig
+    from tfrec_tpu.models import build_model
+    from tfrec_tpu.models import DataSpec as DS
+
+    spec = DS.ctr((128, 96, 80, 64), num_dense=2)
+    ocfg = OptimConfig(learning_rate=0.01, sparse_optimizer="rowwise_adagrad")
+    rng = np.random.default_rng(7)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32)),
+        "cat": jnp.asarray(np.stack(
+            [rng.integers(0, v, 64) for v in (128, 96, 80, 64)], 1
+        ).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, 64).astype(np.float32)),
+    }
+    states = {}
+    for fused in (False, True):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                        num_cross_layers=2, lane_pack=lane), spec)
+        b = ShardedTrainStepBuilder(
+            model, "logloss", ocfg, mesh8,
+            MeshConfig(a2a_dtype="float32", fused_tables=fused))
+        s = b.init_state(jax.random.PRNGKey(0))
+        sh = b.batch_shardings(batch)
+        db = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+        step = b.compile_step(s, db)
+        for _ in range(3):
+            s, m = step(s, db)
+        states[fused] = (jax.device_get(s), float(m["loss"]))
+    (s_ref, l_ref), (s_f, l_f) = states[False], states[True]
+    assert l_ref == l_f
+    for name in s_ref["tables"]:
+        np.testing.assert_array_equal(
+            np.asarray(s_ref["tables"][name]), np.asarray(s_f["tables"][name]),
+            err_msg=name)
+        for key, u in s_ref["sparse_opt"][name].items():
+            np.testing.assert_array_equal(
+                np.asarray(u), np.asarray(s_f["sparse_opt"][name][key]),
+                err_msg=f"{name} sparse_opt[{key}]")

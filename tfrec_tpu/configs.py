@@ -194,6 +194,14 @@ class MeshConfig:
     # dcn_multihost_cpu8mesh[_bf16wire]; decision in docs/PERF.md). Set
     # "float32" for bitwise layout-equivalence debugging.
     a2a_dtype: str = "bfloat16"
+    # Run ALL row-sharded tables' a2a exchanges inside ONE shard_map
+    # region per step side (lookup / grad-combine) instead of one region
+    # per table. The round-4 on-chip breakdown attributed the mesh step's
+    # ~2x overhead vs single-device to the 26+26 per-table regions
+    # themselves, not the work inside (docs/PERF.md "Round-4 on-chip
+    # results"); the per-table math is identical (same local_* bodies).
+    # Default decided by measurement — see the A/B record there.
+    fused_tables: bool = False
     # Dense-tower parameter placement: "replicated" (default — rec dense
     # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
     # optimizer leaf sharded over 'data' on its first divisible dim; XLA

@@ -202,56 +202,61 @@ class RowShardedTable:
         models/ctr_base._field_rows)."""
         if self.lane_groups > 1:
             return self._lookup_grouped(table, ids, slots)
-        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
-
-        def local(tbl, lids):
-            b = lids.shape[0]
-            cap = capacity_for(b, n_sh, self.capacity_factor)
-            # Dedup before the exchange: capacity and wire volume scale with
-            # UNIQUE ids per destination, not raw batch ids.
-            uids, inv = dedup_ids(lids, self.sentinel)
-            send_ids, send_pos, overflow = bucket_by_dest(
-                uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
-            )
-            recv_ids = jax.lax.all_to_all(
-                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-            )  # [N, C]: row j = ids requested by device j, owned by me
-            base = jax.lax.axis_index(axis) * rps
-            local_idx = jnp.clip(recv_ids - base, 0, rps - 1)
-            valid = (recv_ids >= base) & (recv_ids < base + rps)
-            if self.kernels == "pallas":
-                from tfrec_tpu.kernels.gather_pallas import gather_pallas
-
-                rows = gather_pallas(tbl, local_idx.reshape(-1)).reshape(
-                    n_sh, cap, -1
-                )
-            else:
-                rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
-                    n_sh, cap, -1
-                )
-            rows = jnp.where(valid[:, :, None], rows, 0.0)
-            if self.wire_dtype is not None:
-                rows = rows.astype(self.wire_dtype)
-            back = jax.lax.all_to_all(
-                rows, axis, split_axis=0, concat_axis=0, tiled=True
-            )  # [N, C, D]: row j = activations from owner j for my requests
-            if self.wire_dtype is not None:
-                back = back.astype(tbl.dtype)
-            unique_rows = (
-                jnp.zeros((b, tbl.shape[1]), tbl.dtype)
-                .at[send_pos.reshape(-1)]
-                .set(back.reshape(n_sh * cap, -1), mode="drop")
-            )
-            out = jnp.take(unique_rows, inv, axis=0)
-            return out, jax.lax.psum(overflow, axis)
-
         return jax.shard_map(
-            local,
+            self.local_lookup,
             mesh=self.mesh,
             in_specs=(P(self.axis, None), P(self.axis)),
             out_specs=(P(self.axis, None), P()),
             check_vma=False,
         )(table, ids)
+
+    def local_lookup(self, tbl, lids):
+        """Shard-LOCAL lookup body (runs inside shard_map over ``axis``).
+
+        Factored out so the builder's fused path can run MANY tables'
+        exchanges inside ONE shard_map region — the round-4 breakdown
+        measured the per-table regions themselves (not the work inside)
+        as the mesh step's dominant overhead (docs/PERF.md)."""
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        b = lids.shape[0]
+        cap = capacity_for(b, n_sh, self.capacity_factor)
+        # Dedup before the exchange: capacity and wire volume scale with
+        # UNIQUE ids per destination, not raw batch ids.
+        uids, inv = dedup_ids(lids, self.sentinel)
+        send_ids, send_pos, overflow = bucket_by_dest(
+            uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
+        )
+        recv_ids = jax.lax.all_to_all(
+            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [N, C]: row j = ids requested by device j, owned by me
+        base = jax.lax.axis_index(axis) * rps
+        local_idx = jnp.clip(recv_ids - base, 0, rps - 1)
+        valid = (recv_ids >= base) & (recv_ids < base + rps)
+        if self.kernels == "pallas":
+            from tfrec_tpu.kernels.gather_pallas import gather_pallas
+
+            rows = gather_pallas(tbl, local_idx.reshape(-1)).reshape(
+                n_sh, cap, -1
+            )
+        else:
+            rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
+                n_sh, cap, -1
+            )
+        rows = jnp.where(valid[:, :, None], rows, 0.0)
+        if self.wire_dtype is not None:
+            rows = rows.astype(self.wire_dtype)
+        back = jax.lax.all_to_all(
+            rows, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [N, C, D]: row j = activations from owner j for my requests
+        if self.wire_dtype is not None:
+            back = back.astype(tbl.dtype)
+        unique_rows = (
+            jnp.zeros((b, tbl.shape[1]), tbl.dtype)
+            .at[send_pos.reshape(-1)]
+            .set(back.reshape(n_sh * cap, -1), mode="drop")
+        )
+        out = jnp.take(unique_rows, inv, axis=0)
+        return out, jax.lax.psum(overflow, axis)
 
     def _lookup_grouped(self, table: jnp.ndarray, ids: jnp.ndarray, slots):
         """Lane-sliced lookup: wire moves d = D/G lanes per (id, slot)."""
@@ -260,64 +265,64 @@ class RowShardedTable:
                 "lane-packed RowShardedTable.lookup needs the per-id slot "
                 "array (model.lane_slot_widths)"
             )
-        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
-        grp = self.lane_groups
-        d = self.dim // grp
-
-        def local(tbl, lids, lslots):
-            b = lids.shape[0]
-            cap = capacity_for(b, n_sh, self.capacity_factor)
-            keys, key_sent = self._keys(lids, lslots)
-            ukeys, inv = dedup_ids(keys, key_sent)
-            send_ids, send_pos, overflow = bucket_by_dest(
-                ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
-            )
-            recv = jax.lax.all_to_all(
-                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-            )  # [N, C] keys requested of me
-            rid = recv // grp
-            rslot = recv % grp
-            base = jax.lax.axis_index(axis) * rps
-            local_idx = jnp.clip(rid - base, 0, rps - 1)
-            valid = (rid >= base) & (rid < base + rps)
-            # Gather the full packed row (HBM reads whole 128-lane lines
-            # either way), then slice the owning d-lane group for the wire.
-            rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
-                n_sh * cap, grp, d
-            )
-            sel = jnp.take_along_axis(
-                rows, rslot.reshape(-1)[:, None, None], axis=1
-            )[:, 0, :]  # [N*C, d]
-            sel = jnp.where(valid.reshape(-1)[:, None], sel, 0.0)
-            if self.wire_dtype is not None:
-                sel = sel.astype(self.wire_dtype)
-            back = jax.lax.all_to_all(
-                sel.reshape(n_sh, cap, d), axis,
-                split_axis=0, concat_axis=0, tiled=True,
-            )
-            if self.wire_dtype is not None:
-                back = back.astype(tbl.dtype)
-            unique_rows = (
-                jnp.zeros((b, d), tbl.dtype)
-                .at[send_pos.reshape(-1)]
-                .set(back.reshape(n_sh * cap, d), mode="drop")
-            )
-            vals = jnp.take(unique_rows, inv, axis=0)  # [b, d]
-            # Re-expand to the packed [b, G*d] interface: each position's
-            # d lanes land in its slot group, other groups read zero.
-            out = (
-                jax.nn.one_hot(lslots, grp, dtype=tbl.dtype)[:, :, None]
-                * vals[:, None, :]
-            ).reshape(b, grp * d)
-            return out, jax.lax.psum(overflow, axis)
-
         return jax.shard_map(
-            local,
+            self.local_lookup_grouped,
             mesh=self.mesh,
             in_specs=(P(self.axis, None), P(self.axis), P(self.axis)),
             out_specs=(P(self.axis, None), P()),
             check_vma=False,
         )(table, ids, slots)
+
+    def local_lookup_grouped(self, tbl, lids, lslots):
+        """Shard-LOCAL lane-sliced lookup body (see local_lookup)."""
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        grp = self.lane_groups
+        d = self.dim // grp
+        b = lids.shape[0]
+        cap = capacity_for(b, n_sh, self.capacity_factor)
+        keys, key_sent = self._keys(lids, lslots)
+        ukeys, inv = dedup_ids(keys, key_sent)
+        send_ids, send_pos, overflow = bucket_by_dest(
+            ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
+        )
+        recv = jax.lax.all_to_all(
+            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [N, C] keys requested of me
+        rid = recv // grp
+        rslot = recv % grp
+        base = jax.lax.axis_index(axis) * rps
+        local_idx = jnp.clip(rid - base, 0, rps - 1)
+        valid = (rid >= base) & (rid < base + rps)
+        # Gather the full packed row (HBM reads whole 128-lane lines
+        # either way), then slice the owning d-lane group for the wire.
+        rows = jnp.take(tbl, local_idx.reshape(-1), axis=0).reshape(
+            n_sh * cap, grp, d
+        )
+        sel = jnp.take_along_axis(
+            rows, rslot.reshape(-1)[:, None, None], axis=1
+        )[:, 0, :]  # [N*C, d]
+        sel = jnp.where(valid.reshape(-1)[:, None], sel, 0.0)
+        if self.wire_dtype is not None:
+            sel = sel.astype(self.wire_dtype)
+        back = jax.lax.all_to_all(
+            sel.reshape(n_sh, cap, d), axis,
+            split_axis=0, concat_axis=0, tiled=True,
+        )
+        if self.wire_dtype is not None:
+            back = back.astype(tbl.dtype)
+        unique_rows = (
+            jnp.zeros((b, d), tbl.dtype)
+            .at[send_pos.reshape(-1)]
+            .set(back.reshape(n_sh * cap, d), mode="drop")
+        )
+        vals = jnp.take(unique_rows, inv, axis=0)  # [b, d]
+        # Re-expand to the packed [b, G*d] interface: each position's
+        # d lanes land in its slot group, other groups read zero.
+        out = (
+            jax.nn.one_hot(lslots, grp, dtype=tbl.dtype)[:, :, None]
+            * vals[:, None, :]
+        ).reshape(b, grp * d)
+        return out, jax.lax.psum(overflow, axis)
 
     # ---- transpose: gradient combine + sparse update ----
 
@@ -337,73 +342,75 @@ class RowShardedTable:
             return self._update_grouped(
                 table, opt_state, ids, grads, sparse_opt, lr, slots
             )
-        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
-
-        def local(tbl, ostate, lids, lgrads):
-            b = lids.shape[0]
-            cap = capacity_for(b, n_sh, self.capacity_factor)
-            # Combine local duplicate ids before sending (transpose of the
-            # lookup's dedup): one gradient row per unique id on the wire.
-            uids, inv = dedup_ids(lids, self.sentinel)
-            combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
-            send_ids, send_pos, overflow = bucket_by_dest(
-                uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
-            )
-            flat_pos = send_pos.reshape(-1)
-            send_g = jnp.where(
-                (flat_pos < b)[:, None],
-                jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
-                0.0,
-            ).reshape(n_sh, cap, -1)
-            recv_ids = jax.lax.all_to_all(
-                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            if self.wire_dtype is not None:
-                send_g = send_g.astype(self.wire_dtype)
-            recv_g = jax.lax.all_to_all(
-                send_g, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            if self.wire_dtype is not None:
-                recv_g = recv_g.astype(tbl.dtype)
-            base = jax.lax.axis_index(axis) * rps
-            # Local row index; sentinel/foreign ids -> rps (dropped by the
-            # optimizer's mode='drop' scatters).
-            lrow = recv_ids.reshape(-1) - base
-            lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
-            flat_g = recv_g.reshape(n_sh * cap, -1)
-            fused_ok = False
-            if (
-                self.kernels == "pallas"
-                and sparse_opt.name == "rowwise_adagrad"
-                # lane-packed tables ([V, G] accumulator) need per-group
-                # stats; the fused kernel keeps one rowwise scalar.
-                and ostate["acc"].ndim == 1
-            ):
-                from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
-
-                fused_ok = fused_scatter_supported(tbl.shape[0], tbl.shape[1])
-            if fused_ok:
-                from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
-
-                uids, combined = combine_duplicate_ids(lrow, flat_g, sentinel=rps)
-                new_tbl, new_acc = fused_rowwise_adagrad(
-                    tbl, ostate["acc"], uids, combined, lr, eps=sparse_opt.eps
-                )
-                new_state = {"acc": new_acc}
-            else:
-                new_tbl, new_state = sparse_opt.apply(tbl, ostate, lrow, flat_g, lr)
-            return new_tbl, new_state, jax.lax.psum(overflow, axis)
-
         state_spec = jax.tree_util.tree_map(
             lambda leaf: P(self.axis, *([None] * (leaf.ndim - 1))), opt_state
         )
         return jax.shard_map(
-            local,
+            lambda tbl, ostate, lids, lgrads: self.local_update(
+                tbl, ostate, lids, lgrads, sparse_opt, lr
+            ),
             mesh=self.mesh,
             in_specs=(P(self.axis, None), state_spec, P(self.axis), P(self.axis, None)),
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
         )(table, opt_state, ids, grads)
+
+    def local_update(self, tbl, ostate, lids, lgrads, sparse_opt, lr):
+        """Shard-LOCAL gradient-combine + optimizer body (see local_lookup)."""
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        b = lids.shape[0]
+        cap = capacity_for(b, n_sh, self.capacity_factor)
+        # Combine local duplicate ids before sending (transpose of the
+        # lookup's dedup): one gradient row per unique id on the wire.
+        uids, inv = dedup_ids(lids, self.sentinel)
+        combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
+        send_ids, send_pos, overflow = bucket_by_dest(
+            uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
+        )
+        flat_pos = send_pos.reshape(-1)
+        send_g = jnp.where(
+            (flat_pos < b)[:, None],
+            jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
+            0.0,
+        ).reshape(n_sh, cap, -1)
+        recv_ids = jax.lax.all_to_all(
+            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        if self.wire_dtype is not None:
+            send_g = send_g.astype(self.wire_dtype)
+        recv_g = jax.lax.all_to_all(
+            send_g, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        if self.wire_dtype is not None:
+            recv_g = recv_g.astype(tbl.dtype)
+        base = jax.lax.axis_index(axis) * rps
+        # Local row index; sentinel/foreign ids -> rps (dropped by the
+        # optimizer's mode='drop' scatters).
+        lrow = recv_ids.reshape(-1) - base
+        lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
+        flat_g = recv_g.reshape(n_sh * cap, -1)
+        fused_ok = False
+        if (
+            self.kernels == "pallas"
+            and sparse_opt.name == "rowwise_adagrad"
+            # lane-packed tables ([V, G] accumulator) need per-group
+            # stats; the fused kernel keeps one rowwise scalar.
+            and ostate["acc"].ndim == 1
+        ):
+            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+            fused_ok = fused_scatter_supported(tbl.shape[0], tbl.shape[1])
+        if fused_ok:
+            from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
+
+            uids, combined = combine_duplicate_ids(lrow, flat_g, sentinel=rps)
+            new_tbl, new_acc = fused_rowwise_adagrad(
+                tbl, ostate["acc"], uids, combined, lr, eps=sparse_opt.eps
+            )
+            new_state = {"acc": new_acc}
+        else:
+            new_tbl, new_state = sparse_opt.apply(tbl, ostate, lrow, flat_g, lr)
+        return new_tbl, new_state, jax.lax.psum(overflow, axis)
 
     def _update_grouped(
         self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
@@ -419,72 +426,75 @@ class RowShardedTable:
                 "lane-packed RowShardedTable.update needs the per-id slot "
                 "array (model.lane_slot_widths)"
             )
-        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
-        grp = self.lane_groups
-        d = self.dim // grp
-
-        def local(tbl, ostate, lids, lgrads, lslots):
-            b = lids.shape[0]
-            cap = capacity_for(b, n_sh, self.capacity_factor)
-            keys, key_sent = self._keys(lids, lslots)
-            # Autodiff writes a position's gradient only into its own slot
-            # group (models/ctr_base._field_rows slices it), so slicing
-            # that group out is lossless.
-            g_d = jnp.take_along_axis(
-                lgrads.reshape(b, grp, d), lslots[:, None, None], axis=1
-            )[:, 0, :]  # [b, d]
-            ukeys, inv = dedup_ids(keys, key_sent)
-            combined = jax.ops.segment_sum(g_d, inv, num_segments=b)
-            send_ids, send_pos, overflow = bucket_by_dest(
-                ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
-            )
-            flat_pos = send_pos.reshape(-1)
-            send_g = jnp.where(
-                (flat_pos < b)[:, None],
-                jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
-                0.0,
-            ).reshape(n_sh, cap, d)
-            recv_ids = jax.lax.all_to_all(
-                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            if self.wire_dtype is not None:
-                send_g = send_g.astype(self.wire_dtype)
-            recv_g = jax.lax.all_to_all(
-                send_g, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            if self.wire_dtype is not None:
-                recv_g = recv_g.astype(tbl.dtype)
-            rid = recv_ids.reshape(-1) // grp
-            rslot = recv_ids.reshape(-1) % grp
-            base = jax.lax.axis_index(axis) * rps
-            lrow = rid - base
-            lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(
-                jnp.int32
-            )
-            # Re-expand each received d-lane grad into its slot group of a
-            # packed row; the optimizer's internal combine then merges
-            # same-row keys (different slots -> disjoint lanes, additions
-            # against zeros — exact).
-            expanded = (
-                jax.nn.one_hot(rslot, grp, dtype=recv_g.dtype)[:, :, None]
-                * recv_g.reshape(n_sh * cap, d)[:, None, :]
-            ).reshape(n_sh * cap, grp * d)
-            new_tbl, new_state = sparse_opt.apply(
-                tbl, ostate, lrow, expanded, lr, slots=rslot
-            )
-            return new_tbl, new_state, jax.lax.psum(overflow, axis)
-
         state_spec = jax.tree_util.tree_map(
             lambda leaf: P(self.axis, *([None] * (leaf.ndim - 1))), opt_state
         )
         return jax.shard_map(
-            local,
+            lambda tbl, ostate, lids, lgrads, lslots: self.local_update_grouped(
+                tbl, ostate, lids, lgrads, lslots, sparse_opt, lr
+            ),
             mesh=self.mesh,
             in_specs=(P(self.axis, None), state_spec, P(self.axis),
                       P(self.axis, None), P(self.axis)),
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
         )(table, opt_state, ids, grads, slots)
+
+    def local_update_grouped(self, tbl, ostate, lids, lgrads, lslots,
+                             sparse_opt, lr):
+        """Shard-LOCAL lane-sliced gradient combine (see local_lookup)."""
+        axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        grp = self.lane_groups
+        d = self.dim // grp
+        b = lids.shape[0]
+        cap = capacity_for(b, n_sh, self.capacity_factor)
+        keys, key_sent = self._keys(lids, lslots)
+        # Autodiff writes a position's gradient only into its own slot
+        # group (models/ctr_base._field_rows slices it), so slicing
+        # that group out is lossless.
+        g_d = jnp.take_along_axis(
+            lgrads.reshape(b, grp, d), lslots[:, None, None], axis=1
+        )[:, 0, :]  # [b, d]
+        ukeys, inv = dedup_ids(keys, key_sent)
+        combined = jax.ops.segment_sum(g_d, inv, num_segments=b)
+        send_ids, send_pos, overflow = bucket_by_dest(
+            ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
+        )
+        flat_pos = send_pos.reshape(-1)
+        send_g = jnp.where(
+            (flat_pos < b)[:, None],
+            jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
+            0.0,
+        ).reshape(n_sh, cap, d)
+        recv_ids = jax.lax.all_to_all(
+            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        if self.wire_dtype is not None:
+            send_g = send_g.astype(self.wire_dtype)
+        recv_g = jax.lax.all_to_all(
+            send_g, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        if self.wire_dtype is not None:
+            recv_g = recv_g.astype(tbl.dtype)
+        rid = recv_ids.reshape(-1) // grp
+        rslot = recv_ids.reshape(-1) % grp
+        base = jax.lax.axis_index(axis) * rps
+        lrow = rid - base
+        lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(
+            jnp.int32
+        )
+        # Re-expand each received d-lane grad into its slot group of a
+        # packed row; the optimizer's internal combine then merges
+        # same-row keys (different slots -> disjoint lanes, additions
+        # against zeros — exact).
+        expanded = (
+            jax.nn.one_hot(rslot, grp, dtype=recv_g.dtype)[:, :, None]
+            * recv_g.reshape(n_sh * cap, d)[:, None, :]
+        ).reshape(n_sh * cap, grp * d)
+        new_tbl, new_state = sparse_opt.apply(
+            tbl, ostate, lrow, expanded, lr, slots=rslot
+        )
+        return new_tbl, new_state, jax.lax.psum(overflow, axis)
 
 
 class ColShardedTable:

@@ -222,9 +222,20 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     # ---- seams ----
 
+    def _fused_names(self, names):
+        """Tables whose exchanges can share ONE shard_map region: all
+        RowShardedTable plans (any lane_groups) on the 'data' axis."""
+        if not self.mesh_cfg.fused_tables:
+            return []
+        out = [n for n in names if isinstance(self.plans.get(n), RowShardedTable)]
+        return out if len(out) > 1 else []
+
     def lookup(self, tables, ids):
+        fused = self._fused_names(ids)
         gathered, overflow_total = {}, jnp.zeros((), jnp.int32)
         for name, t_ids in ids.items():
+            if name in fused:
+                continue
             plan = self.plans[name]
             if plan is None or plan == "gspmd_row":
                 gathered[name] = jnp.take(tables[name], t_ids, axis=0, mode="clip")
@@ -237,7 +248,127 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             else:
                 gathered[name], ovf = plan.lookup(tables[name], t_ids)
                 overflow_total = overflow_total + ovf
+        if fused:
+            f_out, ovf = self._fused_lookup(tables, ids, fused)
+            gathered.update(f_out)
+            overflow_total = overflow_total + ovf
         return gathered, {"lookup_overflow": overflow_total}
+
+    def _fused_lookup(self, tables, ids, names):
+        """ALL fusable tables' a2a exchanges inside ONE shard_map region.
+
+        The round-4 on-chip breakdown (docs/PERF.md "Round-4 on-chip
+        results") attributed the row-sharded step's ~2x overhead vs the
+        single-device step to the per-table shard_map regions themselves
+        — 26 lookup + 26 update regions per step — not to the dedup/
+        bucket work inside them. One region per step side removes that
+        multiplier; the per-table math is byte-identical (the bodies are
+        the SAME RowShardedTable.local_* methods the per-table path
+        wraps)."""
+        axis = "data"
+        slots = {
+            n: self._slots_for(n, ids[n].shape[0])
+            for n in names
+            if self.plans[n].lane_groups > 1
+        }
+
+        def body(tbls, lids, lslots):
+            outs = {}
+            ovf = jnp.zeros((), jnp.int32)
+            for n in names:
+                plan = self.plans[n]
+                if plan.lane_groups > 1:
+                    o, v = plan.local_lookup_grouped(tbls[n], lids[n], lslots[n])
+                else:
+                    o, v = plan.local_lookup(tbls[n], lids[n])
+                outs[n] = o
+                ovf = ovf + v
+            return outs, ovf
+
+        d_spec = {n: P(axis, None) for n in names}
+        i_spec = {n: P(axis) for n in names}
+        s_spec = {n: P(axis) for n in slots}
+        out, ovf = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(d_spec, i_spec, s_spec),
+            out_specs=(d_spec, P()),
+            check_vma=False,
+        )(
+            {n: tables[n] for n in names},
+            {n: ids[n] for n in names},
+            slots,
+        )
+        return out, ovf
+
+    def sparse_update_all(self, state, ids, gathered_grad, lr,
+                          host_sort=None):
+        fused = self._fused_names(gathered_grad)
+        if not fused:
+            return super().sparse_update_all(
+                state, ids, gathered_grad, lr, host_sort=host_sort
+            )
+        assert not host_sort, "host_dedup is not supported on the mesh path"
+        new_tables = dict(state["tables"])
+        new_sparse = dict(state["sparse_opt"])
+        for name in gathered_grad:
+            if name in fused:
+                continue
+            new_tables[name], new_sparse[name] = self.sparse_update(
+                name, state["tables"][name], state["sparse_opt"][name],
+                ids[name], gathered_grad[name], lr,
+            )
+        axis = "data"
+        names = fused
+        slots = {
+            n: self._slots_for(n, ids[n].shape[0])
+            for n in names
+            if self.plans[n].lane_groups > 1
+        }
+
+        def body(tbls, osts, lids, lgrads, lslots):
+            nt, ns = {}, {}
+            for n in names:
+                plan = self.plans[n]
+                if plan.lane_groups > 1:
+                    t, s, _ = plan.local_update_grouped(
+                        tbls[n], osts[n], lids[n], lgrads[n], lslots[n],
+                        self.sparse_opt, lr,
+                    )
+                else:
+                    t, s, _ = plan.local_update(
+                        tbls[n], osts[n], lids[n], lgrads[n],
+                        self.sparse_opt, lr,
+                    )
+                nt[n], ns[n] = t, s
+            return nt, ns
+
+        d_spec = {n: P(axis, None) for n in names}
+        o_spec = {
+            n: jax.tree_util.tree_map(
+                lambda leaf: P(axis, *([None] * (leaf.ndim - 1))),
+                state["sparse_opt"][n],
+            )
+            for n in names
+        }
+        i_spec = {n: P(axis) for n in names}
+        s_spec = {n: P(axis) for n in slots}
+        f_tables, f_sparse = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(d_spec, o_spec, i_spec, d_spec, s_spec),
+            out_specs=(d_spec, o_spec),
+            check_vma=False,
+        )(
+            {n: state["tables"][n] for n in names},
+            {n: state["sparse_opt"][n] for n in names},
+            {n: ids[n] for n in names},
+            {n: gathered_grad[n] for n in names},
+            slots,
+        )
+        new_tables.update(f_tables)
+        new_sparse.update(f_sparse)
+        return new_tables, new_sparse
 
     def sparse_update(self, name, table, opt_state, ids, grads, lr,
                       order=None):
