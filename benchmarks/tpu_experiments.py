@@ -241,6 +241,10 @@ EXPERIMENTS = {
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
+    # Compile-only inspection of the (1,1) row vs gspmd step on TPU.
+    "mesh_hlo": ["python", "benchmarks/exp_mesh_hlo.py"],
+    # Device trace of 3 steps, top ops by duration (row vs gspmd).
+    "mesh_profile": ["python", "benchmarks/exp_mesh_profile.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
     # long (~20-30 min): 2 configs x 3 seeds, full length, on the chip.
     "quality_dcn": ["python", "benchmarks/quality_bands.py", "--configs",
