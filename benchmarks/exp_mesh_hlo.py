@@ -67,7 +67,11 @@ def main() -> int:
         for sharding in ("row", "gspmd"):
             compiled = build(sharding)
             hlo = compiled.as_text()
-            print(f"=== {sharding}: hlo {len(hlo)} chars", flush=True)
+            out_path = f"/tmp/mesh_hlo_{sharding}.txt"
+            with open(out_path, "w") as f:
+                f.write(hlo)
+            print(f"=== {sharding}: hlo {len(hlo)} chars -> {out_path}",
+                  flush=True)
             for pat in (r"all-to-all", r"collective-permute", r"all-reduce",
                         r"custom-call", r"copy-start", r"copy-done",
                         r"dynamic-update-slice", r"scatter", r"sort",

@@ -566,3 +566,25 @@ def test_fused_tables_matches_per_table_regions(mesh8, lane):
             np.testing.assert_array_equal(
                 np.asarray(u), np.asarray(s_f["sparse_opt"][name][key]),
                 err_msg=f"{name} sparse_opt[{key}]")
+
+
+def test_run_index_helpers_match_searchsorted():
+    """run_first_index / run_last_index_plus1 == searchsorted left/right
+    on sorted arrays (the O(n) scan replacement for XLA:TPU's
+    while-loop searchsorted lowering — docs/PERF.md round-4 trace), and
+    run_first_index additionally handles the contiguity-only case
+    (sentinel runs at front AND tail from corrupt negative ids)."""
+    from tfrec_tpu.ops.embedding import run_first_index, run_last_index_plus1
+
+    rng = np.random.default_rng(0)
+    for n, hi_val in ((1, 2), (7, 3), (64, 9), (300, 30)):
+        x = np.sort(rng.integers(0, hi_val, n)).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(run_first_index(jnp.asarray(x))),
+            np.searchsorted(x, x, side="left"))
+        np.testing.assert_array_equal(
+            np.asarray(run_last_index_plus1(jnp.asarray(x))),
+            np.searchsorted(x, x, side="right"))
+    x = jnp.asarray(np.array([9, 9, 0, 1, 1, 5, 9, 9], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(run_first_index(x)), [0, 0, 2, 3, 3, 5, 6, 6])

@@ -23,6 +23,42 @@ import jax
 import jax.numpy as jnp
 
 
+def run_first_index(x: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.searchsorted(x, x, side='left')`` for arrays whose EQUAL
+    values are contiguous (e.g. sorted arrays): the first index of each
+    element's run, as an O(n) cummax.
+
+    Why not jnp.searchsorted: its default lowering on XLA:TPU is a
+    vmapped binary-search ``while`` loop that measured ~816 us PER CALL
+    at n=8192 — 26 of them accounted for ~21 ms of the row-sharded
+    step's 29 ms overhead (round-4 device trace, docs/PERF.md "Round-4
+    on-chip results"). The cummax lowers to a log-depth fused scan.
+
+    Only per-value contiguity is required, not global sortedness — runs
+    of a repeated value elsewhere (e.g. corrupt negative ids mapped to a
+    sentinel at the front of an otherwise ascending array) index their
+    OWN run, which is strictly more robust than binary search on such
+    inputs.
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), x[1:] != x[:-1]]
+    )
+    return jax.lax.cummax(jnp.where(is_start, idx, 0))
+
+
+def run_last_index_plus1(x: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.searchsorted(x, x, side='right')`` under the same
+    contiguity contract as :func:`run_first_index`: one past the last
+    index of each element's run (reversed cummin of run ends)."""
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_end = jnp.concatenate([x[1:] != x[:-1], jnp.ones((1,), bool)])
+    ends = jax.lax.cummin(jnp.where(is_end, idx, n - 1)[::-1])[::-1]
+    return ends + 1
+
+
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
     """One logical embedding table."""

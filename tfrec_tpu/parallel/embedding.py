@@ -48,7 +48,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tfrec_tpu.ops.embedding import combine_duplicate_ids, dedup_ids
+from tfrec_tpu.ops.embedding import (
+    combine_duplicate_ids,
+    dedup_ids,
+    run_first_index,
+)
 from tfrec_tpu.ops.sparse_optim import SparseOptimizer
 
 
@@ -100,7 +104,10 @@ def bucket_by_dest(
         order = jnp.argsort(dest)  # stable: preserves batch order within a dest
         sd = jnp.take(dest, order)
         sids = jnp.take(jnp.where(invalid, sentinel, ids), order)
-    first = jnp.searchsorted(sd, sd, side="left")
+    # run_first_index == searchsorted(sd, sd, 'left') here, WITHOUT the
+    # vmapped binary-search while-loop XLA:TPU emits for searchsorted
+    # (~816 us/call at n=8192 — the round-4 mesh-overhead culprit).
+    first = run_first_index(sd)
     rank = jnp.arange(n) - first
     real = sids < sentinel
     ok = (rank < capacity) & real

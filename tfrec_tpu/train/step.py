@@ -275,8 +275,11 @@ class TrainStepBuilder:
         assert b * total == n_ids, (name, n_ids, widths)
         bounds = np.cumsum([w * b for w in widths[:-1]]).astype(np.int32)
         pos = jnp.arange(n_ids, dtype=jnp.int32)
-        return jnp.searchsorted(
-            jnp.asarray(bounds), pos, side="right"
+        # count of bounds <= pos == searchsorted(bounds, pos, 'right'),
+        # vectorized over the tiny static bounds (searchsorted lowers to
+        # a while-loop on XLA:TPU — docs/PERF.md round-4 trace).
+        return jnp.sum(
+            pos[:, None] >= jnp.asarray(bounds)[None, :], axis=1
         ).astype(jnp.int32)
 
     def _fused_scatter_ok(self, table, name: str = "") -> bool:
