@@ -15,8 +15,6 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import glob
-import gzip
-import json
 import traceback
 
 import jax
@@ -64,31 +62,13 @@ def build(sharding: str):
 
 
 def top_ops(trace_dir):
-    """Aggregate device-track event durations by name from the perfetto
-    trace json.gz under trace_dir."""
-    paths = glob.glob(
-        _os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
-    )
-    if not paths:
+    """Product parser (utils/profile.top_device_ops); None if no trace."""
+    from tfrec_tpu.utils.profile import top_device_ops
+
+    try:
+        return [(n, d) for n, d, _ in top_device_ops(trace_dir, k=20)]
+    except FileNotFoundError:
         return None
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", data if isinstance(data, list) else [])
-    # device tracks: pid names containing "TPU" / "Device"
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
-    device_pids = {
-        p for p, n in pid_names.items()
-        if "TPU" in n or "Device" in n or "/device" in n.lower()
-    }
-    agg = {}
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            name = e.get("name", "?")
-            agg[name] = agg.get(name, 0.0) + float(e.get("dur", 0.0))
-    return sorted(agg.items(), key=lambda kv: -kv[1])[:20]
 
 
 def main() -> int:

@@ -131,3 +131,38 @@ def test_run_config_is_first_log_record(tmp_path):
     assert first["event"] == "run_config"
     assert first["config"]["model"]["name"] == "mf"
     assert first["config"]["train"]["batch_size"] == 32
+
+
+def test_top_device_ops_parses_perfetto_trace(tmp_path):
+    """utils/profile.top_device_ops: device tracks aggregated by duration
+    (the round-4 forensics tool — docs/PERF.md); host tracks ignored."""
+    import gzip
+    import json
+
+    from tfrec_tpu.utils.profile import top_device_ops
+
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "python host"}},
+        {"ph": "X", "pid": 1, "name": "while.7", "dur": 800.0, "ts": 0},
+        {"ph": "X", "pid": 1, "name": "while.9", "dur": 700.0, "ts": 1},
+        {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 100.0, "ts": 2},
+        {"ph": "X", "pid": 2, "name": "host_thing", "dur": 9999.0, "ts": 3},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    with gzip.open(d / "x.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = top_device_ops(str(tmp_path))
+    assert rows[0] == ("while.7", 800.0, 1)
+    assert all(n != "host_thing" for n, _, _ in rows)
+    grouped = top_device_ops(str(tmp_path), group=True)
+    assert grouped[0] == ("while", 1500.0, 2)
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        top_device_ops(str(tmp_path / "nope"))

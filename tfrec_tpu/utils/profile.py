@@ -59,3 +59,50 @@ class Timer:
         if result is not None:
             jax.block_until_ready(result)
         return time.perf_counter() - self.t0
+
+
+def top_device_ops(trace_dir: str, k: int = 20, group: bool = False):
+    """Aggregate DEVICE-track op durations from a jax.profiler perfetto
+    trace (``jax.profiler.trace(dir, create_perfetto_trace=True)`` or
+    StepProfiler's output dir after conversion).
+
+    Returns [(op_name, total_us, count)] sorted by total duration — the
+    round-4 tool that caught jnp.searchsorted's while-loop lowering
+    costing the mesh path 2x (docs/PERF.md "Round-4 on-chip results").
+    ``group=True`` merges ops by their class (name before the first
+    '.'), e.g. all ``while.NNN`` into one row.
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(
+        f"{trace_dir}/**/*.trace.json.gz", recursive=True
+    ))
+    if not paths:
+        raise FileNotFoundError(
+            f"no *.trace.json.gz under {trace_dir!r} — pass "
+            "create_perfetto_trace=True to jax.profiler.trace"
+        )
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+    device_pids = {
+        p for p, n in pid_names.items()
+        if "TPU" in n or "Device" in n or "/device" in n.lower()
+    }
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            name = e.get("name", "?")
+            if group:
+                name = name.split(".")[0]
+            dur, cnt = agg.get(name, (0.0, 0))
+            agg[name] = (dur + float(e.get("dur", 0.0)), cnt + 1)
+    rows = [(n, d, c) for n, (d, c) in agg.items()]
+    rows.sort(key=lambda r: -r[1])
+    return rows[:k]
