@@ -743,7 +743,12 @@ def main(argv=None) -> int:
                 vs_baseline, a_res["value"], base[ANCHOR_KEY]
             )
             extra["session_factor"] = sf
-            extra["vs_baseline_normalized"] = norm
+            # Only emit the drift-corrected headline when a real baseline
+            # comparison happened: normalizing the placeholder 1.0 would
+            # fabricate a regression/gain out of pure session drift
+            # (review finding, round 4).
+            if base_key in base:
+                extra["vs_baseline_normalized"] = norm
         except Exception as e:  # the anchor is context, never a failure
             extra["anchor_error"] = type(e).__name__
 

@@ -104,8 +104,7 @@ def _build(variant: str):
     sharding = "gspmd" if variant == "gspmd" else "row"
     fused = variant == "row_fused"
     model = build_model(mcfg, DataSpec.ctr(VOCABS, NUM_DENSE),
-                        sharded_tables=True, batch_size=B,
-                        table_sharding=sharding)
+                        sharded_tables=True, batch_size=B)
     builder = ShardedTrainStepBuilder(
         model, "logloss", ocfg, mesh,
         MeshConfig(table_sharding=sharding, a2a_dtype="float32",

@@ -39,8 +39,7 @@ def build(sharding: str):
     model = build_model(
         ModelConfig(name="dcn", embed_dim=D, num_cross_layers=3,
                     mlp_dims=(512, 256, 128), lane_pack=False),
-        DataSpec.ctr(VOCABS, NUM_DENSE), sharded_tables=True,
-        batch_size=B, table_sharding=sharding)
+        DataSpec.ctr(VOCABS, NUM_DENSE), sharded_tables=True, batch_size=B)
     b = ShardedTrainStepBuilder(
         model, "logloss",
         OptimConfig(learning_rate=1e-3, dense_optimizer="adam",
@@ -77,7 +76,7 @@ def main() -> int:
                         r"dynamic-update-slice", r"scatter", r"sort",
                         r"fusion"):
                 print(f"  {pat}: {len(re.findall(pat, hlo))}", flush=True)
-            big = re.findall(r"f32\[100000,32\][^\n]*? copy\(", hlo)
+            big = re.findall(rf"f32\[100000,{D}\][^\n]*? copy\(", hlo)
             print(f"  table-sized copies: {len(big)}", flush=True)
             try:
                 ca = compiled.cost_analysis()

@@ -38,8 +38,7 @@ def build(sharding: str):
     model = build_model(
         ModelConfig(name="dcn", embed_dim=D, num_cross_layers=3,
                     mlp_dims=(512, 256, 128), lane_pack=False),
-        DataSpec.ctr(VOCABS, NUM_DENSE), sharded_tables=True,
-        batch_size=B, table_sharding=sharding)
+        DataSpec.ctr(VOCABS, NUM_DENSE), sharded_tables=True, batch_size=B)
     b = ShardedTrainStepBuilder(
         model, "logloss",
         OptimConfig(learning_rate=1e-3, dense_optimizer="adam",

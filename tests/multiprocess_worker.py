@@ -13,10 +13,12 @@ import os
 import sys
 
 
-def _ckpt_builder_state(key: int):
-    """Deterministic tiny sharded DCN state on the live 8-device mesh —
-    shared by the save and restore phases so templates match structurally
-    while values differ by ``key``."""
+def _ckpt_builder_state(key: int, n_data: int = 8):
+    """Deterministic tiny sharded DCN state on the live n_data-device mesh
+    — shared by the save and restore phases so templates match
+    structurally while values differ by ``key``. A non-default ``n_data``
+    exercises the DEVICE-count (vocab-padding) leg of cross-topology
+    restore: pad_vocab(30, 4) = 32 but pad_vocab(30, 8) = 64."""
     import jax
 
     from tfrec_tpu.configs import MeshConfig, ModelConfig, OptimConfig
@@ -24,7 +26,7 @@ def _ckpt_builder_state(key: int):
     from tfrec_tpu.parallel.mesh import make_mesh
     from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
 
-    mesh = make_mesh(8, 1)
+    mesh = make_mesh(n_data, 1)
     model = build_model(
         ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
                     mlp_dims=(8,), lane_pack=False),

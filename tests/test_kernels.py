@@ -145,11 +145,13 @@ def test_fused_rowwise_adagrad_matches_xla_apply():
                                rtol=1e-5)
 
 
-@pytest.mark.parametrize("cross_rank", [0, 4])
-def test_pallas_step_matches_xla_step(cross_rank):
+@pytest.mark.parametrize("model_name,cross_rank", [("dcn", 0), ("dcnv2", 4)])
+def test_pallas_step_matches_xla_step(model_name, cross_rank):
     """Full single-device step: kernels='pallas' == kernels='xla', for
-    DCN-v1 (cross_rank=0) and v2 LOW-RANK (cross_rank>0, routes through
-    cross_stack_pallas_v2)."""
+    DCN-v1 and v2 LOW-RANK (name="dcnv2" + cross_rank>0 — v2 is keyed on
+    the NAME; a first version of this test passed name="dcn" and
+    vacuously compared v1 against itself, which build_model now rejects
+    loudly). The v2 case routes through cross_stack_pallas_v2."""
     from tfrec_tpu.configs import ModelConfig, OptimConfig
     from tfrec_tpu.models import DataSpec, build_model
     from tfrec_tpu.train.step import TrainStepBuilder
@@ -167,11 +169,13 @@ def test_pallas_step_matches_xla_step(cross_rank):
     states = {}
     for kern in ("xla", "pallas"):
         model = build_model(
-            ModelConfig(name="dcn", embed_dim=8, num_cross_layers=2,
+            ModelConfig(name=model_name, embed_dim=8, num_cross_layers=2,
                         mlp_dims=(16,), cross_rank=cross_rank),
             DataSpec.ctr(vocabs, 4),
             backend=kern,
         )
+        if model_name == "dcnv2":
+            assert "u" in model.init_dense(jax.random.PRNGKey(0))["cross"]
         b = TrainStepBuilder(model, "logloss", ocfg, kernels=kern)
         s = b.init_state(jax.random.PRNGKey(0))
         step = jax.jit(b.step)

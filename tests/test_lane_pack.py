@@ -194,9 +194,8 @@ def test_lane_pack_auto_default():
     assert not m.lane_pack
     # rowwise_adam now packs: grouped [V, G] moments + slot-derived touch
     # masks keep its math exactly the per-table rule.
-    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
-                    sparse_optimizer="rowwise_adam")
-    assert m.lane_pack
+    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec)
+    assert m.lane_pack  # auto no longer keys on the optimizer (grouped adam)
     # Mixed field dims cannot share a fixed-width slot layout.
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
                                 field_dims=(32, 16, 32)), spec)
@@ -221,11 +220,8 @@ def test_lane_pack_auto_default():
                                 lane_pack=True), spec,
                     sharded_tables=True)
     assert m.lane_pack
-    # Column sharding CANNOT pack (a feature split would cut across lane
-    # groups; the builder refuses packed+col) — auto must not choose it.
-    m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
-                    sharded_tables=True, table_sharding="col")
-    assert not m.lane_pack
+    # (Column sharding is subsumed by the sharded exclusion above; the
+    # builder still refuses explicit packed+col loudly — test below.)
     # b >= 32k PER CHIP: the P-fold-bigger dedup sorts eat the sweep
     # saving (measured tie at b=32768 — docs/PERF.md); auto stays unpacked.
     m = build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,)), spec,
@@ -400,3 +396,31 @@ def test_lane_sliced_wire_moves_d_lanes():
     with pytest.raises(ValueError, match="equal per-field"):
         build_model(ModelConfig(name="dcn", embed_dim=32, mlp_dims=(8,),
                                 field_dims=(32, 16), lane_pack=True), spec)
+
+
+@pytest.mark.parametrize("gd", ["flat", True])
+def test_group_dedup_routes_packed_adam_per_table(gd):
+    """group_dedup grouped/flat + lane-packed rowwise_adam: the grouped
+    combine carries no slot signal, so packed-adam tables must route
+    through the per-table seam (review finding: this combination crashed
+    at trace time — [V, G] moment state vs a bare [n] uids set). Pinned
+    bitwise against group_dedup=False."""
+    spec = DataSpec.ctr((96, 64, 40, 56), num_dense=2)
+    cfg = ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                      num_cross_layers=2, lane_pack=True)
+    opt = dataclasses.replace(OPT, sparse_optimizer="rowwise_adam")
+    batch = _ctr_batch(np.random.default_rng(9), spec, 64)
+    res = {}
+    for mode in (False, gd):
+        model = build_model(cfg, spec)
+        b = TrainStepBuilder(model, "logloss", opt, seed=3, group_dedup=mode)
+        s = b.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(b.step)
+        for _ in range(3):
+            s, m = step(s, batch)
+        res[mode] = (jax.device_get(s), float(m["loss"]))
+    assert res[gd][1] == res[False][1]
+    for n in res[False][0]["tables"]:
+        np.testing.assert_array_equal(
+            np.asarray(res[False][0]["tables"][n]),
+            np.asarray(res[gd][0]["tables"][n]), err_msg=n)

@@ -71,10 +71,8 @@ __all__ = [
 
 def lane_pack_applies(
     model: "RecModel",
-    sparse_optimizer: str,
     sharded_tables: bool = False,
     batch_size: int | None = None,
-    table_sharding: str = "row",
 ) -> bool:
     """True iff AUTO lane packing (ModelConfig.lane_pack=None) should turn
     on for this model: a CTR model with >= 2 equal-dim fields and d < 128
@@ -90,10 +88,11 @@ def lane_pack_applies(
     already capacity-bounded (it scatters received buckets, never sweeps
     V lane-lines), so packing's dominant single-device win does not
     apply there, and the (id, slot) key handling + one-hot reassembly
-    cost a measured 0.87-0.90x on-chip (interleaved (1,1)-mesh K-pair
-    slopes, healthy 154.9 TFLOP/s session, 2026-08-20:
-    unpacked 43.3/42.6 ms vs packed 48.0/49.6 ms at d=32/b=8192 —
-    benchmarks/exp_mesh_ab.py; docs/PERF.md "Round-4 decisions").
+    cost a measured 0.87-0.92x on-chip (interleaved (1,1)-mesh K-pair
+    slopes, two healthy sessions 2026-08-20, including a re-run after the
+    searchsorted fix: unpacked 22.23/21.87 ms vs packed 24.20/25.04 ms
+    at d=32/b=8192 — benchmarks/exp_mesh_ab.py; docs/PERF.md "Round-4
+    on-chip results").
     Explicit ``model.lane_pack=True`` still selects the lane-sliced mesh
     path (equivalence-pinned in tests/test_lane_pack.py).
 
@@ -129,10 +128,8 @@ def build_model(
     data_spec: DataSpec,
     *,
     backend: str = "xla",
-    sparse_optimizer: str = "rowwise_adagrad",
     sharded_tables: bool = False,
     batch_size: int | None = None,
-    table_sharding: str = "row",
 ) -> RecModel:
     name = cfg.name.lower()
     if cfg.stack_tables or cfg.lane_pack or cfg.lane_pack is None:
@@ -146,8 +143,7 @@ def build_model(
         if cfg.lane_pack is None and not cfg.stack_tables:
             # AUTO (the default): pack whenever it applies; silently keep
             # per-field tables otherwise. Explicit True below stays loud.
-            if lane_pack_applies(model, sparse_optimizer, sharded_tables,
-                                 batch_size, table_sharding):
+            if lane_pack_applies(model, sharded_tables, batch_size):
                 return model.enable_lane_packing()
             return model
         if not isinstance(model, CTRBase):
@@ -203,6 +199,13 @@ def build_model(
     if name == "fm":
         return FM(data_spec, cfg.embed_dim, field_dims=cfg.field_dims or None)
     if name in ("dcn", "dcnv2"):
+        if name == "dcn" and cfg.cross_rank > 0:
+            raise ValueError(
+                "model.cross_rank applies to DCN-v2's low-rank crosses; "
+                "name='dcn' (v1, rank-one) would silently ignore it — use "
+                "model.name='dcnv2' (a real round-4 test bug class: a "
+                "dcn+cross_rank config compared v1 against itself)"
+            )
         return DCN(
             data_spec,
             cfg.embed_dim,

@@ -346,7 +346,16 @@ class TrainStepBuilder:
 
         groups: Dict[tuple, list] = {}
         for name in gathered_grad:
-            if ids[name].ndim != 1:
+            if ids[name].ndim != 1 or (
+                self._lane_groups().get(name, 1) > 1
+                and self.sparse_opt.name == "rowwise_adam"
+            ):
+                # Grouped/flat combine hands sparse_update_deduped bare
+                # (uids, grads) with no slot signal; lane-packed
+                # rowwise_adam needs per-key slots for its [V, G] touch
+                # mask — the per-table seam derives them (review finding:
+                # before this guard the combination crashed at trace
+                # time; pre-round-4 it was unbuildable).
                 per_table(name)
                 continue
             key = (ids[name].shape, str(ids[name].dtype), gathered_grad[name].shape)

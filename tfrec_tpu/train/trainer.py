@@ -209,10 +209,8 @@ class Trainer:
                 })
         self.model = build_model(model_cfg, self.data_spec,
                                  backend=c.train.kernels,
-                                 sparse_optimizer=c.optim.sparse_optimizer,
                                  sharded_tables=will_shard,
-                                 batch_size=max(c.train.batch_size // n_data, 1),
-                                 table_sharding=c.mesh.table_sharding)
+                                 batch_size=max(c.train.batch_size // n_data, 1))
         loss = c.train.loss
         if self.is_ctr_model and loss in PAIRWISE_LOSSES:
             self.logger.log({
@@ -839,8 +837,12 @@ class Trainer:
             tables = dict(self.solver.tables())
             # Fetch-fence (not block_until_ready — docs/PERF.md): pull one
             # element of each solved table to the host before timing.
+            # Indexed fetch, NOT jnp.ravel(t)[0]: a standalone ravel
+            # dispatch materializes a full O(V*D) copy (un-donated
+            # outputs cannot alias), polluting the timed epoch (review
+            # finding, round 4).
             for t in tables.values():
-                float(jnp.ravel(t)[0])
+                float(t[(0,) * t.ndim])
             dt = time.monotonic() - t0
             self.state = {
                 "step": jnp.asarray(epoch + 1, jnp.int32),

@@ -109,6 +109,11 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
             json.dump({
                 "step": step, "keys": sorted(flat),
                 "process_count": jax.process_count(),
+                # Device count distinguishes a same-proc-count restore
+                # whose vocab padding differs (pad_vocab is a function of
+                # DEVICE count) — that case must reassemble, not fast-path
+                # (review finding, round 4).
+                "device_count": jax.device_count(),
             }, f)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -336,10 +341,18 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
         with open(tree_path) as f:
             tree_meta = json.load(f)
     saved_procs = tree_meta.get("process_count")
+    saved_devs = tree_meta.get("device_count")
     cur_procs = jax.process_count()
     # Legacy checkpoints (no process_count) keep the old same-topology
     # fast path; with metadata present, topology changes reassemble.
-    same_topology = saved_procs is None or saved_procs == cur_procs
+    # "Same topology" requires the DEVICE count too when recorded: vocab
+    # padding is a function of device count, so saving on 1 proc x 8
+    # devices and restoring on 1 proc x 4 changes the padded row count
+    # even though the process count matches (review finding, round 4).
+    same_topology = saved_procs is None or (
+        saved_procs == cur_procs
+        and (saved_devs is None or saved_devs == jax.device_count())
+    )
     blocks_meta: Dict[int, dict] = {}
     if not same_topology:
         import glob as _glob
