@@ -241,6 +241,8 @@ EXPERIMENTS = {
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
+    "mesh_breakdown_d128": ["env", "BREAKDOWN_DIM=128", "python",
+                            "benchmarks/exp_mesh_breakdown.py"],
     # Compile-only inspection of the (1,1) row vs gspmd step on TPU.
     "mesh_hlo": ["python", "benchmarks/exp_mesh_hlo.py"],
     # Device trace of 3 steps, top ops by duration (row vs gspmd).

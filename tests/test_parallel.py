@@ -588,3 +588,23 @@ def test_run_index_helpers_match_searchsorted():
     x = jnp.asarray(np.array([9, 9, 0, 1, 1, 5, 9, 9], np.int32))
     np.testing.assert_array_equal(
         np.asarray(run_first_index(x)), [0, 0, 2, 3, 3, 5, 6, 6])
+
+
+def test_col_lookup_counts_negatives_and_zeroes_them(mesh4x2):
+    """Col-sharded lookup: corrupt NEGATIVE ids must read as zero and be
+    counted (review finding, round 4 — they silently clamped to row 0
+    while the row path zeroed + counted). >= V sentinel ids stay
+    legitimate maskable bag padding."""
+    ct = ColShardedTable(mesh4x2, V, D)
+    table = _rand(5, (V, D))
+    ids = jnp.array([3, -1, 7, -5, V, 2, 1, 0], jnp.int32)
+    ts = jax.device_put(table, NamedSharding(mesh4x2, P(None, "table")))
+    ids_s = jax.device_put(ids, NamedSharding(mesh4x2, P("data")))
+    out, ovf = jax.jit(ct.lookup)(ts, ids_s)
+    assert int(ovf) == 2
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_array_equal(out[3], 0.0)
+    np.testing.assert_allclose(out[0], np.asarray(table)[3], rtol=1e-6)
+    # sentinel bag padding: clamped (maskable), NOT counted
+    np.testing.assert_allclose(out[4], np.asarray(table)[V - 1], rtol=1e-6)

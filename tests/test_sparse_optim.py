@@ -233,3 +233,41 @@ def test_flat_multi_combine_bit_identical_with_sentinels():
         np.testing.assert_array_equal(
             np.asarray(comb[f][:nreal]), np.asarray(rc[:nreal])
         )
+
+
+def test_combine_multi_negative_id_does_not_cross_tables():
+    """A corrupt NEGATIVE id in one table must not shift the flat keyed
+    sort's block boundaries (review finding, round 4: key = id + offset
+    landed inside the PRECEDING table's range and grads crossed tables).
+    Pinned by comparing the APPLIED scatter result against per-table
+    combines — corrupt entries drop in both paths."""
+    from tfrec_tpu.ops.embedding import (
+        combine_duplicate_ids, combine_duplicate_ids_multi,
+    )
+
+    rng = np.random.default_rng(5)
+    vocabs = [10, 20]
+    ids0 = jnp.asarray(rng.integers(0, 10, 16).astype(np.int32))
+    ids1_np = rng.integers(0, 20, 16).astype(np.int32)
+    ids1_np[3] = -3  # corrupt
+    ids1 = jnp.asarray(ids1_np)
+    g0 = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    g1 = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+
+    uids, comb = combine_duplicate_ids_multi([ids0, ids1], [g0, g1], vocabs)
+    for f, (ids_f, g_f, v) in enumerate([(ids0, g0, 10), (ids1, g1, 20)]):
+        u_ref, c_ref = combine_duplicate_ids(ids_f, g_f, sentinel=v)
+        applied = jnp.zeros((v, 4)).at[uids[f]].add(comb[f], mode="drop")
+        want = jnp.zeros((v, 4)).at[u_ref].add(c_ref, mode="drop")
+        # numpy oracle: valid ids accumulate, the corrupt id contributes
+        # NOTHING anywhere (negative .at[] indices would otherwise wrap
+        # to row v-3 — the second half of this round-4 finding).
+        oracle = np.zeros((v, 4), np.float32)
+        for i in range(16):
+            if 0 <= int(np.asarray(ids_f)[i]) < v:
+                oracle[int(np.asarray(ids_f)[i])] += np.asarray(g_f)[i]
+        np.testing.assert_allclose(np.asarray(applied), oracle,
+                                   rtol=1e-5, atol=1e-6, err_msg=f"table {f}")
+        np.testing.assert_allclose(
+            np.asarray(applied), np.asarray(want), rtol=1e-6, atol=1e-7,
+            err_msg=f"table {f}")

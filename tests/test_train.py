@@ -240,3 +240,29 @@ def test_early_stopping_refuses_unknown_monitor():
     )
     with pytest.raises(ValueError, match="recal@10"):
         run(cfg, quiet=True)
+
+
+def test_save_checkpoint_cleans_stale_tmp(tmp_path):
+    """A crashed prior save leaves step_N.tmp with foreign block files; a
+    fresh save of the same step must NOT publish them (review finding,
+    round 4: stale per-process blocks from a different topology were
+    merged into the final checkpoint and silently corrupted
+    cross-topology restores)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tfrec_tpu.utils.checkpoint import save_checkpoint
+
+    state = {"tables": {"t": jnp.zeros((4, 2))}, "step": jnp.zeros((), jnp.int32)}
+    tmp = tmp_path / "ck" / "step_0000000007.tmp"
+    tmp.mkdir(parents=True)
+    (tmp / "tables__t.p5.npy").write_bytes(b"stale")
+    (tmp / "blocks.p5.json").write_text("{}")
+    save_checkpoint(str(tmp_path / "ck"), 7, state)
+    out = tmp_path / "ck" / "step_0000000007"
+    assert out.is_dir()
+    names = {p.name for p in out.iterdir()}
+    assert "tables__t.p5.npy" not in names, names
+    assert "blocks.p5.json" not in names, names
+    assert "tables__t.p0.npy" in names, names

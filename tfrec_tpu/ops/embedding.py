@@ -135,6 +135,14 @@ def combine_duplicate_ids(
     sentinel slots are out of bounds and dropped before any write).
     """
     n = ids.shape[0]
+    # Corrupt NEGATIVE ids normalize to the sentinel BEFORE the sort:
+    # jax's .at[] wraps negative indices numpy-style, so a raw -3 in
+    # ``uids`` would land the combined gradient on row V-3 of the table
+    # despite mode='drop' (review finding, round 4 — verified on CPU).
+    # The sentinel is a genuine positive out-of-bounds id, so downstream
+    # drops really drop, and sorting the NORMALIZED ids keeps ``uids``
+    # ascending (the indices_are_sorted promise downstream).
+    ids = jnp.where(ids < 0, jnp.int32(sentinel), ids)
     if order is None:
         order = jnp.argsort(ids)
     sids = jnp.take(ids, order)
@@ -183,6 +191,15 @@ def combine_duplicate_ids_grouped(
       ``combine_duplicate_ids(ids[f], grads[f], sentinels[f])``.
     """
     f, n = ids.shape
+    # Same negative-id normalization as combine_duplicate_ids: a raw
+    # negative uid would WRAP at the downstream .at[] scatter.
+    ids = jnp.where(
+        ids < 0,
+        jnp.broadcast_to(
+            jnp.asarray(sentinels, ids.dtype)[:, None], ids.shape
+        ),
+        ids,
+    )
     order = jnp.argsort(ids, axis=-1)
     sids = jnp.take_along_axis(ids, order, axis=-1)
     sg = jnp.take_along_axis(grads, order[..., None], axis=1)
@@ -232,7 +249,12 @@ def combine_duplicate_ids_multi(
 
     Returns:
       (uids [F, N], combined [F, N, D]) — row f is exactly
-      ``combine_duplicate_ids(ids_seq[f], grads_seq[f], sentinels[f])``.
+      ``combine_duplicate_ids(ids_seq[f], grads_seq[f], sentinels[f])``
+      for in-range ids. Out-of-range ids (corrupt negatives, oversized)
+      are normalized to the table's sentinel first — their slots differ
+      from the per-table combine's (which keeps the raw value) but both
+      are dropped by every caller's mode='drop' scatter; the applied
+      table updates are identical.
     """
     import numpy as np
 
@@ -244,9 +266,23 @@ def combine_duplicate_ids_multi(
         f"flat dedup key space {total} overflows int32; use per-table"
     )
     offs = np.concatenate([[0], np.cumsum(spans)[:-1]]).astype(np.int32)
-    keys = jnp.concatenate(
-        [ids.astype(jnp.int32) + int(offs[i]) for i, ids in enumerate(ids_seq)]
-    )
+    # Out-of-range ids (corrupt negatives, oversized) map to the table's
+    # OWN sentinel before offsetting: a raw negative key would sort into
+    # the PRECEDING table's block and shift every block boundary the
+    # static rebasing below depends on — grads would silently land on a
+    # neighbor table's rows (review finding, round 4). Per-table
+    # semantics are preserved: sentinel uids are out of range and every
+    # caller scatters with mode='drop', exactly like the raw negative a
+    # per-table combine would have produced.
+    keys = jnp.concatenate([
+        jnp.where(
+            (ids < 0) | (ids >= int(sentinels[i])),
+            jnp.int32(sentinels[i]),
+            ids.astype(jnp.int32),
+        )
+        + int(offs[i])
+        for i, ids in enumerate(ids_seq)
+    ])
     g = jnp.concatenate(list(grads_seq), axis=0)  # [F*N, D]
     order = jnp.argsort(keys, stable=True)
     sk = jnp.take(keys, order)
@@ -301,5 +337,8 @@ def scatter_add_dedup(
     table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray
 ) -> jnp.ndarray:
     """``table[ids] += rows`` with duplicate ids accumulating; sentinel
-    (out-of-range) ids dropped."""
+    (out-of-range) ids dropped. Negative ids are mapped to the sentinel
+    first — jax's .at[] wraps them numpy-style, so a raw -k would land
+    on row V-k despite mode='drop' (review finding, round 4)."""
+    ids = jnp.where(ids < 0, jnp.int32(table.shape[0]), ids)
     return table.at[ids].add(rows, mode="drop")

@@ -362,6 +362,22 @@ def _adam_apply_fn(b1: float, b2: float, eps: float):
     return apply, apply_deduped
 
 
+def fused_adagrad_gate(vocab: int, dim: int, *, kernels: str,
+                       opt_name: str, lane_grouped: bool) -> bool:
+    """ONE shared eligibility gate for the fused Pallas rowwise-Adagrad
+    RMW (kernels/scatter_pallas.fused_rowwise_adagrad). Used by both the
+    single-device builder (train/step._fused_scatter_ok) and the
+    row-sharded plan (parallel/embedding.RowShardedTable.local_update) —
+    a review finding: the two sites had drifted-prone duplicate logic.
+    Lane-packed tables ([V, G] per-group stats) are excluded: the fused
+    kernel keeps one rowwise scalar."""
+    if kernels != "pallas" or opt_name != "rowwise_adagrad" or lane_grouped:
+        return False
+    from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+
+    return fused_scatter_supported(vocab, dim)
+
+
 def make_sparse_optimizer(
     name: str,
     *,

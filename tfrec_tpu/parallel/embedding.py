@@ -396,17 +396,14 @@ class RowShardedTable:
         lrow = recv_ids.reshape(-1) - base
         lrow = jnp.where((lrow >= 0) & (lrow < rps), lrow, rps).astype(jnp.int32)
         flat_g = recv_g.reshape(n_sh * cap, -1)
-        fused_ok = False
-        if (
-            self.kernels == "pallas"
-            and sparse_opt.name == "rowwise_adagrad"
-            # lane-packed tables ([V, G] accumulator) need per-group
-            # stats; the fused kernel keeps one rowwise scalar.
-            and ostate["acc"].ndim == 1
-        ):
-            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+        # local_update is the UNPACKED path (lane_groups > 1 routes to
+        # local_update_grouped), so lane_grouped is statically False.
+        from tfrec_tpu.ops.sparse_optim import fused_adagrad_gate
 
-            fused_ok = fused_scatter_supported(tbl.shape[0], tbl.shape[1])
+        fused_ok = fused_adagrad_gate(
+            tbl.shape[0], tbl.shape[1], kernels=self.kernels,
+            opt_name=sparse_opt.name, lane_grouped=False,
+        )
         if fused_ok:
             from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
 
@@ -526,23 +523,35 @@ class ColShardedTable:
 
     def lookup(self, table: jnp.ndarray, ids: jnp.ndarray):
         """table: [V, D] sharded P(None, axis); ids: [B] sharded P('data').
-        Returns (activations [B, D] sharded P('data'), overflow=0)."""
+        Returns (activations [B, D] sharded P('data'), overflow scalar —
+        the count of corrupt NEGATIVE ids, matching the row path's
+        never-silent contract; >= V sentinel ids are legitimate bag
+        padding and read as maskable clamped rows)."""
 
         def local(tbl, lids):
             # mode='clip': sentinel bag-padding ids must come back maskable
             # (jnp.take's default NaN fill poisons 0*NaN masking).
             rows = jnp.take(tbl, lids, axis=0, mode="clip")  # [b, D/T]
+            # Corrupt negatives: zero the activation AND count loudly —
+            # before round 4 they clamped to row 0 and trained against a
+            # real embedding invisibly, while the same input under row
+            # sharding was zeroed and counted (review finding).
+            neg = lids < 0
+            rows = jnp.where(neg[:, None], 0.0, rows)
             full = jax.lax.all_gather(rows, self.axis, axis=1, tiled=True)
-            return full
+            overflow = jax.lax.psum(
+                jnp.sum(neg.astype(jnp.int32)), "data"
+            )
+            return full, overflow
 
-        out = jax.shard_map(
+        out, overflow = jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P(None, self.axis), P("data")),
-            out_specs=P("data", None),
+            out_specs=(P("data", None), P()),
             check_vma=False,
         )(table, ids)
-        return out, jnp.zeros((), jnp.int32)
+        return out, overflow
 
     def update(self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
                lr, slots=None):
@@ -553,23 +562,26 @@ class ColShardedTable:
             # The table is replicated over 'data', so every device must see
             # ALL ids/grads or the replicas diverge. Row-path signature
             # discipline before the exchange (SURVEY.md §5 design rule):
-            # 1. combine local duplicate ids (segment-sum) — one grad row
-            #    per unique id on the wire;
-            # 2. slice THIS feature shard's D/T columns BEFORE gathering —
-            #    the gather moves B*D/T words, not B*D (the round-3 path
-            #    gathered full-width grads onto every device);
+            # 1. slice THIS feature shard's D/T columns first;
+            # 2. combine local duplicate ids (segment-sum over the slice)
+            #    — one D/T-wide grad row per unique id on the wire, and
+            #    the combine itself costs D/T, not D;
             # 3. pack into a capacity-bounded [C] buffer with counted,
             #    never-silent overflow (bucket_by_dest, 1 destination).
             b = lids.shape[0]
             uids, inv = dedup_ids(lids, self.vocab)
-            combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
+            # Slice THIS shard's D/T columns BEFORE the combine: inv
+            # depends only on ids, so segment-summing the slice is
+            # equivalent and T-fold cheaper than combining full-width
+            # then slicing (review finding, round 4).
+            t_idx = jax.lax.axis_index(self.axis)
+            lg_slice = jax.lax.dynamic_slice_in_dim(
+                lgrads, t_idx * d_local, d_local, axis=1
+            )
+            g_slice = jax.ops.segment_sum(lg_slice, inv, num_segments=b)
             cap = capacity_for(b, 1, self.capacity_factor)
             send_ids, send_pos, overflow = bucket_by_dest(
                 uids, 1, self.vocab, cap, self.vocab, ids_sorted=True
-            )
-            t_idx = jax.lax.axis_index(self.axis)
-            g_slice = jax.lax.dynamic_slice_in_dim(
-                combined, t_idx * d_local, d_local, axis=1
             )
             flat_pos = send_pos.reshape(-1)
             send_g = jnp.where(

@@ -68,15 +68,24 @@ def host_dedup_sorts(model: RecModel, host_batch) -> Dict[str, "object"]:
             min(8, os.cpu_count() or 1), thread_name_prefix="hostdedup"
         )
 
-    def one(v):
+    vocabs = {spec.name: spec.vocab for spec in model.table_specs()}
+
+    def one(v, sentinel):
         v = np.asarray(v)
+        # Same negative-id normalization as combine_duplicate_ids: the
+        # device combine sorts normalized ids, so the host order must
+        # rank corrupt negatives AT the sentinel to stay bit-identical.
+        v = np.where(v < 0, sentinel, v)
         key = v.astype(np.int64) * len(v) + np.arange(len(v), dtype=np.int64)
         return np.argsort(key, kind="quicksort").astype(np.int32)
 
     if len(ids) > 1:
-        futs = {k: _HOST_SORT_POOL.submit(one, v) for k, v in ids.items()}
+        futs = {
+            k: _HOST_SORT_POOL.submit(one, v, vocabs[k])
+            for k, v in ids.items()
+        }
         return {f"_sort_{k}": f.result() for k, f in futs.items()}
-    return {f"_sort_{k}": one(v) for k, v in ids.items()}
+    return {f"_sort_{k}": one(v, vocabs[k]) for k, v in ids.items()}
 
 
 def make_schedule(cfg: OptimConfig, base_lr: float):
@@ -283,15 +292,13 @@ class TrainStepBuilder:
         ).astype(jnp.int32)
 
     def _fused_scatter_ok(self, table, name: str = "") -> bool:
-        if self._lane_groups().get(name, 1) > 1:
-            # The fused kernel keeps ONE rowwise accumulator; lane-packed
-            # tables need per-group stats — XLA path only.
-            return False
-        if self.kernels == "pallas" and self.sparse_opt.name == "rowwise_adagrad":
-            from tfrec_tpu.kernels.scatter_pallas import fused_scatter_supported
+        from tfrec_tpu.ops.sparse_optim import fused_adagrad_gate
 
-            return fused_scatter_supported(table.shape[0], table.shape[1])
-        return False
+        return fused_adagrad_gate(
+            table.shape[0], table.shape[1], kernels=self.kernels,
+            opt_name=self.sparse_opt.name,
+            lane_grouped=self._lane_groups().get(name, 1) > 1,
+        )
 
     def _lane_groups(self):
         if not hasattr(self, "_lane_groups_cache"):

@@ -31,14 +31,17 @@ import jax
 import numpy as np
 
 
+def _path_key(path) -> str:
+    """ONE place derives the flat key string from a pytree path — save
+    and restore must agree on it (review finding, round 4)."""
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
 def _flatten(state) -> Dict[str, Any]:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
-        )
-        flat[key] = leaf
-    return flat
+    return {
+        _path_key(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+    }
 
 
 def _local_block_meta(leaf):
@@ -90,6 +93,19 @@ def _local_block(leaf) -> np.ndarray:
 def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
     out = os.path.join(ckpt_dir, f"step_{step:010d}")
     tmp = out + ".tmp"
+    # A stale tmp from a CRASHED prior save of this step may hold other
+    # processes' block files (possibly from a different topology); reusing
+    # it would publish fresh and stale blocks together and a later
+    # cross-topology restore would silently overwrite sub-ranges with
+    # stale rows (review finding, round 4). Process 0 cleans, everyone
+    # barriers, then writes.
+    proc0 = jax.process_index() == 0
+    if proc0 and os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_tmp_clean_{step}")
     os.makedirs(tmp, exist_ok=True)
     flat = _flatten(state)
     proc = jax.process_index()
@@ -165,6 +181,15 @@ def load_table_arrays(ckpt_dir: str, step: int | None = None):
         if step is None:
             raise ValueError(f"no checkpoint found under {ckpt_dir!r}")
     d = os.path.join(ckpt_dir, f"step_{step:010d}")
+    # Prefer the recorded per-process block spans (blocks.p*.json): the
+    # bare process-order concat below mis-assembles interleaved layouts
+    # and collapses a zeros-initialized sharded table to one shard via
+    # the replicated-value heuristic (review finding, round 4).
+    blocks_meta: Dict[int, dict] = {}
+    for p in _glob.glob(os.path.join(d, "blocks.p*.json")):
+        i = int(os.path.basename(p)[len("blocks.p"):-len(".json")])
+        with open(p) as f:
+            blocks_meta[i] = json.load(f)
     per_name: Dict[str, Dict[int, str]] = {}
     for p in _glob.glob(os.path.join(d, "tables__*.p*.npy")):
         base = os.path.basename(p)[: -len(".npy")]
@@ -172,6 +197,13 @@ def load_table_arrays(ckpt_dir: str, step: int | None = None):
         per_name.setdefault(name_part[len("tables__"):], {})[int(proc)] = p
     out: Dict[str, np.ndarray] = {}
     for name, procs in per_name.items():
+        key = f"tables/{name}"
+        fname = f"tables__{name}"
+        if blocks_meta and any(key in m for m in blocks_meta.values()):
+            out[name] = _assemble_global(
+                d, key, fname, blocks_meta, len(procs)
+            )
+            continue
         blocks = [np.load(procs[i]) for i in sorted(procs)]
         if len(blocks) > 1 and all(
             b.shape == blocks[0].shape and np.array_equal(b, blocks[0])
@@ -395,8 +427,5 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
             loaded[key] = arr
     # Rebuild the pytree in template order.
     leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
-    keys = [
-        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        for path, _ in leaves_paths
-    ]
+    keys = [_path_key(path) for path, _ in leaves_paths]
     return jax.tree_util.tree_unflatten(treedef, [loaded[k] for k in keys])
