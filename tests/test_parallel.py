@@ -608,3 +608,48 @@ def test_col_lookup_counts_negatives_and_zeroes_them(mesh4x2):
     np.testing.assert_allclose(out[0], np.asarray(table)[3], rtol=1e-6)
     # sentinel bag padding: clamped (maskable), NOT counted
     np.testing.assert_allclose(out[4], np.asarray(table)[V - 1], rtol=1e-6)
+
+
+def test_sharded_step_jaxpr_has_no_sequential_loops(mesh8):
+    """Structural pin for the round-4 searchsorted regression class: the
+    single sharded train step must contain NO scan/while primitives —
+    jnp.searchsorted traces to a sequential `scan` that XLA:TPU lowers
+    to a per-element while loop (~816us/call; it cost the mesh path 2x
+    until the round-4 forensics — docs/PERF.md). multi_step legitimately
+    adds exactly ONE scan (the K-step loop)."""
+    from tfrec_tpu.configs import MeshConfig, ModelConfig
+    from tfrec_tpu.models import build_model
+    from tfrec_tpu.models import DataSpec as DS
+
+    def prim_count(jaxpr, names):
+        total = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in names:
+                total += 1
+            for v in eqn.params.values():
+                sub = getattr(v, "jaxpr", None)
+                if sub is not None:
+                    total += prim_count(sub, names)
+        return total
+
+    spec = DS.ctr((128, 96, 80, 64), num_dense=2)
+    ocfg = OptimConfig(learning_rate=0.01, sparse_optimizer="rowwise_adagrad")
+    rng = np.random.default_rng(3)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32)),
+        "cat": jnp.asarray(np.stack(
+            [rng.integers(0, v, 64) for v in (128, 96, 80, 64)], 1
+        ).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, 64).astype(np.float32)),
+    }
+    for lane in (False, True):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                        num_cross_layers=2, lane_pack=lane), spec)
+        b = ShardedTrainStepBuilder(model, "logloss", ocfg, mesh8, MeshConfig())
+        state = b.init_state(jax.random.PRNGKey(0))
+        j = jax.make_jaxpr(b.step)(state, batch)
+        assert prim_count(j.jaxpr, {"scan", "while"}) == 0, lane
+        stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+        j2 = jax.make_jaxpr(b.multi_step)(state, stacked)
+        assert prim_count(j2.jaxpr, {"scan", "while"}) == 1, lane
