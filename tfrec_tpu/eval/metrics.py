@@ -87,7 +87,6 @@ def auc(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     sorted_logits = logits[order]
     # Average rank for ties: rank = mean of positions with equal value.
     n = logits.shape[0]
-    idx = jnp.arange(n, dtype=jnp.float32)
     # For each position, find the span of equal values. O(n) run scans,
     # not jnp.searchsorted — its XLA:TPU lowering is a vmapped
     # binary-search while-loop (round-4 device trace, docs/PERF.md).
@@ -96,7 +95,6 @@ def auc(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     lo = run_first_index(sorted_logits).astype(jnp.float32)
     hi = run_last_index_plus1(sorted_logits).astype(jnp.float32)
     avg_rank_sorted = (lo + hi - 1.0) / 2.0 + 1.0  # 1-based average ranks
-    del idx
     ranks = jnp.zeros(n, dtype=jnp.float32).at[order].set(avg_rank_sorted)
     pos = labels > 0.5
     n_pos = jnp.sum(pos.astype(jnp.float32))

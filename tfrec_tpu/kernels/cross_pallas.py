@@ -57,9 +57,7 @@ def _block_b(dim: int, n_live_bufs: int, reserved: int = 0) -> int:
 
 
 def _pad_batch(x: jnp.ndarray, tb: int) -> jnp.ndarray:
-    n = x.shape[0]
-    pad = (-n) % tb
-    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    return _pad_to(x, tb, axis=0)
 
 
 def _row_dot(x, w_row):

@@ -92,6 +92,13 @@ def make_schedule(cfg: OptimConfig, base_lr: float):
     """Step -> lr. Shared by the dense (optax) and sparse (rowwise) paths."""
     if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
         return lambda step: base_lr
+    if cfg.lr_schedule not in ("constant", "cosine", "linear"):
+        # Refusing beats silently training at constant LR (the repo's
+        # named silent-fallback bug class — review finding, round 4).
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r}; "
+            "options: constant, cosine, linear"
+        )
     if cfg.lr_schedule in ("cosine", "linear") and cfg.decay_steps <= 0:
         raise ValueError(
             f"lr_schedule={cfg.lr_schedule!r} requires decay_steps > 0 "
@@ -110,7 +117,7 @@ def make_schedule(cfg: OptimConfig, base_lr: float):
         elif cfg.lr_schedule == "linear":
             frac = jnp.clip(step / decay_steps, 0.0, 1.0)
             decayed = base_lr + (end - base_lr) * frac
-        else:  # constant (+ warmup)
+        else:  # constant (+ warmup); unknown names raise below
             decayed = base_lr
         return decayed * (warm if cfg.warmup_steps > 0 else 1.0)
 
@@ -221,7 +228,7 @@ class TrainStepBuilder:
         # Lane-packed tables (TableSpec.lane_groups > 1) keep per-group
         # rowwise optimizer state; the apply path infers the grouping
         # from the state shape.
-        groups = {s.name: s.lane_groups for s in self.model.table_specs()}
+        groups = self._lane_groups()
         return {
             "step": jnp.zeros((), jnp.int32),
             "tables": params["tables"],
@@ -479,6 +486,11 @@ class TrainStepBuilder:
         state, stacked = jax.lax.scan(body, state, batches)
         out = {k: v[-1] for k, v in stacked.items()}
         out["loss_mean"] = jnp.mean(stacked["loss"])
+        if "lookup_overflow" in stacked:
+            # SUM across the K steps: overflow is a loudness counter —
+            # keeping only step K-1's count hid a2a capacity drops in
+            # steps 0..K-2 of each dispatch (review finding, round 4).
+            out["lookup_overflow"] = jnp.sum(stacked["lookup_overflow"])
         return state, out
 
 

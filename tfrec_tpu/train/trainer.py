@@ -74,10 +74,14 @@ class Trainer:
         self.config = config
         c = config
         self.is_ctr_model = c.model.name.lower() in CTR_MODELS
-        if c.train.matmul_precision != "default":
-            jax.config.update(
-                "jax_default_matmul_precision", c.train.matmul_precision
-            )
+        # ALWAYS set (None restores jax's own default): the flag is
+        # process-global, so a previous Trainer's non-default precision
+        # would silently leak into this run (review finding, round 4).
+        jax.config.update(
+            "jax_default_matmul_precision",
+            None if c.train.matmul_precision == "default"
+            else c.train.matmul_precision,
+        )
         self.logger = MetricLogger(
             c.run_name,
             out_dir=c.train.checkpoint_dir if log_metrics else None,
@@ -595,7 +599,8 @@ class Trainer:
             and not getattr(self.builder, "group_dedup", False)
         )
 
-    def _host_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def _host_batch(self, batch: Dict[str, np.ndarray],
+                    train: bool = True) -> Dict[str, np.ndarray]:
         """Model-facing host batch (interaction -> CTR adapter applied)."""
         if self.is_ctr_model and self.ctr_arrays is None:
             # interaction pointwise sample -> multi-field categorical batch
@@ -610,7 +615,10 @@ class Trainer:
                 "cat": np.concatenate(cols, axis=1).astype(np.int32),
                 "label": batch["label"],
             }
-        if self._host_dedup_on:
+        if self._host_dedup_on and train:
+            # Only the train step consumes "_sort_*" keys; eval forwards
+            # would pay the host argsorts + transfer for dead arrays
+            # (review finding, round 4).
             from tfrec_tpu.train.step import host_dedup_sorts
 
             batch = {**batch, **host_dedup_sorts(self.model, batch)}
@@ -632,8 +640,9 @@ class Trainer:
             }
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
-    def _to_device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-        return self._device_put_batch(self._host_batch(batch))
+    def _to_device_batch(self, batch: Dict[str, np.ndarray],
+                         train: bool = True) -> Dict[str, jnp.ndarray]:
+        return self._device_put_batch(self._host_batch(batch, train=train))
 
     def _compile(self, dev_batch, stacked: bool = False):
         """jit the (multi-)step appropriate for this batch shape."""
@@ -818,8 +827,24 @@ class Trainer:
             items = np.concatenate([items, items[:pad]])
             labels = np.concatenate([labels, labels[:pad]])
         batch = {"user": users.astype(np.int32), "item": items, "label": labels}
-        dev_batch = self._to_device_batch(batch)
+        n_proc = jax.process_count()
+        if n_proc > 1 and self.mesh is not None:
+            # Every process built the IDENTICAL full batch; contribute
+            # only this process's contiguous row block — the multi-process
+            # device_put assembles the global array from process-local
+            # shards, so shipping the full batch would duplicate it
+            # n_proc-fold (review finding, round 4; mirrors _eval_ctr).
+            rows = len(batch["user"]) // n_proc
+            lo = jax.process_index() * rows
+            batch = {k: v[lo : lo + rows] for k, v in batch.items()}
+        dev_batch = self._to_device_batch(batch, train=False)
         logits, _ovf = self._forward_fn()(self.state, dev_batch)
+        if n_proc > 1 and self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            logits = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(self.mesh, P())
+            )(logits)
         return {"auc": float(auc_metric(logits[:real], jnp.asarray(labels[:real])))}
 
     # ---- training ----
@@ -973,11 +998,19 @@ class Trainer:
                 batch_stream = prefetch(
                     self.sampler.epoch(epoch), self._to_device_batch
                 )
-            # With K>1, the cap rounds DOWN to whole dispatches (min 1):
-            # an epoch never exceeds steps_per_epoch optimizer steps.
-            cap_dispatch = (
-                max(steps_cap // k_steps, 1) if steps_cap > 0 else -1
-            )
+            # With K>1 the cap rounds DOWN to whole dispatches. When the
+            # step budget is SMALLER than one dispatch, one dispatch is
+            # still the minimum unit of progress at static shapes — run
+            # it, but say so (the previous comment claimed the cap was
+            # never exceeded; review finding, round 4).
+            cap_dispatch = steps_cap // k_steps if steps_cap > 0 else -1
+            if steps_cap > 0 and cap_dispatch == 0:
+                self.logger.log({
+                    "event": "dispatch_exceeds_step_cap",
+                    "steps_per_dispatch": k_steps,
+                    "step_cap": steps_cap,
+                })
+                cap_dispatch = 1
             for i, dev_batch in enumerate(batch_stream):
                 if cap_dispatch > 0 and i >= cap_dispatch:
                     break
