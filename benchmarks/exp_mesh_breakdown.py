@@ -19,6 +19,10 @@ out one half of the a2a machinery at a time, interleaved in ONE session:
   singledev     TrainStepBuilder (no shard_map, no mesh) — the anchor
 
 K-pair scan slopes, loss fetched per dispatch, variants round-robin.
+Since the round-4 donation fix the jits DONATE the state and the timing
+loop THREADS it (exactly the product compile_step contract) — the first
+runs of this experiment did neither, so their ~3-5 ms/step of copy
+traffic partly measured the experiment, not the product.
 BREAKDOWN_DIM / BREAKDOWN_BATCH override d / b. Catches everything;
 exits 0. Run via: python benchmarks/tpu_experiments.py --only mesh_breakdown
 """
@@ -94,7 +98,10 @@ def _build(variant: str):
         stacked = {
             k: {n: jnp.asarray(v) for n, v in host[k].items()} for k in K_PAIR
         }
-        steps = {k: jax.jit(builder.multi_step) for k in K_PAIR}
+        steps = {
+            k: jax.jit(builder.multi_step, donate_argnums=(0,))
+            for k in K_PAIR
+        }
         return state, stacked, steps
 
     from tfrec_tpu.parallel.mesh import make_mesh
@@ -139,6 +146,7 @@ def _build(variant: str):
             builder.multi_step,
             in_shardings=(builder.state_shardings(state), shardings),
             out_shardings=(builder.state_shardings(state), None),
+            donate_argnums=(0,),
         )
         for k in K_PAIR
     }
@@ -154,20 +162,23 @@ def main() -> int:
         losses = {}
         for name, (state, stacked, steps) in built.items():
             for k in K_PAIR:
-                _, m = steps[k](state, stacked[k])
+                state, m = steps[k](state, stacked[k])  # donated: thread it
                 losses[name] = float(m["loss"])
+            built[name] = (state, stacked, steps)
         print("compile done; losses " + ", ".join(
             f"{n}={v:.4f}" for n, v in losses.items()), flush=True)
 
         times = {n: {k: [] for k in K_PAIR} for n in VARIANTS}
         for _ in range(ROUNDS):
-            for name, (state, stacked, steps) in built.items():
+            for name in VARIANTS:
+                state, stacked, steps = built[name]
                 for k in K_PAIR:
                     t0 = time.perf_counter()
                     for _ in range(REPS):
-                        _, m = steps[k](state, stacked[k])
+                        state, m = steps[k](state, stacked[k])
                         float(m["loss"])  # elision-proof fence
                     times[name][k].append(time.perf_counter() - t0)
+                built[name] = (state, stacked, steps)
         k_s, k_b = K_PAIR
         rates = {}
         for name in VARIANTS:
