@@ -748,8 +748,19 @@ class Trainer:
         """Eval batches must split evenly over the data mesh axis."""
         return self.mesh.shape["data"] if self.mesh is not None else 1
 
-    def _eval_ctr(self, dense, cat, label, max_n: int = 200_000) -> Dict[str, float]:
-        n = min(len(label), max_n)
+    def _eval_ctr(self, dense, cat, label) -> Dict[str, float]:
+        max_n = self.config.train.eval_ctr_max_rows
+        n = min(len(label), max_n) if max_n > 0 else len(label)
+        if n < len(label):
+            # The cap truncates this holdout: say so in the log stream AND
+            # in the eval record itself (silent subsampling of the
+            # contract metric is the repo's named bug class).
+            self.logger.log({
+                "event": "eval_truncated",
+                "eval_rows": n,
+                "holdout_rows": len(label),
+                "knob": "train.eval_ctr_max_rows",
+            })
         mult = self._eval_rows()
         bs = min(8192, -(-n // mult) * mult)
         bs = -(-bs // mult) * mult
@@ -796,6 +807,8 @@ class Trainer:
         a = float(auc_metric(jnp.asarray(logits), jnp.asarray(labels)))
         ll = float(logloss_metric(jnp.asarray(logits), jnp.asarray(labels)))
         out = {"auc": a, "logloss": ll}
+        if n < len(label):
+            out["eval_rows"] = float(n)  # truncated — see eval_truncated event
         if overflow:  # a2a capacity drops during eval — loud, never silent
             out["eval_lookup_overflow"] = float(overflow)
         return out
