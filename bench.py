@@ -88,6 +88,66 @@ def build_dcn_bench(batch_size: int, kernels: str, embed_dim: int = 32,
     return step, state, batches, builder
 
 
+def build_dcn_sharded_bench(batch_size: int, kernels: str, embed_dim: int = 32,
+                            mode: str = "row", vocab: int = 100_000,
+                            lane_pack: bool | None = None):
+    """The SHARDED-table DCN step (ShardedTrainStepBuilder) on a mesh over
+    all visible devices — degenerate (1,1) on the single bench chip. This
+    is the production form of configs 4/5 (BASELINE.json:10-11): the a2a
+    machinery (dedup-to-capacity, bucket, sentinel reassembly) runs for
+    real even when the all-to-all itself degenerates, so the measured
+    per-chip rate is the R8 scaling model's T_comp term (docs/PERF.md
+    "Round-4 on-chip results"). Returns (builder, state, batches,
+    stack_fn) — the caller jits via builder.compile_step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfrec_tpu.configs import MeshConfig, ModelConfig, OptimConfig
+    from tfrec_tpu.models import DataSpec, build_model
+    from tfrec_tpu.parallel.mesh import make_mesh
+    from tfrec_tpu.parallel.step import ShardedTrainStepBuilder
+
+    mesh = make_mesh()
+    num_dense = 13
+    vocabs = (vocab,) * 26
+    model = build_model(
+        ModelConfig(name="dcn", embed_dim=embed_dim, num_cross_layers=3,
+                    mlp_dims=(512, 256, 128), lane_pack=lane_pack),
+        DataSpec.ctr(vocabs, num_dense),
+        backend=kernels,
+        sharded_tables=True,
+        batch_size=batch_size // mesh.shape["data"],
+    )
+    builder = ShardedTrainStepBuilder(
+        model, "logloss",
+        OptimConfig(learning_rate=1e-3, dense_optimizer="adam",
+                    sparse_optimizer="rowwise_adagrad",
+                    sparse_learning_rate=0.02),
+        mesh,
+        MeshConfig(table_sharding=mode),
+        kernels=kernels,
+    )
+    state = builder.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(8):
+        batches.append({
+            "dense": rng.normal(size=(batch_size, num_dense)).astype(np.float32),
+            "cat": np.stack(
+                [rng.integers(0, v, batch_size) for v in vocabs], 1
+            ).astype(np.int32),
+            "label": rng.integers(0, 2, batch_size).astype(np.float32),
+        })
+
+    def to_device(host_b, stacked=False):
+        sh = builder.batch_shardings(host_b, stacked=stacked)
+        return {k: jax.device_put(jnp.asarray(v), sh[k])
+                for k, v in host_b.items()}
+
+    return builder, state, batches, to_device
+
+
 def build_topk_bench(batch_size: int, embed_dim: int, sharded: bool = False,
                      method: str = "approx", chunk: int = 0):
     """Retrieval scoring throughput (R7): full-catalog top-k for a user
@@ -443,6 +503,21 @@ def main(argv=None) -> int:
                              "(model.lane_pack — docs/PERF.md). auto = "
                              "on whenever d < 128 divides 128 (the model "
                              "default; measured 1.33x at d=32)")
+    parser.add_argument("--table_sharding", default="none",
+                        choices=["none", "row", "gspmd"],
+                        help="dcn: measure the SHARDED-table step "
+                             "(ShardedTrainStepBuilder on a mesh over all "
+                             "visible devices — degenerate (1,1) on the "
+                             "bench chip). This is the production form of "
+                             "configs 4/5; slope protocol only")
+    parser.add_argument("--sharded_extra", default="auto",
+                        choices=["auto", "off"],
+                        help="dcn slope runs: ALSO measure the sharded-row "
+                             "step in the same session and emit "
+                             "sharded_value/sharded_vs_baseline so the "
+                             "driver record carries both per-chip numbers "
+                             "(VERDICT r4 item 2). auto = on for dcn slope "
+                             "runs without --table_sharding")
     parser.add_argument("--host_dedup", action="store_true",
                         help="dcn: host-precomputed stable dedup sorts in "
                              "the batch (train.host_dedup) — the device "
@@ -497,6 +572,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.fetch:
         args.protocol = "fetch"
+    if args.table_sharding != "none" and (
+        args.model != "dcn" or args.protocol != "slope"
+    ):
+        parser.error("--table_sharding needs --model dcn --protocol slope")
 
     if args.devices == "auto":
         # The TPU tunnel in this environment can wedge (stateful PJRT
@@ -574,6 +653,7 @@ def main(argv=None) -> int:
         return step, state, batches, builder, multi
 
     extra = {}
+    _sharded = None
     if args.protocol == "slope":
         if platform == "tpu":
             # Big enough that (k_big - k_small) steps of real chip work
@@ -584,7 +664,22 @@ def main(argv=None) -> int:
             k_small, k_big = args.k_small or 1, args.k_big or (
                 2 if args.model == "wrmf" else 4)
 
+        last_sharded_builder = []
+
+        def make_sharded_k(k, mode):
+            builder, state, batches, to_device = build_dcn_sharded_bench(
+                args.batch, args.kernels, args.embed_dim, mode=mode,
+                lane_pack=lane_pack,
+            )
+            last_sharded_builder.clear()
+            last_sharded_builder.append(builder)
+            dev = to_device(_stack(batches, k), stacked=True)
+            fn = builder.compile_step(state, dev, stacked=True)
+            return fn, state, dev
+
         def make_k(k):
+            if args.table_sharding != "none":
+                return make_sharded_k(k, args.table_sharding)
             step, state, batches, builder, multi = build(args.kernels)
             if args.model == "topk":
                 fn = jax.jit(multi)
@@ -612,23 +707,51 @@ def main(argv=None) -> int:
         examples_per_s = res.pop("value")
         extra = {k: v for k, v in res.items() if not k.startswith("blocks")}
         extra["k_pair"] = [k_small, k_big]
-        # One short free-run window for the legacy upper bound.
-        step, state, batches, builder, _ = build(args.kernels)
-        if builder is not None:
-            # The key's "-lanepack" marker reflects the BUILT model, not a
-            # re-derivation of the auto rule (which could drift).
-            lane_active = bool(getattr(builder.model, "lane_pack", False))
-        for i in range(2):
-            state, m = step(state, batches[i % len(batches)])
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        n_free = 10
-        for i in range(n_free):
-            state, m = step(state, batches[i % len(batches)])
-        jax.block_until_ready(m["loss"])
-        extra["value_freerun"] = round(
-            n_free * eff_batch / (time.perf_counter() - t0), 1
-        )
+        if args.table_sharding != "none":
+            # Sharded main run: lane marker from the built mesh model; no
+            # freerun window (the slope is the record).
+            lane_active = bool(
+                getattr(last_sharded_builder[0].model, "lane_pack", False)
+            )
+        else:
+            # One short free-run window for the legacy upper bound.
+            step, state, batches, builder, _ = build(args.kernels)
+            if builder is not None:
+                # The key's "-lanepack" marker reflects the BUILT model,
+                # not a re-derivation of the auto rule (which could drift).
+                lane_active = bool(getattr(builder.model, "lane_pack", False))
+            for i in range(2):
+                state, m = step(state, batches[i % len(batches)])
+            jax.block_until_ready(m["loss"])
+            t0 = time.perf_counter()
+            n_free = 10
+            for i in range(n_free):
+                state, m = step(state, batches[i % len(batches)])
+            jax.block_until_ready(m["loss"])
+            extra["value_freerun"] = round(
+                n_free * eff_batch / (time.perf_counter() - t0), 1
+            )
+        if (
+            args.sharded_extra == "auto" and args.model == "dcn"
+            and args.table_sharding == "none"
+        ):
+            # Same-session sharded-row slope (VERDICT r4 item 2): the
+            # contract metric's production form is the sharded-table step
+            # (configs 4/5) — the driver record must carry BOTH per-chip
+            # numbers, not just the single-device one.
+            try:
+                sh_res = run_slope_protocol(
+                    lambda k: make_sharded_k(k, "row"), eff_batch,
+                    k_small, k_big, args.reps, args.rounds,
+                )
+                _sharded = {
+                    "value": sh_res["value"],
+                    "lane": bool(getattr(
+                        last_sharded_builder[0].model, "lane_pack", False
+                    )),
+                }
+            except Exception as e:  # context, never a bench failure
+                extra["sharded_error"] = type(e).__name__
     else:
         step, state, batches, builder, multi = build(args.kernels)
         if builder is not None:
@@ -678,6 +801,8 @@ def main(argv=None) -> int:
     key = (f"{args.model}-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
            f"{args.precision}-{args.protocol}"
            + ("-lanepack" if lane_active else "")
+           + (f"-sh{args.table_sharding}"
+              if args.table_sharding != "none" else "")
            + ("-hostdedup" if dedup_active else "")
            + ("-sharded" if args.sharded else "")
            + (f"-{args.topk_method}" if args.model == "topk" else "")
@@ -712,8 +837,23 @@ def main(argv=None) -> int:
         # seed exists, --record_baseline must still record the suffixed
         # key so future runs compare like-for-like (ADVICE r3 #2).
         record = key
-    if record and platform == "tpu":
-        base[record] = examples_per_s
+    if _sharded is not None:
+        sh_key = (f"dcn-{platform}-b{eff_batch}-d{key_dim}-{args.kernels}-"
+                  f"{args.precision}-{args.protocol}"
+                  + ("-lanepack" if _sharded["lane"] else "") + "-shrow")
+        extra["sharded_key"] = sh_key
+        extra["sharded_value"] = round(_sharded["value"], 1)
+        if sh_key in base:
+            extra["sharded_vs_baseline"] = round(
+                _sharded["value"] / base[sh_key], 4
+            )
+    writes = {}
+    if record:
+        writes[record] = examples_per_s
+    if args.record_baseline and _sharded is not None and sh_key not in base:
+        writes[sh_key] = _sharded["value"]
+    if writes and platform == "tpu":
+        base.update(writes)
         try:
             with open(baseline_path, "w") as f:
                 json.dump(base, f, indent=1)
@@ -776,6 +916,8 @@ def main(argv=None) -> int:
                   f"batch={eff_batch}, d={key_dim}, kernels={args.kernels}, "
                   f"prec={args.precision}, protocol={args.protocol}"
                   + (", lane_pack" if lane_active else "")
+                  + (f", table_sharding={args.table_sharding}"
+                     if args.table_sharding != "none" else "")
                   + (", host_dedup" if dedup_active else "")
                   + (", sharded" if args.sharded else "")
                   + (f", topk={args.topk_method}" if args.model == "topk"
@@ -786,6 +928,10 @@ def main(argv=None) -> int:
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs_baseline, 4),
+        # Self-describing protocol marker (VERDICT r4 item 10): rows from
+        # the fence era (BENCH_r01) carry no such field, so a fresh driver
+        # can tell strict slope records from artifact-era ones.
+        "protocol": args.protocol,
         **{k: (round(v, 6) if isinstance(v, float) else v)
            for k, v in extra.items()},
     }))

@@ -40,11 +40,28 @@ def test_bench_emits_driver_json_mf():
 
 def test_bench_emits_driver_json_dcn_default_shape():
     """The driver runs plain `python bench.py`: the default model/shape
-    (dcn, d=32, auto lane pack) must produce the JSON line."""
+    (dcn, d=32, auto lane pack) must produce the JSON line — now carrying
+    BOTH per-chip numbers (single-device value + same-session sharded-row
+    `sharded_value`, VERDICT r4 item 2) and a self-describing `protocol`
+    field (item 10)."""
     rec = _run_bench("--batch", "128", "--k_small", "1", "--k_big", "2",
                      "--rounds", "1", "--reps", "1")
     assert rec["value"] > 0
     assert "dcn" in rec["metric"] and "lane_pack" in rec["metric"]
+    assert rec["protocol"] == "slope"
+    assert rec.get("sharded_value", 0) > 0, rec.get("sharded_error", rec)
+    assert rec["sharded_key"].endswith("-shrow")
+
+
+def test_bench_table_sharding_main_mode():
+    """`bench.py --table_sharding row` measures the ShardedTrainStepBuilder
+    step as the MAIN record (key suffix -shrow, no duplicate extra)."""
+    rec = _run_bench("--batch", "128", "--k_small", "1", "--k_big", "2",
+                     "--rounds", "1", "--reps", "1",
+                     "--table_sharding", "row")
+    assert rec["value"] > 0
+    assert "table_sharding=row" in rec["metric"]
+    assert "sharded_value" not in rec
 
 
 def test_probe_rate_is_clamped_to_physical_plausibility():
