@@ -568,6 +568,72 @@ def test_fused_tables_matches_per_table_regions(mesh8, lane):
                 err_msg=f"{name} sparse_opt[{key}]")
 
 
+@pytest.mark.parametrize(
+    "lane,opt,fused,widths",
+    [
+        (False, "rowwise_adagrad", False, None),
+        (True, "rowwise_adagrad", False, None),
+        (True, "rowwise_adam", False, None),
+        (False, "rowwise_adagrad", True, None),
+        (True, "rowwise_adagrad", True, None),
+        (False, "rowwise_adagrad", False, (2, 1, 1, 1)),  # multi-hot bags
+    ],
+)
+def test_route_reuse_matches_rederived_route(mesh8, lane, opt, fused, widths):
+    """mesh.route_reuse=True (the update half reuses the lookup's dedup
+    inverse / send plan / received ids instead of re-deriving them —
+    VERDICT r4 item 1) is BITWISE the re-derivation path for 3 steps:
+    the skipped computation is a deterministic function of the same ids.
+    Covered: unpacked + lane-sliced layouts, grouped rowwise-Adam,
+    fused-region mode, and multi-hot bags (sentinel padding in the ids)."""
+    from tfrec_tpu.configs import MeshConfig, ModelConfig
+    from tfrec_tpu.models import build_model
+    from tfrec_tpu.models import DataSpec as DS
+
+    vocabs = (128, 96, 80, 64)
+    spec = DS.ctr(vocabs, num_dense=2, field_widths=widths)
+    ocfg = OptimConfig(learning_rate=0.01, sparse_optimizer=opt)
+    rng = np.random.default_rng(11)
+    cols = []
+    for v, w in zip(vocabs, widths or (1,) * len(vocabs)):
+        for j in range(w):
+            col = rng.integers(0, v, 64).astype(np.int32)
+            if j == w - 1 and w > 1:
+                col[::3] = v  # sentinel bag padding
+            cols.append(col)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32)),
+        "cat": jnp.asarray(np.stack(cols, 1)),
+        "label": jnp.asarray(rng.integers(0, 2, 64).astype(np.float32)),
+    }
+    states = {}
+    for reuse in (False, True):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                        num_cross_layers=2, lane_pack=lane), spec)
+        b = ShardedTrainStepBuilder(
+            model, "logloss", ocfg, mesh8,
+            MeshConfig(a2a_dtype="float32", fused_tables=fused,
+                       route_reuse=reuse))
+        s = b.init_state(jax.random.PRNGKey(0))
+        sh = b.batch_shardings(batch)
+        db = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+        step = b.compile_step(s, db)
+        for _ in range(3):
+            s, m = step(s, db)
+        states[reuse] = (jax.device_get(s), float(m["loss"]))
+    (s_ref, l_ref), (s_r, l_r) = states[False], states[True]
+    assert l_ref == l_r
+    for name in s_ref["tables"]:
+        np.testing.assert_array_equal(
+            np.asarray(s_ref["tables"][name]), np.asarray(s_r["tables"][name]),
+            err_msg=name)
+        for key, u in s_ref["sparse_opt"][name].items():
+            np.testing.assert_array_equal(
+                np.asarray(u), np.asarray(s_r["sparse_opt"][name][key]),
+                err_msg=f"{name} sparse_opt[{key}]")
+
+
 def test_run_index_helpers_match_searchsorted():
     """run_first_index / run_last_index_plus1 == searchsorted left/right
     on sorted arrays (the O(n) scan replacement for XLA:TPU's

@@ -202,6 +202,14 @@ class MeshConfig:
     # results"); the per-table math is identical (same local_* bodies).
     # Default decided by measurement — see the A/B record there.
     fused_tables: bool = False
+    # Reuse the lookup's dedup/bucket route (inv, send plan, received id
+    # requests) in the SAME step's gradient-combine half instead of
+    # re-deriving it — XLA does not CSE the argsort/bucket chains across
+    # the two shard_map regions (docs/PERF.md "Untaken levers", VERDICT r4
+    # item 1). Bit-identical math (the skipped computation is a pure
+    # function of the same ids; equivalence pinned in
+    # tests/test_parallel.py). Default decided by the round-5 on-chip A/B.
+    route_reuse: bool = True
     # Dense-tower parameter placement: "replicated" (default — rec dense
     # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
     # optimizer leaf sharded over 'data' on its first divisible dim; XLA

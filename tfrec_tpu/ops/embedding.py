@@ -333,6 +333,79 @@ def dedup_ids(ids: jnp.ndarray, sentinel: int) -> Tuple[jnp.ndarray, jnp.ndarray
     return uids, inv
 
 
+def merge_argsort_runs(keys: jnp.ndarray, num_runs: int) -> jnp.ndarray:
+    """STABLE argsort of a [num_runs * c] int32 array whose ``num_runs``
+    equal-length runs are each nondecreasing — as iterative pairwise
+    BITONIC MERGES instead of a general sort.
+
+    The receive side of the row-sharded gradient combine gets exactly this
+    shape: the [N, C] buffer returned by the grad all-to-all holds one
+    per-source block each already ascending (sources send dedup-sorted
+    ids), yet ``sparse_opt.apply`` re-sorts the flattened array from
+    scratch (VERDICT r4 item 3). XLA has no merge primitive, so this
+    builds the classic bitonic merge network out of reshapes +
+    compare-exchanges: merging two sorted runs of length L is
+    ``concat(a, reverse(b))`` (a bitonic sequence) followed by log2(2L)
+    vectorized compare-exchange stages — O(n log K log n) comparator work
+    versus the sort's O(n log^2 n), and every stage is a fused
+    elementwise pass, never a sequential loop.
+
+    Ties break lexicographically on the original position (carried as a
+    payload through every compare-exchange), so the returned permutation
+    is EXACTLY ``jnp.argsort(keys)`` (stable) — downstream duplicate
+    combines are bit-identical, pinned in tests/test_parallel.py.
+
+    Degenerate ``num_runs == 1`` returns iota: a single sorted run needs
+    no work at all (the 1-chip mesh benchmark case).
+    """
+    n = keys.shape[0]
+    assert n % num_runs == 0, (n, num_runs)
+    c = n // num_runs
+    pos = jnp.arange(n, dtype=jnp.int32).reshape(num_runs, c)
+    if num_runs == 1:
+        return pos.reshape(-1)
+    kmax = jnp.iinfo(jnp.int32).max
+    run_pad = 1 << max(c - 1, 0).bit_length()   # pad each run to 2^p
+    k_runs = 1 << (num_runs - 1).bit_length()   # pad run count to 2^q
+    k = jnp.pad(
+        keys.reshape(num_runs, c).astype(jnp.int32),
+        ((0, k_runs - num_runs), (0, run_pad - c)), constant_values=kmax,
+    )
+    p = jnp.pad(pos, ((0, k_runs - num_runs), (0, run_pad - c)),
+                constant_values=n)
+    length = run_pad
+    while k_runs > 1:
+        half = k_runs // 2
+        ka = k.reshape(half, 2, length)
+        pa = p.reshape(half, 2, length)
+        # concat(asc, reversed(asc)) -> bitonic sequence per pair
+        k = jnp.concatenate([ka[:, 0, :], ka[:, 1, ::-1]], axis=1)
+        p = jnp.concatenate([pa[:, 0, :], pa[:, 1, ::-1]], axis=1)
+        length *= 2
+        stride = length // 2
+        while stride >= 1:
+            kr = k.reshape(half, length // (2 * stride), 2, stride)
+            pr = p.reshape(half, length // (2 * stride), 2, stride)
+            a_k, b_k = kr[:, :, 0, :], kr[:, :, 1, :]
+            a_p, b_p = pr[:, :, 0, :], pr[:, :, 1, :]
+            # Strict total order on (key, pos): keys may repeat, (key,
+            # pos) never does — the network output is therefore the
+            # unique lexicographic order == the stable argsort.
+            le = (a_k < b_k) | ((a_k == b_k) & (a_p <= b_p))
+            k = jnp.stack(
+                [jnp.where(le, a_k, b_k), jnp.where(le, b_k, a_k)], axis=2
+            ).reshape(half, length)
+            p = jnp.stack(
+                [jnp.where(le, a_p, b_p), jnp.where(le, b_p, a_p)], axis=2
+            ).reshape(half, length)
+            stride //= 2
+        k_runs = half
+    # Pads carry (kmax, n): they sort strictly after every real entry
+    # (real keys are < kmax and real pos < n), so the first n slots are
+    # exactly the real permutation.
+    return p.reshape(-1)[:n]
+
+
 def scatter_add_dedup(
     table: jnp.ndarray, ids: jnp.ndarray, rows: jnp.ndarray
 ) -> jnp.ndarray:

@@ -197,9 +197,21 @@ class RowShardedTable:
 
     # ---- forward ----
 
-    def lookup(self, table: jnp.ndarray, ids: jnp.ndarray, slots=None):
+    def _route_specs(self):
+        """shard_map specs of the route triple (inv, send_pos, recv_ids):
+        the lookup's dedup inverse + send plan + received id requests,
+        re-usable by the update half of the SAME step (route reuse —
+        VERDICT r4 item 1: the update otherwise re-derives the identical
+        argsort/bucket/id-a2a, which XLA does not CSE across the two
+        shard_map regions)."""
+        return (P(self.axis), P(self.axis, None), P(self.axis, None))
+
+    def lookup(self, table: jnp.ndarray, ids: jnp.ndarray, slots=None,
+               with_route: bool = False):
         """table: [V_pad, D] sharded P(axis, None); ids: [B] sharded P(axis).
-        Returns (activations [B, D] sharded P(axis), overflow scalar).
+        Returns (activations [B, D] sharded P(axis), overflow scalar) —
+        plus, with ``with_route``, the route triple (inv, send_pos,
+        recv_ids) for the same-step update to reuse (see _route_specs).
 
         ``slots`` ([B] int32, required iff lane_groups > 1): which d-lane
         group each id addresses (model.lane_slot_widths). The exchange then
@@ -208,16 +220,21 @@ class RowShardedTable:
         (the packed models only ever read a position's own slot group —
         models/ctr_base._field_rows)."""
         if self.lane_groups > 1:
-            return self._lookup_grouped(table, ids, slots)
+            return self._lookup_grouped(table, ids, slots, with_route)
+        out_specs = (P(self.axis, None), P())
+        if with_route:
+            out_specs = out_specs + (self._route_specs(),)
         return jax.shard_map(
-            self.local_lookup,
+            lambda tbl, lids: self.local_lookup(
+                tbl, lids, with_route=with_route
+            ),
             mesh=self.mesh,
             in_specs=(P(self.axis, None), P(self.axis)),
-            out_specs=(P(self.axis, None), P()),
+            out_specs=out_specs,
             check_vma=False,
         )(table, ids)
 
-    def local_lookup(self, tbl, lids):
+    def local_lookup(self, tbl, lids, with_route: bool = False):
         """Shard-LOCAL lookup body (runs inside shard_map over ``axis``).
 
         Factored out so the builder's fused path can run MANY tables'
@@ -263,24 +280,33 @@ class RowShardedTable:
             .set(back.reshape(n_sh * cap, -1), mode="drop")
         )
         out = jnp.take(unique_rows, inv, axis=0)
+        if with_route:
+            return out, jax.lax.psum(overflow, axis), (inv, send_pos, recv_ids)
         return out, jax.lax.psum(overflow, axis)
 
-    def _lookup_grouped(self, table: jnp.ndarray, ids: jnp.ndarray, slots):
+    def _lookup_grouped(self, table: jnp.ndarray, ids: jnp.ndarray, slots,
+                        with_route: bool = False):
         """Lane-sliced lookup: wire moves d = D/G lanes per (id, slot)."""
         if slots is None:
             raise ValueError(
                 "lane-packed RowShardedTable.lookup needs the per-id slot "
                 "array (model.lane_slot_widths)"
             )
+        out_specs = (P(self.axis, None), P())
+        if with_route:
+            out_specs = out_specs + (self._route_specs(),)
         return jax.shard_map(
-            self.local_lookup_grouped,
+            lambda tbl, lids, lslots: self.local_lookup_grouped(
+                tbl, lids, lslots, with_route=with_route
+            ),
             mesh=self.mesh,
             in_specs=(P(self.axis, None), P(self.axis), P(self.axis)),
-            out_specs=(P(self.axis, None), P()),
+            out_specs=out_specs,
             check_vma=False,
         )(table, ids, slots)
 
-    def local_lookup_grouped(self, tbl, lids, lslots):
+    def local_lookup_grouped(self, tbl, lids, lslots,
+                             with_route: bool = False):
         """Shard-LOCAL lane-sliced lookup body (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
         grp = self.lane_groups
@@ -329,6 +355,8 @@ class RowShardedTable:
             jax.nn.one_hot(lslots, grp, dtype=tbl.dtype)[:, :, None]
             * vals[:, None, :]
         ).reshape(b, grp * d)
+        if with_route:
+            return out, jax.lax.psum(overflow, axis), (inv, send_pos, recv)
         return out, jax.lax.psum(overflow, axis)
 
     # ---- transpose: gradient combine + sparse update ----
@@ -342,47 +370,74 @@ class RowShardedTable:
         sparse_opt: SparseOptimizer,
         lr: float,
         slots=None,
+        route=None,
     ):
         """Combine grads across devices onto owning shards and apply the
-        rowwise optimizer locally. Returns (table, opt_state, overflow)."""
+        rowwise optimizer locally. Returns (table, opt_state, overflow).
+
+        ``route``: the same-step lookup's (inv, send_pos, recv_ids) triple
+        (lookup(..., with_route=True)) — the update then skips its own
+        dedup argsort, bucket scatter AND id all-to-all. Bit-identical:
+        the skipped computation is deterministic on the same ids."""
         if self.lane_groups > 1:
             return self._update_grouped(
-                table, opt_state, ids, grads, sparse_opt, lr, slots
+                table, opt_state, ids, grads, sparse_opt, lr, slots, route
             )
         state_spec = jax.tree_util.tree_map(
             lambda leaf: P(self.axis, *([None] * (leaf.ndim - 1))), opt_state
         )
+        in_specs = (P(self.axis, None), state_spec, P(self.axis),
+                    P(self.axis, None))
+        if route is not None:
+            return jax.shard_map(
+                lambda tbl, ostate, lids, lgrads, rt: self.local_update(
+                    tbl, ostate, lids, lgrads, sparse_opt, lr, route=rt
+                ),
+                mesh=self.mesh,
+                in_specs=in_specs + (self._route_specs(),),
+                out_specs=(P(self.axis, None), state_spec, P()),
+                check_vma=False,
+            )(table, opt_state, ids, grads, route)
         return jax.shard_map(
             lambda tbl, ostate, lids, lgrads: self.local_update(
                 tbl, ostate, lids, lgrads, sparse_opt, lr
             ),
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), state_spec, P(self.axis), P(self.axis, None)),
+            in_specs=in_specs,
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
         )(table, opt_state, ids, grads)
 
-    def local_update(self, tbl, ostate, lids, lgrads, sparse_opt, lr):
+    def local_update(self, tbl, ostate, lids, lgrads, sparse_opt, lr,
+                     route=None):
         """Shard-LOCAL gradient-combine + optimizer body (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
         b = lids.shape[0]
         cap = capacity_for(b, n_sh, self.capacity_factor)
-        # Combine local duplicate ids before sending (transpose of the
-        # lookup's dedup): one gradient row per unique id on the wire.
-        uids, inv = dedup_ids(lids, self.sentinel)
+        if route is not None:
+            # Route reuse: the lookup already dedup-sorted these ids,
+            # bucketed them and exchanged the requests in THIS program —
+            # reuse (inv, send_pos, recv_ids); overflow was counted and
+            # reported by the lookup (the builder discards the update's).
+            inv, send_pos, recv_ids = route
+            overflow = jnp.zeros((), jnp.int32)
+        else:
+            # Combine local duplicate ids before sending (transpose of the
+            # lookup's dedup): one gradient row per unique id on the wire.
+            uids, inv = dedup_ids(lids, self.sentinel)
+            send_ids, send_pos, overflow = bucket_by_dest(
+                uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
+            )
+            recv_ids = jax.lax.all_to_all(
+                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+            )
         combined = jax.ops.segment_sum(lgrads, inv, num_segments=b)
-        send_ids, send_pos, overflow = bucket_by_dest(
-            uids, n_sh, rps, cap, self.sentinel, ids_sorted=True
-        )
         flat_pos = send_pos.reshape(-1)
         send_g = jnp.where(
             (flat_pos < b)[:, None],
             jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
             0.0,
         ).reshape(n_sh, cap, -1)
-        recv_ids = jax.lax.all_to_all(
-            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-        )
         if self.wire_dtype is not None:
             send_g = send_g.astype(self.wire_dtype)
         recv_g = jax.lax.all_to_all(
@@ -418,7 +473,7 @@ class RowShardedTable:
 
     def _update_grouped(
         self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
-        lr, slots,
+        lr, slots, route=None,
     ):
         """Lane-sliced gradient combine: grads travel as d-lane groups
         keyed by (id, slot); owners re-expand to packed rows (zeros in the
@@ -433,46 +488,65 @@ class RowShardedTable:
         state_spec = jax.tree_util.tree_map(
             lambda leaf: P(self.axis, *([None] * (leaf.ndim - 1))), opt_state
         )
+        in_specs = (P(self.axis, None), state_spec, P(self.axis),
+                    P(self.axis, None), P(self.axis))
+        if route is not None:
+            return jax.shard_map(
+                lambda tbl, ostate, lids, lgrads, lslots, rt:
+                    self.local_update_grouped(
+                        tbl, ostate, lids, lgrads, lslots, sparse_opt, lr,
+                        route=rt,
+                    ),
+                mesh=self.mesh,
+                in_specs=in_specs + (self._route_specs(),),
+                out_specs=(P(self.axis, None), state_spec, P()),
+                check_vma=False,
+            )(table, opt_state, ids, grads, slots, route)
         return jax.shard_map(
             lambda tbl, ostate, lids, lgrads, lslots: self.local_update_grouped(
                 tbl, ostate, lids, lgrads, lslots, sparse_opt, lr
             ),
             mesh=self.mesh,
-            in_specs=(P(self.axis, None), state_spec, P(self.axis),
-                      P(self.axis, None), P(self.axis)),
+            in_specs=in_specs,
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
         )(table, opt_state, ids, grads, slots)
 
     def local_update_grouped(self, tbl, ostate, lids, lgrads, lslots,
-                             sparse_opt, lr):
+                             sparse_opt, lr, route=None):
         """Shard-LOCAL lane-sliced gradient combine (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
         grp = self.lane_groups
         d = self.dim // grp
         b = lids.shape[0]
         cap = capacity_for(b, n_sh, self.capacity_factor)
-        keys, key_sent = self._keys(lids, lslots)
         # Autodiff writes a position's gradient only into its own slot
         # group (models/ctr_base._field_rows slices it), so slicing
         # that group out is lossless.
         g_d = jnp.take_along_axis(
             lgrads.reshape(b, grp, d), lslots[:, None, None], axis=1
         )[:, 0, :]  # [b, d]
-        ukeys, inv = dedup_ids(keys, key_sent)
+        if route is not None:
+            # Route reuse (see local_update): the lookup's (id, slot)-key
+            # dedup inverse, send plan and received keys, verbatim.
+            inv, send_pos, recv_ids = route
+            overflow = jnp.zeros((), jnp.int32)
+        else:
+            keys, key_sent = self._keys(lids, lslots)
+            ukeys, inv = dedup_ids(keys, key_sent)
+            send_ids, send_pos, overflow = bucket_by_dest(
+                ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
+            )
+            recv_ids = jax.lax.all_to_all(
+                send_ids, axis, split_axis=0, concat_axis=0, tiled=True
+            )
         combined = jax.ops.segment_sum(g_d, inv, num_segments=b)
-        send_ids, send_pos, overflow = bucket_by_dest(
-            ukeys, n_sh, rps * grp, cap, key_sent, ids_sorted=True
-        )
         flat_pos = send_pos.reshape(-1)
         send_g = jnp.where(
             (flat_pos < b)[:, None],
             jnp.take(combined, jnp.clip(flat_pos, 0, b - 1), axis=0),
             0.0,
         ).reshape(n_sh, cap, d)
-        recv_ids = jax.lax.all_to_all(
-            send_ids, axis, split_axis=0, concat_axis=0, tiled=True
-        )
         if self.wire_dtype is not None:
             send_g = send_g.astype(self.wire_dtype)
         recv_g = jax.lax.all_to_all(
@@ -554,7 +628,10 @@ class ColShardedTable:
         return out, overflow
 
     def update(self, table, opt_state, ids, grads, sparse_opt: SparseOptimizer,
-               lr, slots=None):
+               lr, slots=None, route=None):
+        # ``route`` accepted for seam uniformity; the col path's lookup
+        # has no exchange route to reuse (builder never produces one).
+        assert route is None, "col sharding has no lookup route"
         dim, t = self.dim, self.num_shards
         d_local = dim // t
 

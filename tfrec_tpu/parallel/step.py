@@ -230,31 +230,58 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         out = [n for n in names if isinstance(self.plans.get(n), RowShardedTable)]
         return out if len(out) > 1 else []
 
-    def lookup(self, tables, ids):
+    def lookup(self, tables, ids, want_route: bool = False):
+        # Route reuse (VERDICT r4 item 1): train steps ask for the
+        # exchange route so the update half skips its duplicate dedup
+        # argsort / bucket scatter / id all-to-all. Eval forwards
+        # (want_route=False) keep the lean two-output shard_map.
+        want = want_route and self.mesh_cfg.route_reuse
         fused = self._fused_names(ids)
-        gathered, overflow_total = {}, jnp.zeros((), jnp.int32)
+        gathered, routes = {}, {}
+        overflow_total = jnp.zeros((), jnp.int32)
         for name, t_ids in ids.items():
             if name in fused:
                 continue
             plan = self.plans[name]
             if plan is None or plan == "gspmd_row":
                 gathered[name] = jnp.take(tables[name], t_ids, axis=0, mode="clip")
-            elif getattr(plan, "lane_groups", 1) > 1:
-                gathered[name], ovf = plan.lookup(
-                    tables[name], t_ids,
-                    slots=self._slots_for(name, t_ids.shape[0]),
-                )
-                overflow_total = overflow_total + ovf
-            else:
+                continue
+            if isinstance(plan, ColShardedTable):
+                # Col lookups have no exchange route to reuse (local
+                # gather + feature all_gather).
                 gathered[name], ovf = plan.lookup(tables[name], t_ids)
                 overflow_total = overflow_total + ovf
+                continue
+            slots = (
+                self._slots_for(name, t_ids.shape[0])
+                if plan.lane_groups > 1
+                else None
+            )
+            if want:
+                gathered[name], ovf, routes[name] = plan.lookup(
+                    tables[name], t_ids, slots=slots, with_route=True
+                )
+            else:
+                gathered[name], ovf = plan.lookup(
+                    tables[name], t_ids, slots=slots
+                )
+            overflow_total = overflow_total + ovf
         if fused:
-            f_out, ovf = self._fused_lookup(tables, ids, fused)
+            if want:
+                f_out, ovf, f_routes = self._fused_lookup(
+                    tables, ids, fused, want_route=True
+                )
+                routes.update(f_routes)
+            else:
+                f_out, ovf = self._fused_lookup(tables, ids, fused)
             gathered.update(f_out)
             overflow_total = overflow_total + ovf
-        return gathered, {"lookup_overflow": overflow_total}
+        aux = {"lookup_overflow": overflow_total}
+        if want and routes:
+            aux["_route"] = routes
+        return gathered, aux
 
-    def _fused_lookup(self, tables, ids, names):
+    def _fused_lookup(self, tables, ids, names, want_route: bool = False):
         """ALL fusable tables' a2a exchanges inside ONE shard_map region.
 
         The round-4 on-chip breakdown (docs/PERF.md "Round-4 on-chip
@@ -273,42 +300,58 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         }
 
         def body(tbls, lids, lslots):
-            outs = {}
+            outs, routes = {}, {}
             ovf = jnp.zeros((), jnp.int32)
             for n in names:
                 plan = self.plans[n]
                 if plan.lane_groups > 1:
-                    o, v = plan.local_lookup_grouped(tbls[n], lids[n], lslots[n])
+                    r = plan.local_lookup_grouped(
+                        tbls[n], lids[n], lslots[n], with_route=want_route
+                    )
                 else:
-                    o, v = plan.local_lookup(tbls[n], lids[n])
-                outs[n] = o
+                    r = plan.local_lookup(
+                        tbls[n], lids[n], with_route=want_route
+                    )
+                if want_route:
+                    outs[n], v, routes[n] = r
+                else:
+                    outs[n], v = r
                 ovf = ovf + v
+            if want_route:
+                return outs, ovf, routes
             return outs, ovf
 
         d_spec = {n: P(axis, None) for n in names}
         i_spec = {n: P(axis) for n in names}
         s_spec = {n: P(axis) for n in slots}
-        out, ovf = jax.shard_map(
+        out_specs = (d_spec, P())
+        if want_route:
+            out_specs = out_specs + (
+                {n: self.plans[n]._route_specs() for n in names},
+            )
+        res = jax.shard_map(
             body,
             mesh=self.mesh,
             in_specs=(d_spec, i_spec, s_spec),
-            out_specs=(d_spec, P()),
+            out_specs=out_specs,
             check_vma=False,
         )(
             {n: tables[n] for n in names},
             {n: ids[n] for n in names},
             slots,
         )
-        return out, ovf
+        return res
 
     def sparse_update_all(self, state, ids, gathered_grad, lr,
-                          host_sort=None):
+                          host_sort=None, route=None):
         fused = self._fused_names(gathered_grad)
         if not fused:
             return super().sparse_update_all(
-                state, ids, gathered_grad, lr, host_sort=host_sort
+                state, ids, gathered_grad, lr, host_sort=host_sort,
+                route=route,
             )
         assert not host_sort, "host_dedup is not supported on the mesh path"
+        route = route or {}
         new_tables = dict(state["tables"])
         new_sparse = dict(state["sparse_opt"])
         for name in gathered_grad:
@@ -317,6 +360,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             new_tables[name], new_sparse[name] = self.sparse_update(
                 name, state["tables"][name], state["sparse_opt"][name],
                 ids[name], gathered_grad[name], lr,
+                route=route.get(name),
             )
         axis = "data"
         names = fused
@@ -325,20 +369,25 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             for n in names
             if self.plans[n].lane_groups > 1
         }
+        # Route reuse on the fused path: every fused table has a route
+        # exactly when the fused lookup produced them (same `names`).
+        f_route = {n: route[n] for n in names if n in route}
+        use_route = len(f_route) == len(names)
 
-        def body(tbls, osts, lids, lgrads, lslots):
+        def body(tbls, osts, lids, lgrads, lslots, rts):
             nt, ns = {}, {}
             for n in names:
                 plan = self.plans[n]
+                rt = rts.get(n) if use_route else None
                 if plan.lane_groups > 1:
                     t, s, _ = plan.local_update_grouped(
                         tbls[n], osts[n], lids[n], lgrads[n], lslots[n],
-                        self.sparse_opt, lr,
+                        self.sparse_opt, lr, route=rt,
                     )
                 else:
                     t, s, _ = plan.local_update(
                         tbls[n], osts[n], lids[n], lgrads[n],
-                        self.sparse_opt, lr,
+                        self.sparse_opt, lr, route=rt,
                     )
                 nt[n], ns[n] = t, s
             return nt, ns
@@ -353,10 +402,14 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         }
         i_spec = {n: P(axis) for n in names}
         s_spec = {n: P(axis) for n in slots}
+        r_spec = (
+            {n: self.plans[n]._route_specs() for n in names}
+            if use_route else {}
+        )
         f_tables, f_sparse = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(d_spec, o_spec, i_spec, d_spec, s_spec),
+            in_specs=(d_spec, o_spec, i_spec, d_spec, s_spec, r_spec),
             out_specs=(d_spec, o_spec),
             check_vma=False,
         )(
@@ -365,13 +418,14 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             {n: ids[n] for n in names},
             {n: gathered_grad[n] for n in names},
             slots,
+            f_route if use_route else {},
         )
         new_tables.update(f_tables)
         new_sparse.update(f_sparse)
         return new_tables, new_sparse
 
     def sparse_update(self, name, table, opt_state, ids, grads, lr,
-                      order=None):
+                      order=None, route=None):
         # order (host_dedup) is a single-device feature: host argsorts of
         # LOCAL ids are meaningless after the a2a re-bucketing, and the
         # trainer never generates them on a mesh.
@@ -390,6 +444,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
         new_table, new_state, _ = plan.update(
             table, opt_state, ids, grads, self.sparse_opt, lr,
             slots=(self._slots_for(name, ids.shape[0]) if grouped else None),
+            route=route,
         )
         return new_table, new_state
 

@@ -243,9 +243,16 @@ class TrainStepBuilder:
     # ---- seams the sharded subsystem overrides (tfrec_tpu/parallel/step.py) ----
 
     def lookup(
-        self, tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray]
+        self, tables: Dict[str, jnp.ndarray], ids: Dict[str, jnp.ndarray],
+        want_route: bool = False,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-        """Returns (gathered rows per table, aux metrics e.g. overflow)."""
+        """Returns (gathered rows per table, aux metrics e.g. overflow).
+
+        ``want_route``: the caller is a train step that will run the
+        gradient-combine transpose in the SAME program — a sharded builder
+        may then return its per-table exchange route under aux["_route"]
+        for the update half to reuse (route reuse, parallel/embedding.py).
+        The local gather has no route; the flag is ignored here."""
         return self.lookup_fn(tables, ids), {}
 
     def sparse_update(self, name: str, table, opt_state, ids, grads, lr,
@@ -331,8 +338,12 @@ class TrainStepBuilder:
         return self.sparse_opt.apply_deduped(table, opt_state, uids, g, lr)
 
     def sparse_update_all(self, state: State, ids, gathered_grad, lr,
-                          host_sort=None):
+                          host_sort=None, route=None):
         """Apply the sparse optimizer to every table.
+
+        ``route``: per-table exchange routes from the same step's lookup
+        (aux["_route"]) — only the sharded builder produces/consumes them;
+        here it is always None (the local path has no exchange).
 
         ``group_dedup`` selects how same-shaped tables share the
         duplicate-id combine (see __init__; per-table is the measured
@@ -347,10 +358,16 @@ class TrainStepBuilder:
         host_sort = host_sort or {}
 
         def per_table(name):
+            kw = {}
+            if route is not None and route.get(name) is not None:
+                # Only a sharded builder ever produces routes, and its
+                # sparse_update accepts the kwarg; the base signature
+                # stays lean for the local path.
+                kw["route"] = route[name]
             new_tables[name], new_sparse[name] = self.sparse_update(
                 name, state["tables"][name], state["sparse_opt"][name],
                 ids[name], gathered_grad[name], lr,
-                order=host_sort.get(name),
+                order=host_sort.get(name), **kw,
             )
 
         if not self.group_dedup:
@@ -428,7 +445,10 @@ class TrainStepBuilder:
                      if not k.startswith("_sort_")}
         with jax.named_scope("embedding_lookup"):
             ids = model.lookup_ids(batch)
-            gathered, aux = self.lookup(state["tables"], ids)
+            gathered, aux = self.lookup(state["tables"], ids, want_route=True)
+        # Route reuse (sharded builder): the lookup's exchange route rides
+        # aux to the update half; it is never a metric.
+        route = aux.pop("_route", None)
 
         def objective(dense_params, g):
             logits = model.forward(dense_params, g, batch, rng=step_rng)
@@ -460,7 +480,7 @@ class TrainStepBuilder:
         with jax.named_scope("sparse_update"):
             new_tables, new_sparse = self.sparse_update_all(
                 state, ids, gathered_grad, sparse_lr_t,
-                host_sort=host_sort or None,
+                host_sort=host_sort or None, route=route,
             )
 
         new_state = {
