@@ -210,6 +210,15 @@ class MeshConfig:
     # function of the same ids; equivalence pinned in
     # tests/test_parallel.py). Default decided by the round-5 on-chip A/B.
     route_reuse: bool = True
+    # Receive-side duplicate combine in the row-sharded gradient update:
+    # "sort" (default — the optimizer's general stable argsort of the
+    # [N*C] received rows) or "merge" (bitonic N-way merge exploiting
+    # that the N per-source blocks arrive already sorted —
+    # ops/embedding.merge_argsort_runs; bit-identical results, VERDICT r4
+    # item 3). Unpacked row tables only (the lane-sliced grouped path
+    # keeps its combine inside sparse_opt.apply). Default decided by the
+    # round-5 on-chip A/B.
+    recv_combine: str = "sort"
     # Dense-tower parameter placement: "replicated" (default — rec dense
     # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
     # optimizer leaf sharded over 'data' on its first divisible dim; XLA

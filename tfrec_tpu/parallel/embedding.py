@@ -51,6 +51,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tfrec_tpu.ops.embedding import (
     combine_duplicate_ids,
     dedup_ids,
+    merge_argsort_runs,
     run_first_index,
 )
 from tfrec_tpu.ops.sparse_optim import SparseOptimizer
@@ -148,9 +149,17 @@ class RowShardedTable:
         kernels: str = "xla",
         wire_dtype=None,
         lane_groups: int = 1,
+        recv_combine: str = "sort",
     ):
         self.mesh = mesh
         self.axis = axis
+        # Receive-side duplicate combine: "sort" (general argsort inside
+        # sparse_opt.apply) or "merge" (bitonic N-way merge of the
+        # per-source-sorted received blocks — bit-identical; see
+        # ops/embedding.merge_argsort_runs and configs.MeshConfig).
+        if recv_combine not in ("sort", "merge"):
+            raise ValueError(f"unknown recv_combine {recv_combine!r}")
+        self.recv_combine = recv_combine
         self.num_shards = mesh.shape[axis]
         self.vocab = vocab
         self.vocab_padded = pad_vocab(vocab, self.num_shards)
@@ -459,14 +468,32 @@ class RowShardedTable:
             tbl.shape[0], tbl.shape[1], kernels=self.kernels,
             opt_name=sparse_opt.name, lane_grouped=False,
         )
+        # Receive-side combine: the N received blocks are each already
+        # sorted (sources send dedup-sorted ids), so "merge" replaces the
+        # general argsort with a bitonic N-way merge — and on the
+        # degenerate 1-shard mesh skips the sort entirely (1 run is
+        # already sorted). Bit-identical (stable permutation).
+        merge_order = (
+            merge_argsort_runs(lrow, n_sh)
+            if self.recv_combine == "merge" else None
+        )
         if fused_ok:
             from tfrec_tpu.kernels.scatter_pallas import fused_rowwise_adagrad
 
-            uids, combined = combine_duplicate_ids(lrow, flat_g, sentinel=rps)
+            uids, combined = combine_duplicate_ids(
+                lrow, flat_g, sentinel=rps, order=merge_order
+            )
             new_tbl, new_acc = fused_rowwise_adagrad(
                 tbl, ostate["acc"], uids, combined, lr, eps=sparse_opt.eps
             )
             new_state = {"acc": new_acc}
+        elif merge_order is not None:
+            uids, g = combine_duplicate_ids(
+                lrow, flat_g, sentinel=rps, order=merge_order
+            )
+            new_tbl, new_state = sparse_opt.apply_deduped(
+                tbl, ostate, uids, g, lr
+            )
         else:
             new_tbl, new_state = sparse_opt.apply(tbl, ostate, lrow, flat_g, lr)
         return new_tbl, new_state, jax.lax.psum(overflow, axis)

@@ -91,6 +91,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     # Lane-packed tables take the lane-sliced wire path
                     # (d lanes per (id, slot) key — no 128/d regression).
                     lane_groups=spec.lane_groups,
+                    recv_combine=self.mesh_cfg.recv_combine,
                 )
             elif mode == "col":
                 t_axis = mesh.shape["table"]
