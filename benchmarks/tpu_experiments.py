@@ -238,6 +238,11 @@ EXPERIMENTS = {
     # Round-4 mesh-path A/B on the (1,1) mesh: lane-sliced packing x wire
     # dtype, interleaved K-pair slopes (VERDICT r3 items 1 + 3).
     "mesh_ab": ["python", "benchmarks/exp_mesh_ab.py"],
+    # Round-5 mesh A/B: route reuse x receive-side merge + the col path's
+    # first on-chip number (VERDICT r4 items 1/3/4).
+    "mesh_r5": ["python", "benchmarks/exp_mesh_r5.py"],
+    "mesh_r5_colshape": ["env", "MESH_R5_GROUP=colshape", "python",
+                         "benchmarks/exp_mesh_r5.py"],
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],

@@ -96,8 +96,16 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             elif mode == "col":
                 t_axis = mesh.shape["table"]
                 if t_axis <= 1:
-                    raise ValueError(
-                        "table_sharding='col' requires mesh.table_axis_size > 1"
+                    # Degenerate col (t=1): full machinery, zero memory
+                    # scaling — allowed (warned) so the 1-chip bench can
+                    # measure the col path's per-chip cost exactly like
+                    # the row path's (1,1)-mesh A/B (VERDICT r4 item 4).
+                    import warnings
+
+                    warnings.warn(
+                        "table_sharding='col' on a table axis of size 1: "
+                        "all the machinery, none of the memory scaling — "
+                        "benchmark/degenerate-mesh use only", stacklevel=2,
                     )
                 if spec.dim % t_axis != 0:
                     # Scalar/bias tables (dim 1, e.g. item_bias) replicate by
