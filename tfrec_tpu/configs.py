@@ -219,6 +219,20 @@ class MeshConfig:
     # keeps its combine inside sparse_opt.apply). Default decided by the
     # round-5 on-chip A/B.
     recv_combine: str = "sort"
+    # Row-sharded tables: assign logical row i to physical row
+    # (i % N) * rows_per_shard + i // N — round-robin over shards — so a
+    # FREQUENCY-SORTED vocab's hot head spreads evenly instead of landing
+    # on shard 0 (contiguous-block routing's adversarial case: measured
+    # 1-11% of unique sends dropped at zipf a=1.05-1.2 under the default
+    # capacity — tests/test_parallel.py skew tests, docs/PERF.md). The
+    # permutation is a stored bijection applied inside the sharded
+    # lookup/update; eval sees the LOGICAL table (unpadded_tables
+    # de-permutes). Opt-in: it changes the physical checkpoint layout
+    # (recorded with the run config), and retrieval models that score the
+    # live sharded item table are refused (their top-k would return
+    # physical rows). CTR workloads with frequency-sorted vocabs should
+    # turn this on.
+    row_permute: bool = False
     # Dense-tower parameter placement: "replicated" (default — rec dense
     # towers are tiny, SURVEY.md §2b row 6) or "fsdp" (each dense param /
     # optimizer leaf sharded over 'data' on its first divisible dim; XLA

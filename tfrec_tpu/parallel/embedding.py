@@ -150,9 +150,17 @@ class RowShardedTable:
         wire_dtype=None,
         lane_groups: int = 1,
         recv_combine: str = "sort",
+        permute: bool = False,
     ):
         self.mesh = mesh
         self.axis = axis
+        # Round-robin row permutation (mesh.row_permute): logical row i
+        # lives at physical row (i % N) * rps + i // N, so the hot head
+        # of a frequency-sorted vocab spreads across shards instead of
+        # overflowing shard 0's capacity (skew tests, docs/PERF.md).
+        # Applied at the TOP of every shard-local body; everything
+        # downstream (dedup, bucket, optimizer) runs in physical ids.
+        self.permute = permute
         # Receive-side duplicate combine: "sort" (general argsort inside
         # sparse_opt.apply) or "merge" (bitonic N-way merge of the
         # per-source-sorted received blocks — bit-identical; see
@@ -188,6 +196,41 @@ class RowShardedTable:
                     "disable lane_pack for this table"
                 )
         self.sentinel = self.vocab_padded  # one past the padded end
+
+    # ---- row permutation (mesh.row_permute) ----
+
+    def _perm_ids(self, ids):
+        """Logical -> physical row ids (identity when permute is off).
+        Out-of-range ids (negative = corrupt, >= V_pad = sentinel) pass
+        through untouched so the loud-drop accounting is unchanged."""
+        if not self.permute:
+            return ids
+        n, rps = self.num_shards, self.rows_per_shard
+        ok = (ids >= 0) & (ids < self.vocab_padded)
+        return jnp.where(ok, (ids % n) * rps + (ids // n), ids)
+
+    def perm_rows(self):
+        """[V_pad] physical row index of each logical row (numpy-free
+        jnp iota math; identity when permute is off). logical[i] lives at
+        physical[perm_rows()[i]] — init scatters with it, eval gathers
+        with it (parallel/step.py)."""
+        i = jnp.arange(self.vocab_padded, dtype=jnp.int32)
+        if not self.permute:
+            return i
+        return (i % self.num_shards) * self.rows_per_shard + (
+            i // self.num_shards
+        )
+
+    def inv_perm_rows(self):
+        """[V_pad] logical row index of each physical row (the inverse of
+        perm_rows): physical p holds logical (p % rps) * N + p // rps.
+        Init builds the physical layout with it: phys = logical[inv]."""
+        p = jnp.arange(self.vocab_padded, dtype=jnp.int32)
+        if not self.permute:
+            return p
+        return (p % self.rows_per_shard) * self.num_shards + (
+            p // self.rows_per_shard
+        )
 
     # ---- lane-sliced key helpers (lane_groups > 1) ----
 
@@ -251,6 +294,7 @@ class RowShardedTable:
         measured the per-table regions themselves (not the work inside)
         as the mesh step's dominant overhead (docs/PERF.md)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        lids = self._perm_ids(lids)
         b = lids.shape[0]
         cap = capacity_for(b, n_sh, self.capacity_factor)
         # Dedup before the exchange: capacity and wire volume scale with
@@ -318,6 +362,7 @@ class RowShardedTable:
                              with_route: bool = False):
         """Shard-LOCAL lane-sliced lookup body (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        lids = self._perm_ids(lids)
         grp = self.lane_groups
         d = self.dim // grp
         b = lids.shape[0]
@@ -421,6 +466,7 @@ class RowShardedTable:
                      route=None):
         """Shard-LOCAL gradient-combine + optimizer body (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        lids = self._perm_ids(lids)
         b = lids.shape[0]
         cap = capacity_for(b, n_sh, self.capacity_factor)
         if route is not None:
@@ -543,6 +589,7 @@ class RowShardedTable:
                              sparse_opt, lr, route=None):
         """Shard-LOCAL lane-sliced gradient combine (see local_lookup)."""
         axis, n_sh, rps = self.axis, self.num_shards, self.rows_per_shard
+        lids = self._perm_ids(lids)
         grp = self.lane_groups
         d = self.dim // grp
         b = lids.shape[0]

@@ -67,6 +67,21 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
             )
         self.plans: Dict[str, object] = {}
         self._gspmd_row = mode == "gspmd"
+        if self.mesh_cfg.row_permute:
+            if mode != "row":
+                raise ValueError(
+                    "mesh.row_permute applies to table_sharding='row' only"
+                )
+            if model.dot_decomposition() is not None:
+                # The sharded retrieval evaluator scores the LIVE sharded
+                # item table; under a permuted layout its top-k would
+                # return physical rows as item ids. Refusing beats a
+                # silently-wrong eval (the repo's named bug class).
+                raise ValueError(
+                    "mesh.row_permute is for CTR workloads: retrieval "
+                    "models score the live sharded item table and would "
+                    "return permuted (physical) item ids from top-k"
+                )
         for spec in model.table_specs():
             if spec.lane_groups > 1 and mode == "col":
                 raise ValueError(
@@ -92,6 +107,7 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                     # (d lanes per (id, slot) key — no 128/d regression).
                     lane_groups=spec.lane_groups,
                     recv_combine=self.mesh_cfg.recv_combine,
+                    permute=self.mesh_cfg.row_permute,
                 )
             elif mode == "col":
                 t_axis = mesh.shape["table"]
@@ -206,7 +222,10 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
 
     def _init_padded(self, rng: jax.Array) -> State:
         state = super().init_state(rng)
-        # Pad row-sharded tables (and their opt state) to V_pad.
+        # Pad row-sharded tables (and their opt state) to V_pad; permuted
+        # plans then reorder rows into the physical layout (phys =
+        # logical[inv_perm]) so seeded init streams stay layout-invariant
+        # (the lane-pack precedent: same logical rows, different homes).
         for name, plan in self.plans.items():
             if not isinstance(plan, RowShardedTable):
                 continue
@@ -216,6 +235,18 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
                 state["sparse_opt"][name] = jax.tree_util.tree_map(
                     lambda leaf: jnp.pad(
                         leaf, ((0, pad),) + ((0, 0),) * (leaf.ndim - 1)
+                    ),
+                    state["sparse_opt"][name],
+                )
+            if plan.permute:
+                inv = plan.inv_perm_rows()
+                state["tables"][name] = jnp.take(
+                    state["tables"][name], inv, axis=0
+                )
+                state["sparse_opt"][name] = jax.tree_util.tree_map(
+                    lambda leaf: (
+                        jnp.take(leaf, inv, axis=0)
+                        if leaf.shape[:1] == (plan.vocab_padded,) else leaf
                     ),
                     state["sparse_opt"][name],
                 )
@@ -482,11 +513,17 @@ class ShardedTrainStepBuilder(TrainStepBuilder):
     # ---- eval helpers ----
 
     def unpadded_tables(self, state: State) -> Dict[str, jnp.ndarray]:
-        """Logical (unpadded) views of the tables for eval paths."""
+        """Logical (unpadded) views of the tables for eval paths —
+        de-permuted when mesh.row_permute rearranged the physical rows
+        (one [V, D] gather per eval call; eval always sees logical ids)."""
         out = {}
         for name, table in state["tables"].items():
             plan = self.plans[name]
-            if isinstance(plan, RowShardedTable) and plan.vocab_padded != plan.vocab:
+            if isinstance(plan, RowShardedTable) and plan.permute:
+                out[name] = jnp.take(table, plan.perm_rows(), axis=0)[
+                    : plan.vocab
+                ]
+            elif isinstance(plan, RowShardedTable) and plan.vocab_padded != plan.vocab:
                 out[name] = table[: plan.vocab]
             else:
                 out[name] = table
