@@ -241,6 +241,9 @@ EXPERIMENTS = {
     # Round-5 mesh A/B: route reuse x receive-side merge + the col path's
     # first on-chip number (VERDICT r4 items 1/3/4).
     "mesh_r5": ["python", "benchmarks/exp_mesh_r5.py"],
+    # Int8 quantized serving throughput + recall delta vs f32 (VERDICT r4
+    # weak #5).
+    "int8_serve": ["python", "benchmarks/exp_int8_serve.py"],
     "mesh_r5_colshape": ["env", "MESH_R5_GROUP=colshape", "python",
                          "benchmarks/exp_mesh_r5.py"],
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs

@@ -144,6 +144,9 @@ def main() -> int:
         return _ckpt_save(mode.split(":", 1)[1], proc_id)
     if mode.startswith("ckptrestore:"):
         return _ckpt_restore(mode.split(":", 1)[1])
+    if mode.startswith("config5:"):
+        _, workdir, phase = mode.split(":", 2)
+        return _config5(workdir, phase, proc_id, out_json)
 
     cfg = Config(
         data=DataConfig(
@@ -176,6 +179,104 @@ def main() -> int:
         np.testing.assert_array_equal(_local_block(a), _local_block(b))
 
     final = history[-1]
+    if int(proc_id) == 0:
+        with open(out_json, "w") as f:
+            json.dump(final, f, default=float)
+    return 0
+
+
+def config5_config(workdir: str, epochs: int, resume: bool):
+    """The config-5 rehearsal program (BASELINE.json:11 scaled to CI): DCN
+    CTR training on sharded row tables + a2a lookups, synthetic Criteo-
+    shaped data, periodic sharded checkpoints. Shared by every leg
+    (4-proc train, 2-proc resized resume, 1-proc oracle) so the only
+    variable is the topology."""
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+
+    return Config(
+        run_name="config5_rehearsal",
+        data=DataConfig(
+            source="synthetic_ctr", num_examples=30_000,
+            num_dense_features=4, categorical_vocab_sizes=(500,) * 6,
+            test_fraction=0.05, seed=3,
+        ),
+        model=ModelConfig(name="dcn", embed_dim=16, num_cross_layers=2,
+                          mlp_dims=(32, 16), lane_pack=False),
+        optim=OptimConfig(learning_rate=0.003, dense_optimizer="adam",
+                          sparse_optimizer="rowwise_adagrad",
+                          sparse_learning_rate=0.05),
+        train=TrainConfig(
+            batch_size=512, epochs=epochs, loss="logloss",
+            eval_every_epochs=epochs, steps_per_dispatch=2,
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+            checkpoint_every_epochs=1, resume=resume, log_every_steps=0,
+        ),
+        mesh=MeshConfig(table_sharding="row"),
+    )
+
+
+def _config5(workdir: str, phase: str, proc_id: str, out_json: str) -> int:
+    """One leg of the config-5 end-to-end rehearsal (VERDICT r4 item 5):
+    phase 'train4' = sharded DCN training with mid-run checkpoints at 4
+    processes; phase 'resume2' = restore that checkpoint at 2 processes
+    (resized restart), train further, then CTR eval AND a sharded top-k
+    retrieval eval on the LIVE restored shards vs a full-sort oracle."""
+    import jax
+    import numpy as np
+
+    from tfrec_tpu.train.trainer import Trainer
+
+    if phase == "train4":
+        trainer = Trainer(config5_config(workdir, epochs=2, resume=False),
+                          quiet=True)
+        assert trainer.mesh is not None
+        history = trainer.train()
+        if int(proc_id) == 0:
+            with open(out_json, "w") as f:
+                json.dump(dict(history[-1]), f, default=float)
+        return 0
+
+    assert phase == "resume2", phase
+    trainer = Trainer(config5_config(workdir, epochs=4, resume=True),
+                      quiet=True)
+    assert trainer.mesh is not None
+    # The resized restart really restored the 4-process checkpoint: the
+    # run continues from epoch 2, it does not start over.
+    assert trainer.start_epoch == 2, trainer.start_epoch
+    history = trainer.train()
+    final = dict(history[-1])
+
+    # Sharded top-k retrieval on the LIVE restored row shards (the
+    # config-5 "DCN + retrieval" leg): score users against field_0's
+    # embedding rows, exact method, vs a replicated full-sort oracle.
+    from tfrec_tpu.parallel.topk import sharded_topk_dot
+
+    plan = trainer.builder.plans["field_0"]
+    table = trainer.state["tables"]["field_0"]  # [V_pad, D] sharded
+    v = plan.vocab
+    rng = np.random.default_rng(0)
+    users = jax.numpy.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    vals, ids = jax.jit(
+        lambda u, t: sharded_topk_dot(trainer.mesh, u, t, 10, v,
+                                      method="exact")
+    )(users, table)
+    # Oracle on the replicated LOGICAL table.
+    logical = np.asarray(_replicated_np(trainer.mesh,
+                                        trainer.builder.unpadded_tables(
+                                            trainer.state)["field_0"]))
+    scores = np.asarray(users) @ logical.T
+    want_vals = np.sort(scores, axis=1)[:, ::-1][:, :10]
+    got_vals = np.asarray(_replicated_np(trainer.mesh, vals))
+    got_ids = np.asarray(_replicated_np(trainer.mesh, ids))
+    np.testing.assert_allclose(got_vals, want_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, got_ids, axis=1), want_vals,
+        rtol=1e-5, atol=1e-5,
+    )
+    final["topk_parity"] = 1.0
+    final["resumed_from_epoch"] = 2
     if int(proc_id) == 0:
         with open(out_json, "w") as f:
             json.dump(final, f, default=float)
