@@ -504,7 +504,7 @@ def main(argv=None) -> int:
                              "on whenever d < 128 divides 128 (the model "
                              "default; measured 1.33x at d=32)")
     parser.add_argument("--table_sharding", default="none",
-                        choices=["none", "row", "gspmd"],
+                        choices=["none", "row", "gspmd", "col"],
                         help="dcn: measure the SHARDED-table step "
                              "(ShardedTrainStepBuilder on a mesh over all "
                              "visible devices — degenerate (1,1) on the "

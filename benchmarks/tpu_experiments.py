@@ -52,6 +52,17 @@ EXPERIMENTS = {
     "bench_xla_d32_record": ["python", "bench.py", "--batch", "8192",
                               "--devices", "tpu", "--embed_dim", "32",
                               "--record_baseline"],
+    # Round-5: record the sharded-row per-chip seed (the contract
+    # metric's production form — VERDICT r4 item 2) alongside the default
+    # headline; the default bench now carries both numbers.
+    "bench_d32_sharded_record": ["python", "bench.py", "--batch", "8192",
+                                 "--devices", "tpu", "--embed_dim", "32",
+                                 "--record_baseline"],
+    # b>=32k is the recorded production guidance (docs/PERF.md "Batch
+    # sweep"); record a strict seed at that shape too.
+    "bench_d32_b32k_record": ["python", "bench.py", "--batch", "32768",
+                              "--devices", "tpu", "--embed_dim", "32",
+                              "--record_baseline"],
     "bench_mf": ["python", "bench.py", "--model", "mf", "--batch", "8192",
                   "--devices", "tpu"],
     "bench_topk": ["python", "bench.py", "--model", "topk", "--batch", "1024",
