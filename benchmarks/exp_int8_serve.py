@@ -67,8 +67,11 @@ def main() -> int:
             )
             return topk_scores(scores, K, None, None, method="approx")
 
-        def chain(query, state_args, k):
-            def fn(users):
+        def chain(query, k):
+            # Tables are ARGUMENTS, never closure constants — a closed-over
+            # 512MB table bakes into the compile payload (bench.py topk
+            # learned this: the remote-compile endpoint rejects/crawls).
+            def fn(users, *state_args):
                 def body(carry, _):
                     vals, _ids = query(*state_args, users + carry * 1e-20)
                     return vals[0, 0], None
@@ -79,22 +82,22 @@ def main() -> int:
             return jax.jit(fn)
 
         variants = {
-            "f32": {k: chain(q_f32, (table,), k) for k in K_PAIR},
-            "int8": {k: chain(q_int8, (qt.values, qt.scales), k)
-                     for k in K_PAIR},
+            "f32": ({k: chain(q_f32, k) for k in K_PAIR}, (table,)),
+            "int8": ({k: chain(q_int8, k) for k in K_PAIR},
+                     (qt.values, qt.scales)),
         }
-        for fns in variants.values():
+        for fns, state_args in variants.values():
             for f in fns.values():
-                float(f(users0))  # compile + warm
+                float(f(users0, *state_args))  # compile + warm
         print("compile done", flush=True)
 
         times = {n: {k: [] for k in K_PAIR} for n in variants}
         for _ in range(ROUNDS):
-            for name, fns in variants.items():
+            for name, (fns, state_args) in variants.items():
                 for k, f in fns.items():
                     t0 = time.perf_counter()
                     for _ in range(REPS):
-                        float(f(users0))
+                        float(f(users0, *state_args))
                     times[name][k].append(time.perf_counter() - t0)
         k_s, k_b = K_PAIR
         for name in variants:
