@@ -62,6 +62,24 @@ def test_cli_overrides_parse():
                    "train.eval_topk": (5, 10), "data.path": "/x/y.tsv"}
     with pytest.raises(SystemExit):
         parse_overrides(["noequals"])
+    # Lowercase true/false coerce to bools — ast.literal_eval rejects
+    # them, and the fall-through string "false" is TRUTHY: before round
+    # 5 `mesh.route_reuse=false` silently ENABLED the flag.
+    got = parse_overrides(["mesh.route_reuse=false", "train.host_dedup=TRUE",
+                           "mesh.fused_tables=True"])
+    assert got == {"mesh.route_reuse": False, "train.host_dedup": True,
+                   "mesh.fused_tables": True}
+
+
+def test_overrides_refuse_string_into_bool_field():
+    """The dataclass layer refuses a str landing on a bool field (library
+    callers bypass the CLI coercion)."""
+    from tfrec_tpu.configs import Config, with_overrides
+
+    with pytest.raises(ValueError, match="bool"):
+        with_overrides(Config(), {"mesh.route_reuse": "false"})
+    cfg = with_overrides(Config(), {"mesh.route_reuse": False})
+    assert cfg.mesh.route_reuse is False
 
 def test_step_profiler_window_with_strides(tmp_path, monkeypatch):
     from tfrec_tpu.utils import profile as prof

@@ -25,6 +25,15 @@ def parse_overrides(pairs):
         if "=" not in pair:
             raise SystemExit(f"override {pair!r} is not of the form section.field=value")
         key, raw = pair.split("=", 1)
+        low = raw.strip().lower()
+        if low in ("true", "false"):
+            # ast.literal_eval only accepts Python-cased True/False; the
+            # lowercase forms used to fall through as BARE STRINGS, and
+            # "false" is truthy — `mesh.route_reuse=false` silently
+            # ENABLED the flag (round-5 verify finding; the dataclass
+            # layer now also refuses str-into-bool).
+            out[key] = low == "true"
+            continue
         try:
             out[key] = ast.literal_eval(raw)
         except (ValueError, SyntaxError):

@@ -353,6 +353,15 @@ def _apply_overrides_dc(dc: Any, dotted: str, value: Any) -> Any:
         field_types = {f.name: f.type for f in dataclasses.fields(dc)}
         if parts[0] not in field_types:
             raise KeyError(f"unknown config field {parts[0]!r} on {type(dc).__name__}")
+        if isinstance(getattr(dc, parts[0]), bool) and isinstance(value, str):
+            # A string landing on a bool field is ALWAYS a caller bug
+            # ("false" is truthy — it silently enabled the flag before
+            # this guard). Refuse loudly; CLI lowercase true/false are
+            # coerced upstream (cli.parse_overrides).
+            raise ValueError(
+                f"config field {parts[0]!r} on {type(dc).__name__} is a "
+                f"bool; got string {value!r} (use true/false)"
+            )
         return dataclasses.replace(dc, **{parts[0]: value})
     child = getattr(dc, parts[0])
     return dataclasses.replace(dc, **{parts[0]: _apply_overrides_dc(child, parts[1], value)})
