@@ -784,6 +784,28 @@ def test_row_permute_step_matches_unpermuted(mesh8):
         np.testing.assert_array_equal(t_ref[name], t_p[name], err_msg=name)
 
 
+def test_row_permuted_checkpoint_layout_is_guarded(tmp_path, mesh8):
+    """A row-permuted checkpoint records the layout fact; restoring with
+    a mismatched flag (or, by construction, a different device count)
+    refuses loudly — the permutation is a function of device count, so a
+    silent restore would scramble every table row."""
+    from tfrec_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    state = {"step": jnp.zeros((), jnp.int32),
+             "t": jax.device_put(_rand(0, (16, 4)),
+                                 NamedSharding(mesh8, P("data", None)))}
+    save_checkpoint(str(tmp_path), 1, state, meta={"row_permute": True})
+    with pytest.raises(ValueError, match="row_permute"):
+        restore_checkpoint(str(tmp_path), state, expect_row_permute=False)
+    out = restore_checkpoint(str(tmp_path), state, expect_row_permute=True)
+    np.testing.assert_array_equal(np.asarray(out["t"]), np.asarray(state["t"]))
+    # Legacy checkpoints (no meta) restore under either expectation=False.
+    save_checkpoint(str(tmp_path / "b"), 1, state)
+    restore_checkpoint(str(tmp_path / "b"), state, expect_row_permute=False)
+    with pytest.raises(ValueError, match="row_permute"):
+        restore_checkpoint(str(tmp_path / "b"), state, expect_row_permute=True)
+
+
 def test_row_permute_refuses_retrieval_models(mesh8):
     ds_spec = DataSpec.interaction(96, 200)
     model = MF(ds_spec, embed_dim=16)

@@ -384,7 +384,10 @@ class Trainer:
             if c.train.resume and c.train.checkpoint_dir:
                 step = latest_step(c.train.checkpoint_dir)
                 if step is not None:
-                    self.state = restore_checkpoint(c.train.checkpoint_dir, self.state)
+                    self.state = restore_checkpoint(
+                        c.train.checkpoint_dir, self.state,
+                        expect_row_permute=self._row_permute_active(),
+                    )
                     self.start_epoch = step
                     self.logger.log({"event": "resumed", "epoch": step})
 
@@ -748,6 +751,14 @@ class Trainer:
         """Eval batches must split evenly over the data mesh axis."""
         return self.mesh.shape["data"] if self.mesh is not None else 1
 
+    def _row_permute_active(self) -> bool:
+        """Whether this run's tables live in the row-permuted physical
+        layout (a checkpoint-layout fact — recorded at save, enforced at
+        restore; the permutation is a function of device count)."""
+        return bool(
+            self.mesh is not None and self.config.mesh.row_permute
+        )
+
     def _eval_ctr(self, dense, cat, label) -> Dict[str, float]:
         max_n = self.config.train.eval_ctr_max_rows
         n = min(len(label), max_n) if max_n > 0 else len(label)
@@ -918,7 +929,10 @@ class Trainer:
             and c.train.checkpoint_every_epochs
             and (epoch + 1) % c.train.checkpoint_every_epochs == 0
         ):
-            save_checkpoint(c.train.checkpoint_dir, epoch + 1, self.state)
+            save_checkpoint(
+                c.train.checkpoint_dir, epoch + 1, self.state,
+                meta={"row_permute": self._row_permute_active()},
+            )
         if not (c.train.early_stop_patience > 0 and evaluated):
             return False
         name, value, sign = self._early_stop_monitor(rec)

@@ -90,7 +90,13 @@ def _local_block(leaf) -> np.ndarray:
     return _local_block_meta(leaf)[0]
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
+def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3,
+                    meta: dict | None = None) -> str:
+    """``meta``: extra layout facts merged into tree.json — currently
+    ``row_permute`` (mesh.row_permute physically reorders table rows as a
+    function of DEVICE COUNT, so such a checkpoint cannot be reinterpreted
+    at a different device count or by a non-permuted run; restore refuses
+    both loudly — see restore_checkpoint)."""
     out = os.path.join(ckpt_dir, f"step_{step:010d}")
     tmp = out + ".tmp"
     # A stale tmp from a CRASHED prior save of this step may hold other
@@ -112,10 +118,12 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
     spans = {}
     for key, leaf in flat.items():
         fname = re.sub(r"[^\w/.-]", "_", key).replace("/", "__")
-        arr, meta = _local_block_meta(leaf)
+        # NB: named leaf_meta, not meta — that would shadow the layout
+        # parameter merged into tree.json below.
+        arr, leaf_meta = _local_block_meta(leaf)
         np.save(os.path.join(tmp, f"{fname}.p{proc}.npy"), arr)
-        if meta is not None:
-            spans[key] = meta
+        if leaf_meta is not None:
+            spans[key] = leaf_meta
     # Per-process span metadata: lets a restore under a DIFFERENT process
     # count reassemble the global arrays (cross-topology restart).
     with open(os.path.join(tmp, f"blocks.p{proc}.json"), "w") as f:
@@ -130,6 +138,7 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep: int = 3) -> str:
                 # DEVICE count) — that case must reassemble, not fast-path
                 # (review finding, round 4).
                 "device_count": jax.device_count(),
+                **(meta or {}),
             }, f)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -357,11 +366,18 @@ def _assemble_global(src, key, fname, blocks_meta, saved_procs):
     return out
 
 
-def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
+def restore_checkpoint(ckpt_dir: str, template, step: int | None = None,
+                       expect_row_permute: bool | None = None):
     """Load the checkpoint at ``step`` (default: latest) into the structure
     and shardings of ``template``. Restores across process-count changes
     (save at N, restore at M != N) by reassembling global arrays from the
-    recorded block spans and re-sharding onto the live mesh."""
+    recorded block spans and re-sharding onto the live mesh.
+
+    ``expect_row_permute``: the restoring run's mesh.row_permute (None =
+    caller doesn't use the flag, legacy behavior). The permutation is a
+    function of DEVICE COUNT, so a permuted checkpoint is refused loudly
+    when the device count changed or the flags disagree — a silent
+    restore would scramble every table row (round-5 review finding)."""
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
@@ -375,6 +391,24 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None):
     saved_procs = tree_meta.get("process_count")
     saved_devs = tree_meta.get("device_count")
     cur_procs = jax.process_count()
+    saved_permute = bool(tree_meta.get("row_permute", False))
+    if expect_row_permute is not None and saved_permute != expect_row_permute:
+        raise ValueError(
+            f"checkpoint {src!r} was saved with row_permute="
+            f"{saved_permute} but this run has mesh.row_permute="
+            f"{expect_row_permute}; the physical row layouts differ — "
+            "restore with the matching config"
+        )
+    if saved_permute and saved_devs is not None and (
+        saved_devs != jax.device_count()
+    ):
+        raise ValueError(
+            f"checkpoint {src!r} was saved with row_permute=True on "
+            f"{saved_devs} devices; the round-robin row layout is a "
+            f"function of device count, so it cannot be restored on "
+            f"{jax.device_count()} devices — restore at the saved device "
+            "count (or export/de-permute first)"
+        )
     # Legacy checkpoints (no process_count) keep the old same-topology
     # fast path; with metadata present, topology changes reassemble.
     # "Same topology" requires the DEVICE count too when recorded: vocab
