@@ -134,3 +134,70 @@ def test_resume_wins_over_init_from(tmp_path):
         np.asarray(resumed.state["tables"]["user_emb"]),
         np.asarray(t1.state["tables"]["user_emb"]),
     )
+
+
+def _pretrain_ctr(tmp_path, permute=False, epochs=2):
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                        num_dense_features=2,
+                        categorical_vocab_sizes=(60, 40), test_fraction=0.1,
+                        seed=5),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=1,
+                          mlp_dims=(8,), lane_pack=False),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=128, epochs=epochs, eval_every_epochs=0,
+                          loss="logloss", log_every_steps=0,
+                          checkpoint_dir=str(tmp_path / "src_ckpt"),
+                          checkpoint_every_epochs=epochs),
+        mesh=MeshConfig(table_sharding="row", row_permute=permute),
+    )
+    t, _ = run(cfg, quiet=True)
+    return t, str(tmp_path / "src_ckpt")
+
+
+def test_warm_start_into_row_permuted_run_maps_logical_rows(tmp_path):
+    """Destination run uses mesh.row_permute: the copied source rows must
+    land at their PHYSICAL homes so the logical view equals the source."""
+    t_src, ckpt = _pretrain_ctr(tmp_path, permute=False)
+    cfg = Config(
+        data=dataclasses.replace(DATA),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=1,
+                          mlp_dims=(8,), lane_pack=False),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=128, epochs=1, eval_every_epochs=0,
+                          loss="logloss", log_every_steps=0, init_from=ckpt),
+        mesh=MeshConfig(table_sharding="row", row_permute=True),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                        num_dense_features=2,
+                        categorical_vocab_sizes=(60, 40), test_fraction=0.1,
+                        seed=5),
+    )
+    t = Trainer(cfg, quiet=True)
+    src_logical = t_src.builder.unpadded_tables(t_src.state)
+    dst_logical = t.builder.unpadded_tables(t.state)
+    for name in ("field_0", "field_1"):
+        np.testing.assert_array_equal(
+            np.asarray(dst_logical[name]), np.asarray(src_logical[name]),
+            err_msg=name,
+        )
+
+
+def test_warm_start_refuses_row_permuted_source(tmp_path):
+    _, ckpt = _pretrain_ctr(tmp_path, permute=True)
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                        num_dense_features=2,
+                        categorical_vocab_sizes=(60, 40), test_fraction=0.1,
+                        seed=5),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=1,
+                          mlp_dims=(8,), lane_pack=False),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=128, epochs=1, eval_every_epochs=0,
+                          loss="logloss", log_every_steps=0, init_from=ckpt),
+        mesh=MeshConfig(table_sharding="row"),
+    )
+    with pytest.raises(ValueError, match="row_permute"):
+        Trainer(cfg, quiet=True)

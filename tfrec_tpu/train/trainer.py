@@ -422,12 +422,26 @@ class Trainer:
         init; shape mismatches and absent sources are skipped LOUDLY in
         the warm_start log event. Copying nothing is an error (a silent
         no-op warm start would be mistaken for the paper protocol)."""
-        from tfrec_tpu.utils.checkpoint import load_table_arrays
+        from tfrec_tpu.utils.checkpoint import (
+            checkpoint_row_permute, load_table_arrays,
+        )
 
+        if checkpoint_row_permute(ckpt_dir):
+            # The source tables are in a device-count-dependent physical
+            # row order; copying them as logical rows would scramble every
+            # embedding (round-5 review finding — same class as the
+            # restore guard). Refusing beats silent corruption.
+            raise ValueError(
+                f"init_from checkpoint {ckpt_dir!r} was saved with "
+                "mesh.row_permute=True; warm starting from a permuted "
+                "physical layout is not supported — export/de-permute it "
+                "first (e.g. resume it and save with row_permute off)"
+            )
         src_tables = load_table_arrays(ckpt_dir)
         aliases = getattr(self.model, "warm_start_aliases", dict)()
         copied, skipped = [], []
         tables = dict(self.state["tables"])
+        plans = getattr(self.builder, "plans", {})
         for name, tbl in tables.items():
             s_name = aliases.get(name, name)
             if s_name not in src_tables:
@@ -440,10 +454,20 @@ class Trainer:
                 )
                 continue
             rows = min(arr.shape[0], tbl.shape[0])
-            tables[name] = jax.jit(
-                lambda t, a, r=rows: t.at[:r].set(a),
-                out_shardings=getattr(tbl, "sharding", None),
-            )(tbl, jnp.asarray(arr[:rows]))
+            plan = plans.get(name)
+            if getattr(plan, "permute", False):
+                # This run's table lives in the permuted physical layout:
+                # scatter logical source row i to physical perm_rows()[i].
+                perm = plan.perm_rows()[:rows]
+                tables[name] = jax.jit(
+                    lambda t, a, p: t.at[p].set(a),
+                    out_shardings=getattr(tbl, "sharding", None),
+                )(tbl, jnp.asarray(arr[:rows]), perm)
+            else:
+                tables[name] = jax.jit(
+                    lambda t, a, r=rows: t.at[:r].set(a),
+                    out_shardings=getattr(tbl, "sharding", None),
+                )(tbl, jnp.asarray(arr[:rows]))
             if rows < arr.shape[0]:
                 # Source has MORE rows (larger vocab or mesh padding):
                 # record the truncation explicitly — a wrong checkpoint/

@@ -264,6 +264,24 @@ def restore_checkpoint_orbax(ckpt_dir: str, template, step: int):
         return ckptr.restore(src, abstract)
 
 
+def checkpoint_row_permute(ckpt_dir: str, step: int | None = None) -> bool:
+    """Whether a checkpoint's tables were saved in the row-permuted
+    physical layout (mesh.row_permute recorded in tree.json at save).
+    False for legacy/absent metadata."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            return False
+    tree = os.path.join(ckpt_dir, f"step_{step:010d}", "tree.json")
+    if not os.path.exists(tree):
+        return False
+    try:
+        with open(tree) as f:
+            return bool(json.load(f).get("row_permute", False))
+    except (OSError, ValueError):
+        return False
+
+
 def checkpoint_table_layout(ckpt_dir: str, step: int | None = None):
     """Table layout recorded in a checkpoint's key list: True when the
     saved CTR tables are lane-packed (``tables/pack_*``), False when
