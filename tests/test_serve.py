@@ -244,3 +244,41 @@ def test_from_checkpoint_cold_start_serving(tmp_path):
     np.testing.assert_allclose(
         cold_e.score_catalog(users), live_e.score_catalog(users), rtol=1e-6
     )
+
+
+def test_serve_ctr_from_row_permuted_trainer_matches_unpermuted():
+    """mesh.row_permute stores tables physically permuted; serving must
+    still score with LOGICAL ids — predict_ctr from a permuted trainer
+    equals the unpermuted run bitwise (identical seeds/layout-invariant
+    init/training)."""
+    import numpy as np
+
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.serve import Recommender
+    from tfrec_tpu.train.trainer import run
+
+    outs = {}
+    for permute in (False, True):
+        cfg = Config(
+            data=DataConfig(source="synthetic_ctr", num_examples=4000,
+                            num_dense_features=2,
+                            categorical_vocab_sizes=(60, 40),
+                            test_fraction=0.1, seed=5),
+            model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=1,
+                              mlp_dims=(8,), lane_pack=False),
+            optim=OptimConfig(learning_rate=0.01),
+            train=TrainConfig(batch_size=128, epochs=1, eval_every_epochs=0,
+                              loss="logloss", log_every_steps=0),
+            mesh=MeshConfig(table_sharding="row", a2a_dtype="float32",
+                            row_permute=permute),
+        )
+        trainer, _ = run(cfg, quiet=True)
+        rec = Recommender.from_trainer(trainer)
+        rng = np.random.default_rng(0)
+        dense = rng.normal(size=(16, 2)).astype(np.float32)
+        cat = np.stack([rng.integers(0, 60, 16), rng.integers(0, 40, 16)],
+                       axis=1).astype(np.int32)
+        outs[permute] = rec.predict_ctr(dense, cat)
+    np.testing.assert_array_equal(outs[False], outs[True])

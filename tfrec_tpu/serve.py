@@ -118,9 +118,20 @@ class Recommender:
             # Serve from the live sharded state: params view keeps the
             # PADDED tables (real ids never touch pad rows; catalog scores
             # are sliced to num_items) so nothing is re-replicated.
+            tables = {"tables": trainer.state["tables"],
+                      "dense": trainer.state["dense"]}
+            if trainer._row_permute_active():
+                # mesh.row_permute stores tables in a PHYSICAL row order;
+                # the serve gathers below use LOGICAL ids, so hand them
+                # the logical views (one-time de-permuting gather; the
+                # sharded top-k `state` path is unreachable here — permute
+                # is refused for retrieval models at builder construction).
+                tables = {
+                    "tables": trainer.builder.unpadded_tables(trainer.state),
+                    "dense": trainer.state["dense"],
+                }
             return cls(
-                trainer.model,
-                {"tables": trainer.state["tables"], "dense": trainer.state["dense"]},
+                trainer.model, tables,
                 dataset=trainer.dataset, mesh=trainer.mesh, state=trainer.state,
             )
         return cls(trainer.model, trainer.params, dataset=trainer.dataset)
