@@ -741,10 +741,13 @@ def test_skewed_ids_overflow_counted_and_row_permute_fixes_it(mesh8):
     # And served coverage under permute is total.
 
 
-def test_row_permute_step_matches_unpermuted(mesh8):
+@pytest.mark.parametrize("reuse", [True, False])
+def test_row_permute_step_matches_unpermuted(mesh8, reuse):
     """mesh.row_permute is a pure LAYOUT change: logical tables after 3
     steps are bitwise identical to the unpermuted run (f32 wire), and the
-    eval view (unpadded_tables) always returns logical rows."""
+    eval view (unpadded_tables) always returns logical rows. Covered with
+    route reuse on AND off (the non-route update re-derives the route
+    from permuted ids)."""
     from tfrec_tpu.configs import MeshConfig, ModelConfig
     from tfrec_tpu.models import build_model
     from tfrec_tpu.models import DataSpec as DS
@@ -766,7 +769,8 @@ def test_row_permute_step_matches_unpermuted(mesh8):
                         num_cross_layers=2, lane_pack=False), spec)
         b = ShardedTrainStepBuilder(
             model, "logloss", ocfg, mesh8,
-            MeshConfig(a2a_dtype="float32", row_permute=permute))
+            MeshConfig(a2a_dtype="float32", row_permute=permute,
+                       route_reuse=reuse))
         s = b.init_state(jax.random.PRNGKey(0))
         sh = b.batch_shardings(batch)
         db = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
