@@ -44,24 +44,36 @@ ROUNDS = 5
 REPS = 2
 GROUP = _os.environ.get("MESH_R5_GROUP", "route")
 
-# name -> (embed_dim, vocab, table_sharding, route_reuse, recv_combine)
+# name -> (embed_dim, vocab, table_sharding, route_reuse, recv_combine,
+#          stack_tables)
 GROUPS = {
     "route": {
-        "row_ctl": (32, 100_000, "row", False, "sort"),
-        "row_reuse": (32, 100_000, "row", True, "sort"),
-        "row_reuse_merge": (32, 100_000, "row", True, "merge"),
-        "row_merge": (32, 100_000, "row", False, "merge"),
-        "col": (32, 100_000, "col", True, "sort"),
+        "row_ctl": (32, 100_000, "row", False, "sort", False),
+        "row_reuse": (32, 100_000, "row", True, "sort", False),
+        "row_reuse_merge": (32, 100_000, "row", True, "merge", False),
+        "row_merge": (32, 100_000, "row", False, "merge", False),
+        "col": (32, 100_000, "col", True, "sort", False),
     },
     "colshape": {
-        "row_d128v20k": (128, 20_000, "row", True, "sort"),
-        "col_d128v20k": (128, 20_000, "col", True, "sort"),
+        "row_d128v20k": (128, 20_000, "row", True, "sort", False),
+        "col_d128v20k": (128, 20_000, "col", True, "sort", False),
+    },
+    # The config-5 preset (zoo_configs.dcn_retrieval_multihost) sets
+    # stack_tables=True for ONE a2a set instead of 26 — a collective-
+    # count rationale that was never measured on the mesh path (stacked
+    # lost 2.2x on the SINGLE-device path, round 2, where the optimizer
+    # V-sweeps dominate; the capacity-bounded mesh update has no such
+    # sweeps, so the economics may invert).
+    "stacked": {
+        "row_reuse": (32, 100_000, "row", True, "sort", False),
+        "row_stacked": (32, 100_000, "row", True, "sort", True),
     },
 }
 VARIANTS = GROUPS[GROUP]
 
 
-def _build(embed_dim, vocab, sharding, route_reuse, recv_combine):
+def _build(embed_dim, vocab, sharding, route_reuse, recv_combine,
+           stack_tables=False):
     import jax.numpy as jnp
     import numpy as np
 
@@ -75,7 +87,8 @@ def _build(embed_dim, vocab, sharding, route_reuse, recv_combine):
     vocabs = (vocab,) * 26
     model = build_model(
         ModelConfig(name="dcn", embed_dim=embed_dim, num_cross_layers=3,
-                    mlp_dims=(512, 256, 128), lane_pack=False),
+                    mlp_dims=(512, 256, 128), lane_pack=False,
+                    stack_tables=stack_tables),
         DataSpec.ctr(vocabs, num_dense),
         sharded_tables=True,
         batch_size=B,

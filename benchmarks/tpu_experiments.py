@@ -257,6 +257,11 @@ EXPERIMENTS = {
     "int8_serve": ["python", "benchmarks/exp_int8_serve.py"],
     "mesh_r5_colshape": ["env", "MESH_R5_GROUP=colshape", "python",
                          "benchmarks/exp_mesh_r5.py"],
+    # Config-5's stack_tables=True on the MESH path (never measured there;
+    # the single-device 2.2x loss came from V-sweeps the mesh update
+    # doesn't have).
+    "mesh_r5_stacked": ["env", "MESH_R5_GROUP=stacked", "python",
+                        "benchmarks/exp_mesh_r5.py"],
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
