@@ -134,16 +134,20 @@ def dcn_retrieval_multihost(path: str | None = None) -> Config:
     """Config 5: multi-host DCN + retrieval — row/column-sharded tables,
     all-to-all over ICI (v5e-16 target; runs on any mesh size).
 
-    stack_tables fuses the 26 field tables into one, so the step issues
-    ONE a2a set (3 collectives + dense psum) instead of 26x3+1 — the
-    per-collective dispatch floor is the dominant multi-host latency term
-    (docs/PERF.md "Collective dispatch floors"). Per-shard gathers stay
-    under the narrow-row gather cliff for meshes >= 8 shards
-    (2.6M rows / N; the cliff sits at whole-table >= ~128 MB)."""
+    stack_tables (fusing the 26 field tables into one so the step issues
+    ONE a2a set instead of 26) was the preset until round 5, on a
+    collective-count rationale that was never measured on the mesh path.
+    The round-5 interleaved on-chip A/B REFUTED it: the stacked mesh step
+    runs 66.05 ms vs 22.06 ms per-field (0.33x — one 213k-id dedup/
+    bucket/gather chain costs far more than 26 latency-bound 8k ones;
+    docs/PERF.md "Round-5 on-chip results"), while the collective-count
+    saving it buys is ~1.5 ms even at a 20 us/op launch floor. Per-field
+    tables are therefore the measured default; set model.stack_tables=
+    true to get the single-a2a layout on interconnects where launch cost
+    dominates."""
     cfg = dcn_criteo(path)
     return cfg.replace(
         run_name="dcn_multihost",
-        model=dataclasses.replace(cfg.model, stack_tables=True),
         mesh=MeshConfig(table_sharding="row", a2a_capacity_factor=2.0),
     )
 
