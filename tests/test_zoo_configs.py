@@ -19,6 +19,17 @@ def test_zoo_config_constructs_and_overrides(name):
     assert cfg.train.batch_size != 64 or name == "_"
 
 
+def test_config5_preset_is_per_field_tables():
+    """Round-5 measured decision (docs/PERF.md "Round-5 on-chip results"):
+    stack_tables on the mesh path is 0.33x — the config-5 preset must
+    stay per-field unless a new on-chip A/B overturns it."""
+    from tfrec_tpu.zoo_configs import ZOO
+
+    cfg = ZOO["dcn_multihost"]()
+    assert cfg.model.stack_tables is False
+    assert cfg.mesh.table_sharding == "row"
+
+
 def test_zoo_configs_have_synthetic_fallbacks():
     """Without dataset paths every config must be runnable on synthetic
     stand-ins (SURVEY.md §0: no datasets ship in this environment)."""
