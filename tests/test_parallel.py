@@ -862,28 +862,74 @@ def test_col_lookup_counts_negatives_and_zeroes_them(mesh4x2):
     np.testing.assert_allclose(out[4], np.asarray(table)[V - 1], rtol=1e-6)
 
 
+def _prim_count(jaxpr, names):
+    """Count primitives by name, descending into EVERY sub-jaxpr —
+    ClosedJaxpr params (scan/cond: have .jaxpr) AND raw Jaxpr params
+    (shard_map bodies: have .eqns directly). The original traversal only
+    followed .jaxpr and silently skipped shard_map interiors (round-5
+    review finding — the loop-free pin below was weaker than intended)."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in names:
+            total += 1
+        for v in eqn.params.values():
+            if hasattr(v, "eqns"):  # raw Jaxpr (shard_map)
+                total += _prim_count(v, names)
+            elif getattr(v, "jaxpr", None) is not None:  # ClosedJaxpr
+                total += _prim_count(v.jaxpr, names)
+    return total
+
+
+def test_route_reuse_removes_update_id_all_to_all(mesh8):
+    """Structural pin for route reuse: with mesh.route_reuse the step's
+    jaxpr carries exactly ONE FEWER all_to_all per row-sharded table (the
+    update's id exchange is reused from the lookup) — 3 per table
+    (lookup ids, lookup activations, update grads) instead of 4."""
+    from tfrec_tpu.configs import MeshConfig, ModelConfig
+    from tfrec_tpu.models import build_model
+    from tfrec_tpu.models import DataSpec as DS
+
+    prim_count = _prim_count
+    vocabs = (128, 96, 80, 64)
+    spec = DS.ctr(vocabs, num_dense=2)
+    ocfg = OptimConfig(learning_rate=0.01, sparse_optimizer="rowwise_adagrad")
+    rng = np.random.default_rng(3)
+    batch = {
+        "dense": jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32)),
+        "cat": jnp.asarray(np.stack(
+            [rng.integers(0, v, 64) for v in vocabs], 1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, 64).astype(np.float32)),
+    }
+    counts = {}
+    for reuse in (False, True):
+        model = build_model(
+            ModelConfig(name="dcn", embed_dim=32, mlp_dims=(16,),
+                        num_cross_layers=2, lane_pack=False), spec)
+        b = ShardedTrainStepBuilder(
+            model, "logloss", ocfg, mesh8, MeshConfig(route_reuse=reuse))
+        state = b.init_state(jax.random.PRNGKey(0))
+        j = jax.make_jaxpr(b.step)(state, batch)
+        counts[reuse] = prim_count(j.jaxpr, {"all_to_all"})
+    n_tables = len(vocabs)
+    assert counts[False] == 4 * n_tables, counts
+    assert counts[True] == 3 * n_tables, counts
+
+
 def test_sharded_step_jaxpr_has_no_sequential_loops(mesh8):
     """Structural pin for the round-4 searchsorted regression class: the
     single sharded train step must contain NO scan/while primitives —
     jnp.searchsorted traces to a sequential `scan` that XLA:TPU lowers
     to a per-element while loop (~816us/call; it cost the mesh path 2x
     until the round-4 forensics — docs/PERF.md). multi_step legitimately
-    adds exactly ONE scan (the K-step loop)."""
+    adds exactly ONE scan (the K-step loop). Uses _prim_count, which
+    descends into shard_map bodies (the original traversal did not —
+    round-5 review finding, so this pin now covers the region interiors
+    where bucket_by_dest actually lives)."""
     from tfrec_tpu.configs import MeshConfig, ModelConfig
     from tfrec_tpu.models import build_model
     from tfrec_tpu.models import DataSpec as DS
 
-    def prim_count(jaxpr, names):
-        total = 0
-        for eqn in jaxpr.eqns:
-            if eqn.primitive.name in names:
-                total += 1
-            for v in eqn.params.values():
-                sub = getattr(v, "jaxpr", None)
-                if sub is not None:
-                    total += prim_count(sub, names)
-        return total
-
+    prim_count = _prim_count
     spec = DS.ctr((128, 96, 80, 64), num_dense=2)
     ocfg = OptimConfig(learning_rate=0.01, sparse_optimizer="rowwise_adagrad")
     rng = np.random.default_rng(3)
