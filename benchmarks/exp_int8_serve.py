@@ -67,6 +67,16 @@ def main() -> int:
             )
             return topk_scores(scores, K, None, None, method="approx")
 
+        def q_f32_bf16s(tbl, users):
+            # bf16 SCORE MATRIX: the serving program is bound by writing
+            # the [B, V] scores (4 GB at this shape) — a bf16 matrix
+            # halves that traffic; candidate selection runs on bf16.
+            scores = jnp.dot(users.astype(jnp.bfloat16),
+                             tbl.astype(jnp.bfloat16).T,
+                             preferred_element_type=jnp.bfloat16)
+            vals, ids = topk_scores(scores, K, None, None, method="approx")
+            return vals.astype(jnp.float32), ids
+
         def chain(query, k):
             # Tables are ARGUMENTS, never closure constants — a closed-over
             # 512MB table bakes into the compile payload (bench.py topk
@@ -85,6 +95,8 @@ def main() -> int:
             "f32": ({k: chain(q_f32, k) for k in K_PAIR}, (table,)),
             "int8": ({k: chain(q_int8, k) for k in K_PAIR},
                      (qt.values, qt.scales)),
+            "f32_bf16scores": ({k: chain(q_f32_bf16s, k) for k in K_PAIR},
+                               (table,)),
         }
         for fns, state_args in variants.values():
             for f in fns.values():
@@ -118,6 +130,7 @@ def main() -> int:
         for name, (vals, ids) in {
             "f32_approx": jax.jit(q_f32)(table, users_q),
             "int8_approx": jax.jit(q_int8)(qt.values, qt.scales, users_q),
+            "bf16scores_approx": jax.jit(q_f32_bf16s)(table, users_q),
         }.items():
             got = np.asarray(ids)
             hits = np.mean([
