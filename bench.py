@@ -734,6 +734,10 @@ def main(argv=None) -> int:
         if (
             args.sharded_extra == "auto" and args.model == "dcn"
             and args.table_sharding == "none"
+            # Skip on auto CPU-fallback (tunnel down): the fallback run is
+            # already slow and its numbers are placeholders; explicit
+            # --devices cpu (tests, smokes) still measures it.
+            and _fallback_note is None
         ):
             # Same-session sharded-row slope (VERDICT r4 item 2): the
             # contract metric's production form is the sharded-table step
