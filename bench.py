@@ -576,6 +576,13 @@ def main(argv=None) -> int:
         args.model != "dcn" or args.protocol != "slope"
     ):
         parser.error("--table_sharding needs --model dcn --protocol slope")
+    if args.table_sharding != "none" and args.host_dedup:
+        # The mesh path re-buckets ids inside its all-to-all, so host
+        # dedup orders never apply there — stamping '-hostdedup' into a
+        # sharded baseline key would record a config that was not
+        # measured (review finding, round 5).
+        parser.error("--host_dedup is a single-device feature; it does "
+                     "not apply to --table_sharding runs")
 
     if args.devices == "auto":
         # The TPU tunnel in this environment can wedge (stateful PJRT

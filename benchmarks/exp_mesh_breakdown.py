@@ -118,7 +118,9 @@ def _build(variant: str):
                    fused_tables=fused),
     )
     if variant == "row_lookup_take":
-        def lookup(tables, ids, _b=builder):
+        # want_route accepted (and ignored: a plain take has no route, so
+        # the update half re-derives — the seam signature grew in round 5).
+        def lookup(tables, ids, want_route=False, _b=builder):
             gathered = {
                 n: jnp.take(tables[n], i, axis=0, mode="clip")
                 for n, i in ids.items()
@@ -128,7 +130,7 @@ def _build(variant: str):
         builder.lookup = lookup
     elif variant == "row_update_plain":
         def sparse_update(name, table, opt_state, ids, grads, lr,
-                          order=None, _b=builder):
+                          order=None, route=None, _b=builder):
             return _b.sparse_opt.apply(table, opt_state, ids, grads, lr)
 
         builder.sparse_update = sparse_update

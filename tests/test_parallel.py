@@ -808,6 +808,45 @@ def test_row_permuted_checkpoint_layout_is_guarded(tmp_path, mesh8):
     restore_checkpoint(str(tmp_path / "b"), state, expect_row_permute=False)
     with pytest.raises(ValueError, match="row_permute"):
         restore_checkpoint(str(tmp_path / "b"), state, expect_row_permute=True)
+    # The permutation is a function of the DATA-AXIS shard count, not the
+    # device count: a (2,2) and a (4,1) mesh share device_count=4 but not
+    # the layout — the recorded shard count must be enforced (round-5
+    # review finding).
+    save_checkpoint(str(tmp_path / "c"), 1, state,
+                    meta={"row_permute": True, "row_permute_shards": 4})
+    restore_checkpoint(str(tmp_path / "c"), state, expect_row_permute=True,
+                       expect_row_permute_shards=4)
+    with pytest.raises(ValueError, match="shards"):
+        restore_checkpoint(str(tmp_path / "c"), state,
+                           expect_row_permute=True,
+                           expect_row_permute_shards=8)
+
+
+def test_row_permute_refused_on_single_device_path():
+    """mesh.row_permute on a run that resolves to the single-device
+    builder (or a closed-form solver) must refuse, not silently no-op —
+    an inert flag would record row_permute=False checkpoints and confuse
+    a later mesh resume (round-5 review finding)."""
+    from tfrec_tpu.configs import (
+        Config, DataConfig, MeshConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from tfrec_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        data=DataConfig(source="synthetic_ctr", num_examples=1000,
+                        num_dense_features=2,
+                        categorical_vocab_sizes=(50, 30), test_fraction=0.2),
+        model=ModelConfig(name="dcn", embed_dim=8, num_cross_layers=1,
+                          mlp_dims=(8,)),
+        optim=OptimConfig(learning_rate=0.01),
+        train=TrainConfig(batch_size=64, epochs=1, loss="logloss",
+                          log_every_steps=0),
+        # data_axis_size=0 forces the single-device path regardless of
+        # visible devices.
+        mesh=MeshConfig(data_axis_size=0, row_permute=True),
+    )
+    with pytest.raises(ValueError, match="row_permute"):
+        Trainer(cfg, quiet=True)
 
 
 def test_row_permute_refuses_retrieval_models(mesh8):

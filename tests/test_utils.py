@@ -80,6 +80,13 @@ def test_overrides_refuse_string_into_bool_field():
         with_overrides(Config(), {"mesh.route_reuse": "false"})
     cfg = with_overrides(Config(), {"mesh.route_reuse": False})
     assert cfg.mesh.route_reuse is False
+    # Tri-state bool | None fields are covered too (the DECLARED type is
+    # checked, not the current value — model.lane_pack defaults to None,
+    # where an isinstance-on-value guard let 'false' through truthy).
+    with pytest.raises(ValueError, match="bool"):
+        with_overrides(Config(), {"model.lane_pack": "false"})
+    cfg = with_overrides(Config(), {"model.lane_pack": False})
+    assert cfg.model.lane_pack is False
 
 def test_step_profiler_window_with_strides(tmp_path, monkeypatch):
     from tfrec_tpu.utils import profile as prof

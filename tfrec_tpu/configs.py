@@ -353,14 +353,19 @@ def _apply_overrides_dc(dc: Any, dotted: str, value: Any) -> Any:
         field_types = {f.name: f.type for f in dataclasses.fields(dc)}
         if parts[0] not in field_types:
             raise KeyError(f"unknown config field {parts[0]!r} on {type(dc).__name__}")
-        if isinstance(getattr(dc, parts[0]), bool) and isinstance(value, str):
-            # A string landing on a bool field is ALWAYS a caller bug
-            # ("false" is truthy — it silently enabled the flag before
-            # this guard). Refuse loudly; CLI lowercase true/false are
-            # coerced upstream (cli.parse_overrides).
+        ftype = field_types[parts[0]]
+        ftype_str = ftype if isinstance(ftype, str) else str(ftype)
+        if isinstance(value, str) and "bool" in ftype_str:
+            # A string landing on a bool(-or-None) field is ALWAYS a
+            # caller bug ("false" is truthy — it silently enabled the
+            # flag before this guard; the DECLARED type is checked, not
+            # the current value, so tri-state fields like
+            # model.lane_pack: bool | None = None are covered — review
+            # finding, round 5). CLI lowercase true/false are coerced
+            # upstream (cli.parse_overrides).
             raise ValueError(
-                f"config field {parts[0]!r} on {type(dc).__name__} is a "
-                f"bool; got string {value!r} (use true/false)"
+                f"config field {parts[0]!r} on {type(dc).__name__} is "
+                f"{ftype_str}; got string {value!r} (use true/false)"
             )
         return dataclasses.replace(dc, **{parts[0]: value})
     child = getattr(dc, parts[0])

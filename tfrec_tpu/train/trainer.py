@@ -319,6 +319,11 @@ class Trainer:
         # than one device is visible (or a table axis is requested).
         self.mesh = None
         if make_solver is not None:
+            if c.mesh.row_permute:
+                raise ValueError(
+                    "mesh.row_permute applies to sharded-table SGD runs; "
+                    "closed-form solvers keep replicated tables"
+                )
             self.builder = None
             self.jit_step = None
             # Solvers that parallelize (ALS row solves) get a data mesh;
@@ -371,6 +376,16 @@ class Trainer:
             )
             self.jit_step = None  # compiled lazily against the first batch
         else:
+            if c.mesh.row_permute:
+                # The single-device path has no sharded planners: the flag
+                # would be silently inert AND the run's checkpoints would
+                # record row_permute=False, confusing a later mesh resume
+                # (review finding, round 5). Refuse loudly.
+                raise ValueError(
+                    "mesh.row_permute requires the sharded (mesh) path; "
+                    "this run resolved to the single-device builder — "
+                    "drop the flag or run on a mesh"
+                )
             self.builder = TrainStepBuilder(
                 self.model, loss, c.optim,
                 l2_reg=c.model.l2_reg, kernels=c.train.kernels, seed=c.train.seed,
@@ -387,6 +402,10 @@ class Trainer:
                     self.state = restore_checkpoint(
                         c.train.checkpoint_dir, self.state,
                         expect_row_permute=self._row_permute_active(),
+                        expect_row_permute_shards=(
+                            self.mesh.shape["data"]
+                            if self._row_permute_active() else None
+                        ),
                     )
                     self.start_epoch = step
                     self.logger.log({"event": "resumed", "epoch": step})
@@ -953,9 +972,14 @@ class Trainer:
             and c.train.checkpoint_every_epochs
             and (epoch + 1) % c.train.checkpoint_every_epochs == 0
         ):
+            meta = {"row_permute": self._row_permute_active()}
+            if meta["row_permute"]:
+                # The permutation is a function of the data-axis shard
+                # count — record it so restore can refuse a resized mesh
+                # (same device count, different data/table split included).
+                meta["row_permute_shards"] = self.mesh.shape["data"]
             save_checkpoint(
-                c.train.checkpoint_dir, epoch + 1, self.state,
-                meta={"row_permute": self._row_permute_active()},
+                c.train.checkpoint_dir, epoch + 1, self.state, meta=meta,
             )
         if not (c.train.early_stop_patience > 0 and evaluated):
             return False

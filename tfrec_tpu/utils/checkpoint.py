@@ -385,7 +385,8 @@ def _assemble_global(src, key, fname, blocks_meta, saved_procs):
 
 
 def restore_checkpoint(ckpt_dir: str, template, step: int | None = None,
-                       expect_row_permute: bool | None = None):
+                       expect_row_permute: bool | None = None,
+                       expect_row_permute_shards: int | None = None):
     """Load the checkpoint at ``step`` (default: latest) into the structure
     and shardings of ``template``. Restores across process-count changes
     (save at N, restore at M != N) by reassembling global arrays from the
@@ -417,16 +418,30 @@ def restore_checkpoint(ckpt_dir: str, template, step: int | None = None,
             f"{expect_row_permute}; the physical row layouts differ — "
             "restore with the matching config"
         )
-    if saved_permute and saved_devs is not None and (
-        saved_devs != jax.device_count()
-    ):
-        raise ValueError(
-            f"checkpoint {src!r} was saved with row_permute=True on "
-            f"{saved_devs} devices; the round-robin row layout is a "
-            f"function of device count, so it cannot be restored on "
-            f"{jax.device_count()} devices — restore at the saved device "
-            "count (or export/de-permute first)"
-        )
+    if saved_permute:
+        # The round-robin permutation is a function of the DATA-AXIS
+        # shard count (mesh.shape['data']), NOT the total device count —
+        # a (2,2) mesh and a (4,1) mesh have the same device count but
+        # different permutations (review finding, round 5). Guard on the
+        # recorded shard count when present; legacy permuted checkpoints
+        # (none recorded) fall back to the device-count proxy.
+        saved_shards = tree_meta.get("row_permute_shards")
+        if saved_shards is not None and expect_row_permute_shards is not None:
+            if saved_shards != expect_row_permute_shards:
+                raise ValueError(
+                    f"checkpoint {src!r} was saved with row_permute=True "
+                    f"over {saved_shards} data-axis shards; this mesh has "
+                    f"{expect_row_permute_shards} — the row layouts "
+                    "differ, restore at the saved shard count (or "
+                    "export/de-permute first)"
+                )
+        elif saved_devs is not None and saved_devs != jax.device_count():
+            raise ValueError(
+                f"checkpoint {src!r} was saved with row_permute=True on "
+                f"{saved_devs} devices; the round-robin row layout "
+                f"cannot be restored on {jax.device_count()} devices — "
+                "restore at the saved topology (or export/de-permute)"
+            )
     # Legacy checkpoints (no process_count) keep the old same-topology
     # fast path; with metadata present, topology changes reassemble.
     # "Same topology" requires the DEVICE count too when recorded: vocab
