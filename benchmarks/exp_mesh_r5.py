@@ -68,12 +68,22 @@ GROUPS = {
         "row_reuse": (32, 100_000, "row", True, "sort", False),
         "row_stacked": (32, 100_000, "row", True, "sort", True),
     },
+    # fused_tables x route_reuse: pre-reuse the fused regions measured a
+    # tie twice (round 4, 12th losing design); the round-5 mesh_breakdown
+    # window showed fused 22.80 vs per-table 26.47 ms (1.16x) WITH route
+    # reuse — decide the default with a dedicated interleaved A/B.
+    "fused": {
+        "row_reuse": (32, 100_000, "row", True, "sort", False, False),
+        "row_reuse_fused": (32, 100_000, "row", True, "sort", False, True),
+        "row_ctl": (32, 100_000, "row", False, "sort", False, False),
+        "row_ctl_fused": (32, 100_000, "row", False, "sort", False, True),
+    },
 }
 VARIANTS = GROUPS[GROUP]
 
 
 def _build(embed_dim, vocab, sharding, route_reuse, recv_combine,
-           stack_tables=False):
+           stack_tables=False, fused_tables=False):
     import jax.numpy as jnp
     import numpy as np
 
@@ -100,7 +110,7 @@ def _build(embed_dim, vocab, sharding, route_reuse, recv_combine,
                     sparse_learning_rate=0.02),
         mesh,
         MeshConfig(table_sharding=sharding, route_reuse=route_reuse,
-                   recv_combine=recv_combine),
+                   recv_combine=recv_combine, fused_tables=fused_tables),
     )
     state = builder.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)

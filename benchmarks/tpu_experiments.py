@@ -262,6 +262,10 @@ EXPERIMENTS = {
     # doesn't have).
     "mesh_r5_stacked": ["env", "MESH_R5_GROUP=stacked", "python",
                         "benchmarks/exp_mesh_r5.py"],
+    # fused_tables x route_reuse interleaved A/B (the round-5 breakdown
+    # window hinted fused wins 1.16x under route reuse).
+    "mesh_r5_fused": ["env", "MESH_R5_GROUP=fused", "python",
+                      "benchmarks/exp_mesh_r5.py"],
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
