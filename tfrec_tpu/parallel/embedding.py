@@ -442,25 +442,23 @@ class RowShardedTable:
         )
         in_specs = (P(self.axis, None), state_spec, P(self.axis),
                     P(self.axis, None))
+        args = (table, opt_state, ids, grads)
         if route is not None:
-            return jax.shard_map(
-                lambda tbl, ostate, lids, lgrads, rt: self.local_update(
-                    tbl, ostate, lids, lgrads, sparse_opt, lr, route=rt
-                ),
-                mesh=self.mesh,
-                in_specs=in_specs + (self._route_specs(),),
-                out_specs=(P(self.axis, None), state_spec, P()),
-                check_vma=False,
-            )(table, opt_state, ids, grads, route)
+            in_specs += (self._route_specs(),)
+            args += (route,)
+
+        def body(tbl, ostate, lids, lgrads, rt=None):
+            return self.local_update(
+                tbl, ostate, lids, lgrads, sparse_opt, lr, route=rt
+            )
+
         return jax.shard_map(
-            lambda tbl, ostate, lids, lgrads: self.local_update(
-                tbl, ostate, lids, lgrads, sparse_opt, lr
-            ),
+            body,
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
-        )(table, opt_state, ids, grads)
+        )(*args)
 
     def local_update(self, tbl, ostate, lids, lgrads, sparse_opt, lr,
                      route=None):
@@ -563,27 +561,23 @@ class RowShardedTable:
         )
         in_specs = (P(self.axis, None), state_spec, P(self.axis),
                     P(self.axis, None), P(self.axis))
+        args = (table, opt_state, ids, grads, slots)
         if route is not None:
-            return jax.shard_map(
-                lambda tbl, ostate, lids, lgrads, lslots, rt:
-                    self.local_update_grouped(
-                        tbl, ostate, lids, lgrads, lslots, sparse_opt, lr,
-                        route=rt,
-                    ),
-                mesh=self.mesh,
-                in_specs=in_specs + (self._route_specs(),),
-                out_specs=(P(self.axis, None), state_spec, P()),
-                check_vma=False,
-            )(table, opt_state, ids, grads, slots, route)
+            in_specs += (self._route_specs(),)
+            args += (route,)
+
+        def body(tbl, ostate, lids, lgrads, lslots, rt=None):
+            return self.local_update_grouped(
+                tbl, ostate, lids, lgrads, lslots, sparse_opt, lr, route=rt
+            )
+
         return jax.shard_map(
-            lambda tbl, ostate, lids, lgrads, lslots: self.local_update_grouped(
-                tbl, ostate, lids, lgrads, lslots, sparse_opt, lr
-            ),
+            body,
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=(P(self.axis, None), state_spec, P()),
             check_vma=False,
-        )(table, opt_state, ids, grads, slots)
+        )(*args)
 
     def local_update_grouped(self, tbl, ostate, lids, lgrads, lslots,
                              sparse_opt, lr, route=None):
