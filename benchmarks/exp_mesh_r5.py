@@ -72,6 +72,12 @@ GROUPS = {
     # tie twice (round 4, 12th losing design); the round-5 mesh_breakdown
     # window showed fused 22.80 vs per-table 26.47 ms (1.16x) WITH route
     # reuse — decide the default with a dedicated interleaved A/B.
+    # Route reuse at the OTHER flagship dim (d=128) — the round-5 verdict
+    # was measured at d=32 only.
+    "route_d128": {
+        "row_ctl_d128": (128, 100_000, "row", False, "sort"),
+        "row_reuse_d128": (128, 100_000, "row", True, "sort"),
+    },
     "fused": {
         "row_reuse": (32, 100_000, "row", True, "sort", False, False),
         "row_reuse_fused": (32, 100_000, "row", True, "sort", False, True),

@@ -266,6 +266,8 @@ EXPERIMENTS = {
     # window hinted fused wins 1.16x under route reuse).
     "mesh_r5_fused": ["env", "MESH_R5_GROUP=fused", "python",
                       "benchmarks/exp_mesh_r5.py"],
+    "mesh_r5_route_d128": ["env", "MESH_R5_GROUP=route_d128", "python",
+                           "benchmarks/exp_mesh_r5.py"],
     # Attribute the mesh step's ~2x overhead vs single-device (lookup vs
     # update machinery vs partitioner reference) — the R8 per-chip term.
     "mesh_breakdown": ["python", "benchmarks/exp_mesh_breakdown.py"],
