@@ -275,6 +275,10 @@ EXPERIMENTS = {
                             "benchmarks/exp_mesh_breakdown.py"],
     # Compile-only inspection of the (1,1) row vs gspmd step on TPU.
     "mesh_hlo": ["python", "benchmarks/exp_mesh_hlo.py"],
+    # Compile-only collective inventory of gspmd vs row on the REAL
+    # 8-device virtual mesh (the structural gspmd-wire record).
+    "gspmd_wire": ["env", "XLA_FLAGS=--xla_force_host_platform_device_count=8",
+                   "python", "benchmarks/exp_gspmd_wire.py"],
     # Device trace of 3 steps, top ops by duration (row vs gspmd).
     "mesh_profile": ["python", "benchmarks/exp_mesh_profile.py"],
     # Quality bands for the Criteo-shaped configs (VERDICT r1 item 1) —
